@@ -1,0 +1,83 @@
+package graft.block
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.gfunctions._
+import graft.model.PredicateSpec
+
+/**
+ * Predicate blocking — the reference's index-build stage
+ * (`dedupe:predicates†` + `dedupe:blocking (Fingerprinter)†`, SURVEY.md §2.3).
+ *
+ * Every predicate maps a row to an array<string> of block keys; keys are
+ * prefixed "{predIdx}:" so distinct predicates never collide (the reference
+ * qualifies keys by predicate the same way†). The blocking map is
+ * `select(id, explode(array_distinct(keys)))` — a Generator, no shuffle.
+ */
+object Blocking {
+
+  /** Column of block keys (array<string>, no prefix) for one predicate. */
+  def predicateKeys(p: PredicateSpec): Column = {
+    val col0 = col(p.field)
+    p.kind match {
+      case "whole" => array(col0)
+      case "token" => tokens(col0)
+      case "first_token" =>
+        // slice() keeps it array-typed and yields array() for empty input
+        slice(tokens(col0), 1, 1)
+      case "shingle" => token_shingles(tokens(col0), math.max(2, p.n))
+      case "ngram" => char_ngrams(col0, math.max(2, p.n))
+      case "prefix" => array(substring(col0, 1, math.max(1, p.n)))
+      case "suffix" => suffixes(col0, minLen = math.max(3, p.n), cap = 16)
+      case "acronym" =>
+        array(array_join(transform(array_sort(tokens(col0)), t => substring(t, 1, 1)), ""))
+      case "fingerprint" =>
+        array(array_join(array_sort(array_distinct(tokens(col0))), ""))
+      case "integer" => expr(s"regexp_extract_all(${p.field}, '\\\\d+', 0)")
+      case "alphanum" => expr(s"regexp_extract_all(${p.field}, '[a-z0-9]+', 0)")
+      case "exists" => array(when(col0.isNull, lit("0")).otherwise(lit("1")))
+      case "simhash" =>
+        // LSH banding of the 64-bit simhash: `bands` bands of 64/bands bits;
+        // two docs within small hamming distance share >=1 band key w.h.p.
+        val bands = math.max(1, p.bands)
+        val width = 64 / bands
+        val h = simhash64(tokens(col0))
+        val cols = (0 until bands).map { b =>
+          concat(lit(s"$b#"), conv(
+            hex(shiftrightunsigned(h, b * width).bitwiseAND(lit((1L << width) - 1))),
+            16, 16))
+        }
+        array(cols: _*)
+      case "compound" =>
+        // cross-product of two sub-predicates' keys (B16)
+        require(p.sub.size == 2, "compound predicate needs exactly 2 subs")
+        val a = predicateKeys(p.sub.head)
+        val b = predicateKeys(p.sub(1))
+        flatten(transform(a, ka => transform(b, kb => concat(ka, lit(":"), kb))))
+      case other => throw new IllegalArgumentException(s"unknown predicate kind: $other")
+    }
+  }
+
+  /** All predicates, prefixed and concatenated into one array<string>. */
+  def allKeys(preds: Seq[PredicateSpec]): Column = {
+    val perPred = preds.zipWithIndex.map { case (p, i) =>
+      // array_distinct BEFORE the union: a predicate emitting the same key
+      // twice for one record must not double-pair it.
+      transform(array_distinct(predicateKeys(p)), k => concat(lit(s"$i:"), k))
+    }
+    if (perPred.isEmpty) array()
+    else array_distinct(flatten(array(perPred: _*)))
+  }
+
+  /**
+   * Blocking map: (id, block_key), one row per (record, key).
+   * Narrow (scan + generate) — the shuffle happens later in pair-gen.
+   * Fields referenced by predicates must already exist on `df`.
+   */
+  def blockingMap(df: DataFrame, preds: Seq[PredicateSpec], idCol: String): DataFrame =
+    df.select(col(idCol).as("id"), explode(allKeys(preds)).as("block_key"))
+
+  /** Block-size histogram (for skew metrics + cap decisions): one pass. */
+  def blockStats(blocks: DataFrame): DataFrame =
+    blocks.groupBy("block_key").agg(count("*").as("block_size"))
+}

@@ -1,0 +1,108 @@
+package graft.cluster
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Transitive closure over scored pairs ≥ θ — the reference's
+ * `dedupe:clustering (fn connected_components)†` (in-memory union-find)
+ * re-expressed as the large-star/small-star MapReduce algorithm
+ * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+ * SoCC 2014) in pure DataFrames — no GraphFrames jar ships in
+ * /opt/spark/jars (SURVEY.md §2.6 G2; BASELINE.json:6 "iterative
+ * connected-components with checkpointed convergence").
+ *
+ * Each iteration is two groupBy+join rounds; convergence is O(log n)
+ * iterations on adversarial graphs and 1-2 on near-clique dedupe
+ * components. Every iteration is checkpointed to truncate lineage
+ * (reliable checkpoint when a checkpoint dir is set — the resume
+ * contract — else localCheckpoint).
+ */
+object ConnectedComponents {
+
+  case class CCResult(labels: DataFrame, iterations: Int)
+
+  /** Large-star: connect every neighbor larger than u to u's min neighbor. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val minn = sym.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    sym.filter(col("v") > col("u"))
+      .join(minn, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star: connect u and all smaller neighbors to the minimum. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val or = e.select(
+      greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val minn = or.groupBy("u").agg(min(col("v")).as("m"))
+    or.join(minn, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(minn.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  private def checkpointed(df: DataFrame, spark: SparkSession): DataFrame =
+    if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
+  /**
+   * @param edges DataFrame with two long/numeric columns (id1, id2)
+   * @return labels (id, component) for every node APPEARING IN AN EDGE;
+   *         component = min node id of the component. Callers add
+   *         singletons by left-joining their vertex set (component := id).
+   */
+  def run(edges: DataFrame, maxIter: Int = 50): CCResult = {
+    val spark = edges.sparkSession
+    var e = edges.toDF("u", "v")
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    e = checkpointed(e, spark)
+
+    var converged = false
+    var iter = 0
+    var prevSig: (Long, Long) = signature(e)
+    while (!converged && iter < maxIter) {
+      val next = checkpointed(smallStar(largeStar(e)), spark)
+      val sig = signature(next)
+      converged = sig == prevSig
+      prevSig = sig
+      e = next
+      iter += 1
+    }
+
+    // at fixpoint every edge is (member, root) with root = component min
+    val labels = e.select(col("u").as("id"), col("v").as("component"))
+      .union(e.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+    CCResult(labels, iter)
+  }
+
+  /** Cheap fixpoint detector: (edge count, order-independent hash xor) —
+    * bit_xor instead of sum: overflow-free under ANSI mode. */
+  private def signature(e: DataFrame): (Long, Long) = {
+    val r = e.agg(
+      count("*").as("n"),
+      coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("h")).collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /**
+   * Assign every vertex a component: edge-connected nodes get the CC label,
+   * isolated ones themselves (matches the reference: unclustered records
+   * keep their own entity†).
+   */
+  def labelAll(vertices: DataFrame, idCol: String, edges: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val cc = run(edges, maxIter).labels
+    vertices.select(col(idCol).as("id"))
+      .join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+}

@@ -1,0 +1,209 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Catalyst expressions for the dedupe engine. Every expression:
+ *  - is null-intolerant (null in → null out; Catalyst can then prune),
+ *  - delegates the kernel to a static method on [[Sim]] or [[ExprKernels]]
+ *    and emits a single static call in `doGenCode`, keeping whole-stage
+ *    codegen spans intact (SURVEY.md §2.10; BASELINE.json:6 "fused into
+ *    vectorized Catalyst expressions").
+ */
+object ExprKernels {
+  // UTF8String-facing wrappers so generated code does zero boxing beyond
+  // the unavoidable String materialization.
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double =
+    Sim.jaroWinkler(a.toString, b.toString)
+
+  def levSim(a: UTF8String, b: UTF8String): Double =
+    Sim.levenshteinSim(a.toString, b.toString)
+
+  def charNGrams(s: UTF8String, n: Int): ArrayData = {
+    val grams = Sim.charNGrams(s.toString, n)
+    new GenericArrayData(grams.map(g => UTF8String.fromString(g): Any))
+  }
+
+  def tokenShingles(arr: ArrayData, n: Int): ArrayData = {
+    val toks = toStringArray(arr)
+    new GenericArrayData(Sim.tokenShingles(toks, n).map(g => UTF8String.fromString(g): Any))
+  }
+
+  def suffixes(s: UTF8String, minLen: Int, cap: Int): ArrayData =
+    new GenericArrayData(Sim.suffixes(s.toString, minLen, cap).map(g => UTF8String.fromString(g): Any))
+
+  def simhash64(arr: ArrayData): Long = Sim.simhash64(toStringArray(arr))
+
+  def minhash(arr: ArrayData, k: Int): ArrayData =
+    new GenericArrayData(Sim.minhash(toStringArray(arr), k))
+
+  def nfkcNorm(s: UTF8String): UTF8String = {
+    val out = Sim.preProcess(s.toString)
+    if (out == null) null else UTF8String.fromString(out)
+  }
+
+  def docFingerprint(s: UTF8String, window: Int): Long =
+    Sim.docFingerprint(s.toString, window)
+
+  def hamming64(a: Long, b: Long): Int = Sim.hamming64(a, b)
+
+  private def toStringArray(arr: ArrayData): Array[String] = {
+    val n = arr.numElements()
+    val out = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val u = arr.getUTF8String(i)
+      out(i) = if (u == null) "" else u.toString
+      i += 1
+    }
+    out
+  }
+}
+
+/** Jaro-Winkler similarity in [0,1] (DuckDB/rapidfuzz variant; §2.5 C1). */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaro_winkler"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.ExprKernels.jaroWinkler($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Normalized Levenshtein similarity 1 - dist/maxLen in [0,1]. */
+case class LevenshteinSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_levenshtein_sim"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels.levSim(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.ExprKernels.levSim($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Character n-grams (§2.2 P5; predicate B5). */
+case class CharNGramsExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0, "ngram size must be positive")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = s"graft_char_ngrams_$n"
+  override protected def nullSafeEval(s: Any): Any =
+    ExprKernels.charNGrams(s.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.expr.ExprKernels.charNGrams($s, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Token shingles of size n over an array<string> column (predicate B4). */
+case class TokenShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0, "shingle size must be positive")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = s"graft_token_shingles_$n"
+  override protected def nullSafeEval(a: Any): Any =
+    ExprKernels.tokenShingles(a.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.expr.ExprKernels.tokenShingles($a, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Suffixes >= minLen, capped (predicate B7). */
+case class SuffixesExpr(child: Expression, minLen: Int, cap: Int)
+    extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_suffixes"
+  override protected def nullSafeEval(s: Any): Any =
+    ExprKernels.suffixes(s.asInstanceOf[UTF8String], minLen, cap)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.expr.ExprKernels.suffixes($s, $minLen, $cap)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash over array<string> tokens (P6; blocking key family B15'). */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+  override protected def nullSafeEval(a: Any): Any =
+    ExprKernels.simhash64(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.expr.ExprKernels.simhash64($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** MinHash signature (k hashes) over array<string> tokens. */
+case class MinHashExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k > 0, "minhash size must be positive")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = s"graft_minhash_$k"
+  override protected def nullSafeEval(a: Any): Any =
+    ExprKernels.minhash(a.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.expr.ExprKernels.minhash($a, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** NFKC + lowercase + whitespace-collapse + trim; empty → null (P1).
+  * Applied ONLY to derived columns — `text` itself is never rewritten
+  * (byte-identity invariant, BASELINE.json:6,15). */
+case class NormalizeNFKCExpr(child: Expression)
+    extends UnaryExpression {
+  // NOT null-intolerant in effect (empty → null), but input null → null holds.
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_normalize"
+  override protected def nullSafeEval(s: Any): Any =
+    ExprKernels.nfkcNorm(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => s"""
+      ${ev.value} = graft.expr.ExprKernels.nfkcNorm($s);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Rolling-hash document fingerprint (winnowing-lite min window hash). */
+case class DocFingerprintExpr(child: Expression, window: Int)
+    extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_doc_fingerprint"
+  override protected def nullSafeEval(s: Any): Any =
+    ExprKernels.docFingerprint(s.asInstanceOf[UTF8String], window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.expr.ExprKernels.docFingerprint($s, $window)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Hamming distance between two int64 simhashes. */
+case class Hamming64Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_hamming64"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Sim.hamming64(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"java.lang.Long.bitCount($a ^ $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -1,0 +1,244 @@
+package graft.expr
+
+/**
+ * Pure, allocation-conscious similarity / hashing kernels.
+ *
+ * These are plain static methods so that both the interpreted path
+ * (`nullSafeEval`) and the whole-stage-codegen path (`doGenCode` emits a
+ * static call) of the Catalyst expressions in [[Exprs]] execute the exact
+ * same code. Keeping the kernel out of the Expression class keeps the
+ * generated code tiny (one `invokestatic`) and the codegen span unbroken.
+ *
+ * Semantics notes (reference: fgregg/dedupe-api — see SURVEY.md §0 for the
+ * citation legend; the mount is empty so loci are public-knowledge†):
+ *  - Jaro-Winkler replaces the reference's affine-gap comparator
+ *    (`affinegap†`, SURVEY.md §2.5 C1) per the north rule (BASELINE.json:6).
+ *    The variant implemented here matches DuckDB/rapidfuzz: prefix boost
+ *    (p=0.1, max 4 chars) applied only when jaro > 0.7, and
+ *    sim(s, "") == sim("", "") == 0.0 — verified empirically against
+ *    DuckDB 1.0 so the driver's oracle hash-compare agrees bit-for-bit.
+ *  - simhash64 is the scale substitute for the reference's TF-IDF canopy
+ *    index predicates (`dedupe:index/tfidf†`, SURVEY.md §2.3 B15).
+ */
+object Sim {
+
+  /** Jaro similarity in [0,1]; 0.0 if either side is empty (DuckDB parity). */
+  def jaro(s: String, t: String): Double = {
+    val n = s.length
+    val m = t.length
+    if (n == 0 || m == 0) return 0.0
+    if (s == t) return 1.0
+    val window = math.max(0, math.max(n, m) / 2 - 1)
+    val sMatched = new Array[Boolean](n)
+    val tMatched = new Array[Boolean](m)
+    var matches = 0
+    var i = 0
+    while (i < n) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(m - 1, i + window)
+      var j = lo
+      var done = false
+      while (j <= hi && !done) {
+        if (!tMatched(j) && s.charAt(i) == t.charAt(j)) {
+          sMatched(i) = true
+          tMatched(j) = true
+          matches += 1
+          done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    // transpositions: matched chars out of order
+    var transpositions = 0
+    var k = 0
+    i = 0
+    while (i < n) {
+      if (sMatched(i)) {
+        while (!tMatched(k)) k += 1
+        if (s.charAt(i) != t.charAt(k)) transpositions += 1
+        k += 1
+      }
+      i += 1
+    }
+    // strcmp95/DuckDB convention: transpositions = mismatched flagged
+    // positions halved with INTEGER division (floor), not exact /2 — this
+    // is the original Winkler C code's `T /= 2` and what DuckDB/rapidfuzz
+    // reproduce (verified: ("red widget","new widget") → 0.825 requires
+    // floor; exact halving gives 0.8042).
+    val mm = matches.toDouble
+    (mm / n + mm / m + (mm - (transpositions / 2)) / mm) / 3.0
+  }
+
+  /** Jaro-Winkler with p=0.1, 4-char prefix cap, 0.7 boost threshold. */
+  def jaroWinkler(s: String, t: String): Double = {
+    val j = jaro(s, t)
+    if (j <= 0.7) return j
+    var prefix = 0
+    val cap = math.min(4, math.min(s.length, t.length))
+    while (prefix < cap && s.charAt(prefix) == t.charAt(prefix)) prefix += 1
+    j + prefix * 0.1 * (1.0 - j)
+  }
+
+  /** Normalized Levenshtein similarity in [0,1]: 1 - dist/max(len). */
+  def levenshteinSim(s: String, t: String): Double = {
+    val maxLen = math.max(s.length, t.length)
+    if (maxLen == 0) 1.0
+    else 1.0 - levenshtein(s, t).toDouble / maxLen
+  }
+
+  /** Classic two-row DP Levenshtein distance (matches Spark/DuckDB). */
+  def levenshtein(s: String, t: String): Int = {
+    val n = s.length; val m = t.length
+    if (n == 0) return m
+    if (m == 0) return n
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var j = 0
+    while (j <= m) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= n) {
+      cur(0) = i
+      val sc = s.charAt(i - 1)
+      j = 1
+      while (j <= m) {
+        val cost = if (sc == t.charAt(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        j += 1
+      }
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    prev(m)
+  }
+
+  /** Character n-grams of `s` (sliding window, stride 1). Mirrors
+    * `dedupe:cpredicates (fn ngrams)†` (SURVEY.md §2.2 P5). */
+  def charNGrams(s: String, n: Int): Array[String] = {
+    if (s == null || s.length < n) return Array.empty
+    val out = new Array[String](s.length - n + 1)
+    var i = 0
+    while (i + n <= s.length) { out(i) = s.substring(i, i + n); i += 1 }
+    out
+  }
+
+  /** Word shingles of size n over a pre-tokenized array.
+    * Mirrors `dedupe:predicates (commonTwoTokens/commonThreeTokens)†`. */
+  def tokenShingles(tokens: Array[String], n: Int): Array[String] = {
+    if (tokens == null || tokens.length < n) return Array.empty
+    val out = new Array[String](tokens.length - n + 1)
+    var i = 0
+    while (i + n <= tokens.length) {
+      out(i) = tokens.slice(i, i + n).mkString(" ")
+      i += 1
+    }
+    out
+  }
+
+  /** All suffixes of length >= minLen, capped at `cap` longest-first.
+    * Mirrors `dedupe:predicates (suffixArray)†` (SURVEY.md §2.3 B7). */
+  def suffixes(s: String, minLen: Int, cap: Int): Array[String] = {
+    if (s == null || s.length < minLen) return Array.empty
+    val k = math.min(s.length - minLen + 1, cap)
+    val out = new Array[String](k)
+    var i = 0
+    while (i < k) { out(i) = s.substring(i); i += 1 }
+    out
+  }
+
+  /** FNV-1a 64-bit hash of a string — stable, seedable, dependency-free. */
+  def fnv1a64(s: String, seed: Long): Long = {
+    var h = 0xcbf29ce484222325L ^ seed
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i) & 0xffffL
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /**
+   * 64-bit SimHash over a token array (Charikar). Each token hashes to 64
+   * bits; bit-votes are summed; sign of each vote gives the output bit.
+   * Scale substitute for TF-IDF canopies (BASELINE.json:6 "simhash-of-text").
+   */
+  def simhash64(tokens: Array[String]): Long = {
+    if (tokens == null || tokens.length == 0) return 0L
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < tokens.length) {
+      val h = fnv1a64(tokens(i), 0L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /**
+   * MinHash signature: k independent permutations approximated by
+   * k seeded FNV hashes; signature(i) = min hash over tokens.
+   * Foundation for LSH band-bucket near-dup detection.
+   */
+  def minhash(tokens: Array[String], k: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (tokens == null) return sig
+    var i = 0
+    while (i < tokens.length) {
+      val base = fnv1a64(tokens(i), 0L)
+      var j = 0
+      while (j < k) {
+        // cheap independent-ish family: mix base with per-row odd multiplier
+        val h = (base ^ (0x9e3779b97f4a7c15L * (j + 1))) * 0xff51afd7ed558ccdL
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** NFKC-normalize + lowercase + collapse whitespace + trim; null if empty.
+    * Mirrors `dedupe-api:api/utils/helpers.py (fn preProcess)†` (§2.2 P1). */
+  def preProcess(s: String): String = {
+    if (s == null) return null
+    val nfkc = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC)
+    val out = nfkc.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ").trim
+    if (out.isEmpty) null else out
+  }
+
+  /** Rolling-hash (Rabin-Karp style) document fingerprint: min `keep`
+    * window-hashes of the char stream (winnowing-lite), xor-folded. */
+  def docFingerprint(s: String, window: Int): Long = {
+    if (s == null || s.length < window) return fnv1a64(if (s == null) "" else s, 7L)
+    var pow = 1L
+    var i = 1
+    while (i < window) { pow *= 257L; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < window) { h = h * 257L + s.charAt(i); i += 1 }
+    var minH = h
+    i = window
+    while (i < s.length) {
+      h = (h - s.charAt(i - window) * pow) * 257L + s.charAt(i)
+      if (h < minH) minH = h
+      i += 1
+    }
+    minH
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.expr._
+
+/**
+ * Public column-function facade for the engine's custom Catalyst
+ * expressions plus a few composed built-ins. Mirrors the role of
+ * `org.apache.spark.sql.functions` for graft.
+ */
+object gfunctions {
+
+  private def c(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    GraftBridge.column(e)
+  private def x(col: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    GraftBridge.expression(col)
+
+  /** Jaro-Winkler similarity in [0,1] (DuckDB-parity variant). */
+  def jaro_winkler(a: Column, b: Column): Column = c(JaroWinklerExpr(x(a), x(b)))
+
+  /** Normalized Levenshtein similarity 1 - dist/maxLen. */
+  def levenshtein_sim(a: Column, b: Column): Column = c(LevenshteinSimExpr(x(a), x(b)))
+
+  /** Character n-grams → array<string>. */
+  def char_ngrams(s: Column, n: Int): Column = c(CharNGramsExpr(x(s), n))
+
+  /** n-token shingles over an array<string> column → array<string>. */
+  def token_shingles(tokens: Column, n: Int): Column = c(TokenShinglesExpr(x(tokens), n))
+
+  /** Suffixes of length >= minLen, longest-first, capped. */
+  def suffixes(s: Column, minLen: Int = 3, cap: Int = 32): Column =
+    c(SuffixesExpr(x(s), minLen, cap))
+
+  /** 64-bit SimHash of an array<string> token column. */
+  def simhash64(tokens: Column): Column = c(SimHash64Expr(x(tokens)))
+
+  /** MinHash signature (k seeded hashes) → array<long>. */
+  def minhash(tokens: Column, k: Int): Column = c(MinHashExpr(x(tokens), k))
+
+  /** NFKC-normalize + lowercase + collapse whitespace; empty → null. */
+  def normalize_text(s: Column): Column = c(NormalizeNFKCExpr(x(s)))
+
+  /** Rolling-hash doc fingerprint (min window hash). */
+  def doc_fingerprint(s: Column, window: Int = 16): Column =
+    c(DocFingerprintExpr(x(s), window))
+
+  /** Hamming distance between two int64 simhashes. */
+  def hamming64(a: Column, b: Column): Column = c(Hamming64Expr(x(a), x(b)))
+
+  /** Whitespace/punct tokenizer used consistently across blocking/scoring.
+    * `\\W+` split with empties dropped — mirrors `dedupe:predicates (words)†`. */
+  def tokens(s: Column): Column =
+    filter(split(s, "\\W+"), t => length(t) > 0)
+
+  /** Cosine similarity between two float/double array columns (same length).
+    * Pure built-ins: zip_with dot product over L2-normalized inputs. */
+  def cosine_sim(a: Column, b: Column): Column = {
+    def dot(u: Column, v: Column): Column =
+      aggregate(zip_with(u, v, (p, q) => p * q), lit(0.0d), (acc, z) => acc + z)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** SQL-expression registration so the same functions are usable from
+    * spark.sql strings: graft_jaro_winkler(a,b), graft_simhash64(arr), ... */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_jaro_winkler", es => JaroWinklerExpr(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_levenshtein_sim", es => LevenshteinSimExpr(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash64", es => SimHash64Expr(es(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_normalize", es => NormalizeNFKCExpr(es(0)), "built-in")
+  }
+}

@@ -1,0 +1,152 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.gfunctions._
+import graft.block.Blocking
+import graft.cluster.{Canonicalize, ConnectedComponents}
+import graft.model.Model
+import graft.pairs.PairGen
+import graft.score.Scoring
+
+/**
+ * The flagship pipeline — the reference's upload→dedupe session flow
+ * (`dedupe-api:api/utils/delayed_tasks.py†`, SURVEY.md §3.1) as ONE Spark
+ * job graph; Redis queue hops become stage boundaries, Postgres tables
+ * become columnar checkpoints.
+ *
+ * Scale decisions, in order of appearance:
+ *  1. exact-duplicate pre-grouping (G1): crawl corpora are full of
+ *     byte-identical pages; grouping by xxhash64(text) FIRST shrinks every
+ *     downstream stage. Only group representatives are blocked/scored;
+ *     members inherit the rep's entity at the end.
+ *  2. blocking is narrow (explode) — the heavy shuffle is the block
+ *     self-join, bounded by the plural-filter + block-size cap (PairGen).
+ *  3. scoring is flat-column Catalyst arithmetic — one codegen span.
+ *  4. scored pairs are the resume point: persisted to parquet when a
+ *     checkpoint dir is configured (BASELINE.json:6 resumability).
+ *  5. clustering = thresholded edges → large/small-star CC (checkpointed).
+ *
+ * The `text` column is never rewritten — derived columns only
+ * (byte-identity invariant, BASELINE.json:6,15).
+ */
+object Dedupe {
+
+  case class Config(
+      model: Model,
+      maxBlockSize: Int = 200,
+      checkpointDir: Option[String] = None,
+      tfidfTopK: Int = 64,
+      canonFields: Seq[String] = Seq("url", "text_norm", "lang"))
+
+  case class Result(
+      entityMap: DataFrame, // (id, url, component, confidence)
+      canon: DataFrame, // one canonical row per entity
+      scoredPairs: DataFrame, // (id1, id2, <features>, score)
+      metrics: Metrics)
+
+  case class Metrics(
+      records: Long,
+      exactGroups: Long,
+      blockKeys: Long,
+      pluralKeys: Long,
+      cappedKeys: Long,
+      candidatePairs: Long,
+      edgesAboveTheta: Long,
+      entities: Long,
+      ccIterations: Int)
+
+  /** Derived columns over the north-rule pages schema
+    * (url, warc_ts, html, text, lang — BASELINE.json:15). */
+  def prepare(pages: DataFrame): DataFrame = pages
+    .withColumn("id", xxhash64(col("url")))
+    .withColumn("text_norm", normalize_text(col("text")))
+    .withColumn("norm_url_path",
+      normalize_text(regexp_replace(col("url"), "^[a-z]+://[^/]*", "")))
+    .withColumn("text_hash", xxhash64(col("text")))
+
+  /** Record columns each feature needs on the pair (column pruning, J5). */
+  private[graft] def requiredFields(features: Seq[String]): Seq[String] =
+    features.flatMap {
+      case n if n.startsWith("cosine_tfidf_") =>
+        Seq(n.stripPrefix("cosine_tfidf_") + "_tfidf")
+      case n =>
+        Seq(n.dropWhile(_ != '_').drop(1))
+    }.distinct
+
+  def run(spark: SparkSession, pages: DataFrame, config: Config): Result = {
+    val model = config.model
+    config.checkpointDir.foreach(d =>
+      spark.sparkContext.setCheckpointDir(s"$d/cc"))
+
+    // ---- stage 1: prepare + exact pre-group (G1)
+    val prepared0 = prepare(pages)
+    val needsTfidf = model.featureNames.exists(_.startsWith("cosine_tfidf_"))
+    val prepared = if (needsTfidf) {
+      val f = model.featureNames.find(_.startsWith("cosine_tfidf_")).get
+        .stripPrefix("cosine_tfidf_")
+      Scoring.withTfidfVectors(prepared0, f, "id", topK = config.tfidfTopK)
+    } else prepared0
+
+    val repMap = prepared
+      .groupBy(col("text_hash"))
+      .agg(min(col("id")).as("rep"))
+    val idToRep = prepared.select(col("id"), col("text_hash"))
+      .join(repMap, "text_hash")
+      .select(col("id"), col("rep"))
+    val reps = prepared.join(
+      repMap.select(col("rep").as("id")), Seq("id"), "left_semi")
+
+    // ---- stage 2: blocking (narrow) + pair-gen (the shuffle)
+    val blocks = Blocking.blockingMap(reps, model.predicates, "id")
+    val blockM = PairGen.blockMetrics(blocks, config.maxBlockSize)
+    val pairs = PairGen.candidatePairs(blocks, config.maxBlockSize)
+
+    // ---- stage 3: attach fields + score (one codegen span)
+    val fields = requiredFields(model.featureNames)
+    val attached = PairGen.attachFields(pairs, reps, "id", fields)
+    val scored0 = Scoring.scorePairs(attached, model)
+    val scored = config.checkpointDir match {
+      case Some(dir) => // resume point (BASELINE.json:6)
+        scored0.write.mode("overwrite").parquet(s"$dir/pairs")
+        spark.read.parquet(s"$dir/pairs")
+      case None => scored0
+    }
+
+    // ---- stage 4: threshold + transitive closure (G2)
+    val edges = scored.filter(col("score") >= model.threshold)
+      .select(col("id1"), col("id2"))
+    val cc = ConnectedComponents.run(edges)
+    val repLabels = reps.select(col("id"))
+      .join(cc.labels, Seq("id"), "left")
+      .select(col("id").as("rep"),
+        coalesce(col("component"), col("id")).as("component"))
+
+    // ---- stage 5: expand exact groups, confidence, canon
+    val allLabels = idToRep.join(repLabels, "rep")
+      .select(col("id"), col("component"))
+    val conf = Canonicalize.confidences(
+      allLabels, scored.select(col("id1"), col("id2"), col("score")))
+    val entityMap = prepared.select(col("id"), col("url"))
+      .join(conf, "id")
+      .select(col("id"), col("url"), col("component"), col("confidence"))
+    val canon = Canonicalize.canonTable(
+      prepared.select(col("id") +: config.canonFields.map(col): _*)
+        .join(allLabels, "id"),
+      "component", config.canonFields)
+
+    val nEntities = allLabels.agg(countDistinct(col("component"))).collect()(0).getLong(0)
+    val m = Metrics(
+      records = prepared0.count(),
+      exactGroups = repMap.count(),
+      blockKeys = blockM.totalKeys,
+      pluralKeys = blockM.pluralKeys,
+      cappedKeys = blockM.cappedKeys,
+      candidatePairs = pairs.count(),
+      edgesAboveTheta = edges.count(),
+      entities = nEntities,
+      ccIterations = cc.iterations)
+
+    Result(entityMap, canon, scored, m)
+  }
+}

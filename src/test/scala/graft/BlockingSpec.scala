@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.block.Blocking
+import graft.model.PredicateSpec
+import graft.pairs.PairGen
+
+class BlockingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def keysFor(p: PredicateSpec, value: String): Set[String] =
+    Seq(value).toDF("f")
+      .select(explode(Blocking.predicateKeys(p)).as("k"))
+      .as[String].collect().toSet
+
+  test("predicate key sets (F6, mirrors dedupe predicate tests†)") {
+    assert(keysFor(PredicateSpec("token", "f"), "12 east main st") ==
+      Set("12", "east", "main", "st"))
+    assert(keysFor(PredicateSpec("whole", "f"), "foo bar") == Set("foo bar"))
+    assert(keysFor(PredicateSpec("first_token", "f"), "foo bar") == Set("foo"))
+    assert(keysFor(PredicateSpec("ngram", "f", n = 4), "abcde") == Set("abcd", "bcde"))
+    assert(keysFor(PredicateSpec("prefix", "f", n = 3), "abcdef") == Set("abc"))
+    assert(keysFor(PredicateSpec("acronym", "f"), "main east") == Set("em"))
+    assert(keysFor(PredicateSpec("fingerprint", "f"), "b a b") == Set("ab"))
+    assert(keysFor(PredicateSpec("shingle", "f", n = 2), "a b c") ==
+      Set("a b", "b c"))
+    assert(keysFor(PredicateSpec("integer", "f"), "call 555 ext 12") ==
+      Set("555", "12"))
+    assert(keysFor(PredicateSpec("exists", "f"), "x") == Set("1"))
+    assert(keysFor(
+      PredicateSpec("compound", "", sub = Seq(
+        PredicateSpec("first_token", "f"), PredicateSpec("prefix", "f", n = 1))),
+      "foo bar") == Set("foo:f"))
+  }
+
+  test("simhash banding: identical text shares all bands, unrelated none") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "zzz yyy xxx www vvv uuu ttt sss rrr qqq")).toDF("id", "f")
+    val p = Seq(PredicateSpec("simhash", "f", bands = 4))
+    val blocks = Blocking.blockingMap(df, p, "id")
+    val pairs = PairGen.candidatePairs(blocks)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("blockingMap prefixes keys per predicate; no cross-predicate collision") {
+    val df = Seq((1L, "x"), (2L, "x")).toDF("id", "f")
+    val preds = Seq(PredicateSpec("whole", "f"), PredicateSpec("token", "f"))
+    val keys = Blocking.blockingMap(df, preds, "id")
+      .select("block_key").as[String].collect().toSet
+    assert(keys == Set("0:x", "1:x"))
+  }
+
+  test("pair-gen: plural filter, ordering, dedup, cap") {
+    val blocks = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), // block of 3 → 3 pairs
+      (1L, "b"), (2L, "b"), // shares pair (1,2) → must not duplicate
+      (9L, "solo"), // singleton → nothing
+      (10L, "big"), (11L, "big"), (12L, "big"), (13L, "big") // capped at 3
+    ).toDF("id", "block_key")
+    val pairs = PairGen.candidatePairs(blocks, maxBlockSize = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val m = PairGen.blockMetrics(blocks, maxBlockSize = 3)
+    assert(m.totalKeys == 4 && m.pluralKeys == 3 && m.cappedKeys == 1
+      && m.droppedRows == 4 && m.maxBlockSize == 4)
+  }
+
+  test("attachFields prunes to requested columns") {
+    val pairs = Seq((1L, 2L)).toDF("id1", "id2")
+    val recs = Seq((1L, "a", "junk1"), (2L, "b", "junk2")).toDF("id", "name", "junk")
+    val got = PairGen.attachFields(pairs, recs, "id", Seq("name"))
+    assert(got.columns.toSet == Set("id1", "id2", "name_1", "name_2"))
+    val r = got.collect()(0)
+    assert(r.getAs[String]("name_1") == "a" && r.getAs[String]("name_2") == "b")
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expr.Sim
+
+/** Kernel spot-values mirror dedupe's predicate/comparator unit tests†
+  * (SURVEY.md §5.1, FIXTURES.md F6) plus DuckDB-parity values verified
+  * against DuckDB 1.0 (the driver's oracle engine). Property checks use
+  * seeded random strings (scalatestplus isn't in the offline cache). */
+class SimSpec extends AnyFunSuite {
+
+  private def randStrings(n: Int, maxLen: Int, seed: Long): Seq[String] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(n)(r.alphanumeric.take(r.nextInt(maxLen + 1)).mkString)
+  }
+
+  test("jaro-winkler spot values (DuckDB 1.0 parity)") {
+    assert(math.abs(Sim.jaroWinkler("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(Sim.jaroWinkler("DWAYNE", "DUANE") - 0.8400000000000001) < 1e-12)
+    // below the 0.7 boost threshold: JW == Jaro despite 4-char common prefix
+    assert(math.abs(Sim.jaroWinkler("abcdxxxxxxxxxx", "abcdyyyyyyyyyy")
+      - 0.5238095238095238) < 1e-12)
+    assert(Sim.jaroWinkler("a", "") == 0.0)
+    assert(Sim.jaroWinkler("", "") == 0.0) // DuckDB convention
+    assert(Sim.jaroWinkler("same", "same") == 1.0)
+    // exclusive-window convention probes (all verified vs DuckDB 1.0)
+    assert(math.abs(Sim.jaro("red widget", "new widget") - 0.8250000000000001) < 1e-12)
+    assert(math.abs(Sim.jaro("abcd", "badc") - 0.8333333333333334) < 1e-12)
+    assert(math.abs(Sim.jaro("CRATE", "TRACE") - 0.7333333333333334) < 1e-12)
+    assert(math.abs(Sim.jaro("DIXON", "DICKSONX") - 0.7666666666666666) < 1e-12)
+    assert(math.abs(Sim.jaro("jellyfish", "smellyfish") - 0.8962962962962964) < 1e-12)
+    assert(Sim.jaro("ab", "ba") == 0.0)
+    assert(math.abs(Sim.jaro("aaa bbb", "bbb aaa") - 0.5079365079365079) < 1e-12)
+  }
+
+  test("jaro-winkler properties: range + symmetry + identity") {
+    val ss = randStrings(200, 12, seed = 7)
+    for (a <- ss.take(40); b <- ss.take(40)) {
+      val x = Sim.jaroWinkler(a, b)
+      assert(x >= 0.0 && x <= 1.0, s"range: '$a' '$b' -> $x")
+      assert(x == Sim.jaroWinkler(b, a), s"symmetry: '$a' '$b'")
+    }
+    for (a <- ss if a.nonEmpty) assert(Sim.jaroWinkler(a, a) == 1.0)
+  }
+
+  test("levenshtein spot values + properties") {
+    assert(Sim.levenshtein("kitten", "sitting") == 3)
+    assert(Sim.levenshtein("", "abc") == 3)
+    assert(Sim.levenshtein("abc", "abc") == 0)
+    val ss = randStrings(60, 10, seed = 11)
+    for (a <- ss; b <- ss.take(20)) {
+      assert(Sim.levenshtein(a, b) == Sim.levenshtein(b, a))
+      assert(Sim.levenshtein(a, b) <= math.max(a.length, b.length))
+    }
+  }
+
+  test("char n-grams (F6)") {
+    assert(Sim.charNGrams("abcde", 4).toSeq == Seq("abcd", "bcde"))
+    assert(Sim.charNGrams("abc", 4).isEmpty)
+    assert(Sim.charNGrams("abcd", 4).toSeq == Seq("abcd"))
+  }
+
+  test("token shingles") {
+    assert(Sim.tokenShingles(Array("a", "b", "c"), 2).toSeq == Seq("a b", "b c"))
+    assert(Sim.tokenShingles(Array("a"), 2).isEmpty)
+  }
+
+  test("suffixes") {
+    assert(Sim.suffixes("abcdef", 3, 10).toSeq ==
+      Seq("abcdef", "bcdef", "cdef", "def"))
+    assert(Sim.suffixes("ab", 3, 10).isEmpty)
+    assert(Sim.suffixes("abcdef", 3, 2).toSeq == Seq("abcdef", "bcdef"))
+  }
+
+  test("simhash: identical inputs agree, near inputs near") {
+    val a = "the quick brown fox jumps over the lazy dog".split(" ")
+    val b = "the quick brown fox jumps over the lazy cat".split(" ")
+    val c = "completely different words entirely unrelated text".split(" ")
+    assert(Sim.simhash64(a) == Sim.simhash64(a.clone()))
+    val near = Sim.hamming64(Sim.simhash64(a), Sim.simhash64(b))
+    val far = Sim.hamming64(Sim.simhash64(a), Sim.simhash64(c))
+    assert(near < far)
+    assert(Sim.simhash64(Array.empty[String]) == 0L)
+  }
+
+  test("minhash: containment raises agreement; order-invariant") {
+    val a = (1 to 50).map(i => s"tok$i").toArray
+    val b = (1 to 45).map(i => s"tok$i").toArray ++ Array("x1", "x2", "x3", "x4", "x5")
+    val c = (100 to 150).map(i => s"tok$i").toArray
+    val (sa, sb, sc) = (Sim.minhash(a, 64), Sim.minhash(b, 64), Sim.minhash(c, 64))
+    def agree(x: Array[Long], y: Array[Long]) = x.zip(y).count(p => p._1 == p._2)
+    assert(agree(sa, sb) > agree(sa, sc))
+    assert(agree(sa, Sim.minhash(a.reverse, 64)) == 64)
+  }
+
+  test("preProcess: nfkc, lowercase, whitespace collapse, empty→null") {
+    assert(Sim.preProcess("  Foo   BAR \t baz ") == "foo bar baz")
+    assert(Sim.preProcess("") == null)
+    assert(Sim.preProcess("   ") == null)
+    assert(Sim.preProcess(null) == null)
+    assert(Sim.preProcess("ＡＢ") == "ab") // fullwidth AB → ab (NFKC)
+  }
+
+  test("doc fingerprint deterministic") {
+    val t = "some reasonably long text for fingerprinting windows"
+    assert(Sim.docFingerprint(t, 16) == Sim.docFingerprint(t, 16))
+    assert(Sim.docFingerprint(t, 16) != Sim.docFingerprint(t + " changed early? no", 64))
+  }
+}
