@@ -1,0 +1,124 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (array<float>) — brute-force
+ * cosine top-k as the exact baseline, plus two scale paths:
+ * random-hyperplane LSH bucketing and an IVF-style coarse quantizer.
+ *
+ * All dot products are pure built-ins (`zip_with` + `aggregate`) computed
+ * in double after an explicit cast — keeps Spark and the DuckDB oracle on
+ * identical arithmetic.
+ */
+object Ann {
+
+  /** Dot product of two numeric array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (p, q) => p * q),
+      lit(0.0d), (acc, z) => acc + z)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /**
+   * Exact brute-force top-k: every query scored against every item.
+   * The QUERY side is broadcast (queries << corpus at training-data scale);
+   * the corpus is scanned once, partition-parallel, no shuffle until the
+   * per-query top-k aggregation. Ties break by item id (deterministic).
+   *
+   * @param items   (itemId, vec) corpus
+   * @param queries (queryId, vec) — must be small enough to broadcast
+   */
+  def bruteForceTopK(items: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val i = items.select(col(items.columns(0)).as("item_id"), col(items.columns(1)).as("ivec"))
+    val q = queries.select(col(queries.columns(0)).as("query_id"), col(queries.columns(1)).as("qvec"))
+    val scored = i.crossJoin(broadcast(q))
+      .select(col("query_id"), col("item_id"),
+        cosine(col("ivec"), col("qvec")).as("cos"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Window top-k with deterministic tie-break; rank column included. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("item_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("item_id"), col("cos")) // raw cos: callers round ONCE if needed
+        // (rounding here then again downstream double-rounds: 0.2817947 →
+        // 0.281795 → 0.28180 — a real bug caught by the DuckDB oracle)
+  }
+
+  /** Deterministic random hyperplanes: nPlanes × dim, seeded. */
+  private[ann] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit LSH bucket id of a vector under the given planes. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /**
+   * LSH-bucketed ANN: items and queries hash to sign-bit buckets under the
+   * same seeded hyperplanes; candidates = same-bucket join (equi-join —
+   * shuffles only bucket-matched rows); exact cosine re-rank inside.
+   * Recall < 1 by construction; raise nPlanes↓/probe more buckets for more.
+   */
+  def lshTopK(items: DataFrame, queries: DataFrame, k: Int,
+      nPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val i = items.select(col(items.columns(0)).as("item_id"), col(items.columns(1)).as("ivec"))
+      .withColumn("bucket", lshBucket(col("ivec"), planes))
+    val q = queries.select(col(queries.columns(0)).as("query_id"), col(queries.columns(1)).as("qvec"))
+      .withColumn("bucket", lshBucket(col("qvec"), planes))
+    val scored = i.join(broadcast(q), "bucket")
+      .select(col("query_id"), col("item_id"), cosine(col("ivec"), col("qvec")).as("cos"))
+    topKPerQuery(scored, k)
+  }
+
+  /**
+   * IVF-style ANN: coarse centroids = a deterministic sample of the corpus
+   * (every n/nlist-th item by id order — no kmeans dependency); each item
+   * is assigned to its nearest centroid (broadcast centroid list); a query
+   * probes its `nprobe` nearest centroids' inverted lists only.
+   */
+  def ivfTopK(items: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val i = items.select(col(items.columns(0)).as("item_id"), col(items.columns(1)).as("ivec"))
+    // deterministic coarse centroids: rank by id, take every (n/nlist)-th
+    val n = i.count()
+    val step = math.max(1L, n / nlist)
+    val cents = i.withColumn("rn", row_number().over(Window.orderBy(col("item_id"))))
+      .filter(((col("rn") - 1) % step) === 0).limit(nlist)
+      .select(col("item_id").as("cent_id"), col("ivec").as("cvec"))
+    // assign items to nearest centroid (corpus × nlist narrow, broadcast)
+    val wItem = Window.partitionBy(col("item_id")).orderBy(col("cos_c").desc, col("cent_id"))
+    val assigned = i.crossJoin(broadcast(cents))
+      .withColumn("cos_c", cosine(col("ivec"), col("cvec")))
+      .withColumn("rc", row_number().over(wItem)).filter(col("rc") === 1)
+      .select(col("cent_id"), col("item_id"), col("ivec"))
+    // queries probe their nprobe nearest centroids
+    val q = queries.select(col(queries.columns(0)).as("query_id"), col(queries.columns(1)).as("qvec"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("cos_c").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("cos_c", cosine(col("qvec"), col("cvec")))
+      .withColumn("rc", row_number().over(wq)).filter(col("rc") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cent_id"))
+    val scored = assigned.join(broadcast(probes), "cent_id")
+      .select(col("query_id"), col("item_id"), cosine(col("ivec"), col("qvec")).as("cos"))
+    topKPerQuery(scored, k)
+  }
+}

@@ -1,0 +1,44 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Storage seam (SURVEY.md §7 hard part e): the production deployment targets
+ * Iceberg tables (BASELINE.json:6,14 — snapshot checkpoints, per-partition
+ * lineage), but no Iceberg runtime jar ships in this sandbox's
+ * /opt/spark/jars. So the FORMAT IS CONFIG, NOT CODE: everything reads and
+ * writes through this object; `GRAFT_TABLE_FORMAT=iceberg` plus the usual
+ * Iceberg catalog session configs is a deploy-time switch with zero code
+ * change (catalog tables resolve via spark.read.table / writeTo, paths via
+ * format handlers).
+ */
+object TableIO {
+
+  sealed trait Target
+  /** A filesystem path (sandbox default: parquet dirs). */
+  case class Path(path: String) extends Target
+  /** A catalog table name (production: Iceberg via catalog config). */
+  case class Table(name: String) extends Target
+
+  def format: String = sys.env.getOrElse("GRAFT_TABLE_FORMAT", "parquet")
+
+  def read(spark: SparkSession, t: Target): DataFrame = t match {
+    case Path(p) => spark.read.format(format).load(p)
+    case Table(n) => spark.read.table(n)
+  }
+
+  def write(df: DataFrame, t: Target, mode: String = "overwrite"): Unit = t match {
+    case Path(p) => df.write.format(format).mode(mode).save(p)
+    case Table(n) =>
+      if (mode == "overwrite") df.writeTo(n).createOrReplace()
+      else df.writeTo(n).append()
+  }
+
+  /** Snapshot checkpoint: write + read back so downstream stages consume
+    * the materialized snapshot (the resume point — BASELINE.json:6).
+    * Under Iceberg this is a table snapshot; under parquet, a directory. */
+  def checkpoint(spark: SparkSession, df: DataFrame, t: Target): DataFrame = {
+    write(df, t)
+    read(spark, t)
+  }
+}

@@ -1,0 +1,106 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal column plumbing: image/audio/video payloads ride as opaque
+ * `binary` columns with typed metadata; decode / feature-extract /
+ * frame-sample run per-partition in batches.
+ *
+ * The REAL codec layer (jpeg/opus/h264) is not present in this container,
+ * so `decodeStub` below is a clearly-marked deterministic fake (a byte
+ * histogram) standing in for the decoder — the Spark-side plumbing
+ * (schema, partition-batched execution shape, feature column contract) is
+ * real and tested. Swapping in a real decoder = replacing ONE function.
+ */
+object Media {
+
+  /** media table schema: (media_id, kind, bytes, meta) */
+  val schema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image|audio|video
+    StructField("bytes", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_frames", IntegerType))))))
+
+  /** DETERMINISTIC FAKE DECODER (stand-in for the absent codec libs):
+    * 16-bin normalized byte histogram. Real plumbing, fake decode. */
+  private[multimodal] def decodeStub(bytes: Array[Byte]): Array[Double] = {
+    val hist = new Array[Double](16)
+    if (bytes == null || bytes.isEmpty) return hist
+    var i = 0
+    while (i < bytes.length) {
+      hist((bytes(i) & 0xff) >> 4) += 1.0
+      i += 1
+    }
+    val n = bytes.length.toDouble
+    var b = 0
+    while (b < 16) { hist(b) /= n; b += 1 }
+    hist
+  }
+
+  /** Deterministic frame sampling: n evenly-spaced fixed-size slices. */
+  private[multimodal] def sampleFrames(bytes: Array[Byte], n: Int,
+      frameSize: Int = 64): Seq[Array[Byte]] = {
+    if (bytes == null || bytes.length == 0 || n <= 0) return Seq.empty
+    (0 until n).map { f =>
+      val off = ((bytes.length.toLong * f) / n).toInt
+      bytes.slice(off, math.min(off + frameSize, bytes.length))
+    }
+  }
+
+  /**
+   * Feature extraction over the media table: per-partition batched decode
+   * (the shape a Pandas-UDF/Arrow path would have — here a typed
+   * mapPartitions so the whole batch loop is one JVM pass, no per-row
+   * closure dispatch). Output: (media_id, kind, features array<double>).
+   */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("features", ArrayType(DoubleType, containsNull = false))))
+    implicit val enc = Encoders.row(out)
+    media.select(col("media_id"), col("kind"), col("bytes"))
+      .mapPartitions { it =>
+        it.map { r =>
+          Row(r.getLong(0), r.getString(1), decodeStub(r.getAs[Array[Byte]](2)).toSeq)
+        }
+      }
+  }
+
+  /** Frame sampling as a 1→N generator-shaped op:
+    * (media_id, frame_idx, frame_bytes). */
+  def sampleFramesTable(media: DataFrame, nFrames: Int): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = false)))
+    implicit val enc = Encoders.row(out)
+    media.select(col("media_id"), col("bytes"))
+      .flatMap { r =>
+        sampleFrames(r.getAs[Array[Byte]](1), nFrames).zipWithIndex.map {
+          case (f, i) => Row(r.getLong(0), i, f)
+        }
+      }
+  }
+
+  /** Deterministic fake media table derived from a documents dir — the
+    * html-ish bytes stand in for image payloads (test/bench harness). */
+  def fakeMediaFromDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        col("doc_id").as("media_id"),
+        (when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video")).as("kind"),
+        encode(col("text"), "UTF-8").as("bytes"),
+        struct(
+          lit(640).as("width"), lit(480).as("height"),
+          lit(16000).as("sample_rate"), lit(16).as("n_frames")).as("meta"))
+}

@@ -31,23 +31,51 @@ object PairGen {
 
   /**
    * (id1, id2) candidate pairs, id1 < id2, each pair exactly once.
+   *
+   * Skew-proof by construction (the north rule's explicit skew handling —
+   * BASELINE.json:14): a plain self-join on block_key computes a block of
+   * size s inside ONE join group (s² pair expansion in one task; AQE can't
+   * split it because the map-side stats are tiny — the blowup happens
+   * inside the join). Instead each block's records are hashed into
+   * m = ceil(s / chunkTarget) chunks and the join key becomes
+   * (block_key, chunkI, chunkJ) with i <= j — the "triangle" grid
+   * decomposition. Every pair lands in exactly ONE grid cell:
+   * cell (min(ra,rb), max(ra,rb)); cells are ~chunkTarget² pairs each, so
+   * parallelism scales with block size instead of collapsing on hot keys
+   * (stop-word tokens on crawl text). Replication cost: each row of a
+   * block is emitted m times — linear, vs the quadratic join output.
+   *
    * @param blocks (id, block_key) blocking map
-   * @param maxBlockSize blocks larger than this are dropped (capped)
+   * @param maxBlockSize blocks larger than this are dropped entirely
+   *                     (dedupe's gazetteer oversize-block behavior†, made
+   *                     explicit; count it via blockMetrics, never silent)
+   * @param chunkTarget  target records per sub-block chunk
    */
-  def candidatePairs(blocks: DataFrame, maxBlockSize: Int = 200): DataFrame = {
+  def candidatePairs(blocks: DataFrame, maxBlockSize: Int = 200,
+      chunkTarget: Int = 256): DataFrame = {
     val sizes = blocks.groupBy("block_key")
       .agg(count("*").as("block_size"))
-    // plural + under-cap keys only (J2 + cap). Inner join = semi filter but
-    // keeps block_size around for potential weighting; pruned right after.
+    // plural + under-cap keys only (J2 + cap)
     val eligible = sizes
       .filter(col("block_size") >= 2 && col("block_size") <= maxBlockSize)
-      .select("block_key")
+      .select(col("block_key"),
+        ceil(col("block_size").cast("double") / chunkTarget).cast("int").as("m"))
     val b = blocks.join(eligible, "block_key")
-    val a1 = b.select(col("block_key"), col("id").as("id1"))
-    val a2 = b.select(col("block_key"), col("id").as("id2"))
-    a1.join(a2, Seq("block_key"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2")
+      .select(col("block_key"), col("id"),
+        pmod(xxhash64(col("id")), col("m")).cast("int").as("r"), col("m"))
+    // left leg: row in chunk r participates as the FIRST element of grid
+    // cells (r, j) for all j >= r; right leg: as SECOND element of (i, r).
+    val left = b.select(col("block_key"), col("id").as("id1"), col("r").as("i"),
+        explode(sequence(col("r"), col("m") - 1)).as("j"))
+    val right = b.select(col("block_key"), col("id").as("id2"), col("r").as("j"),
+        explode(sequence(lit(0), col("r"))).as("i"))
+    // canonicalize to id1 < id2 AFTER the join: a pair whose smaller id
+    // hashes to the LARGER chunk meets only as (bigger, smaller) — a plain
+    // id1 < id2 filter would drop it.
+    left.join(right, Seq("block_key", "i", "j"))
+      .filter(col("id1") =!= col("id2"))
+      .select(least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2"))
       .dropDuplicates("id1", "id2") // J3: score each pair once
   }
 

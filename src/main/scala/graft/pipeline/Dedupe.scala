@@ -37,7 +37,9 @@ object Dedupe {
       maxBlockSize: Int = 200,
       checkpointDir: Option[String] = None,
       tfidfTopK: Int = 64,
-      canonFields: Seq[String] = Seq("url", "text_norm", "lang"))
+      canonFields: Seq[String] = Seq("url", "text_norm", "lang"),
+      // metrics cost extra actions (counts); off for latency-sensitive runs
+      collectMetrics: Boolean = true)
 
   case class Result(
       entityMap: DataFrame, // (id, url, component, confidence)
@@ -99,7 +101,9 @@ object Dedupe {
 
     // ---- stage 2: blocking (narrow) + pair-gen (the shuffle)
     val blocks = Blocking.blockingMap(reps, model.predicates, "id")
-    val blockM = PairGen.blockMetrics(blocks, config.maxBlockSize)
+    val blockM =
+      if (config.collectMetrics) PairGen.blockMetrics(blocks, config.maxBlockSize)
+      else PairGen.BlockMetrics(-1, -1, -1, -1, -1)
     val pairs = PairGen.candidatePairs(blocks, config.maxBlockSize)
 
     // ---- stage 3: attach fields + score (one codegen span)
@@ -135,8 +139,7 @@ object Dedupe {
         .join(allLabels, "id"),
       "component", config.canonFields)
 
-    val nEntities = allLabels.agg(countDistinct(col("component"))).collect()(0).getLong(0)
-    val m = Metrics(
+    val m = if (config.collectMetrics) Metrics(
       records = prepared0.count(),
       exactGroups = repMap.count(),
       blockKeys = blockM.totalKeys,
@@ -144,8 +147,9 @@ object Dedupe {
       cappedKeys = blockM.cappedKeys,
       candidatePairs = pairs.count(),
       edgesAboveTheta = edges.count(),
-      entities = nEntities,
+      entities = allLabels.agg(countDistinct(col("component"))).collect()(0).getLong(0),
       ccIterations = cc.iterations)
+    else Metrics(-1, -1, -1, -1, -1, -1, -1, -1, cc.iterations)
 
     Result(entityMap, canon, scored, m)
   }

@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.block.Blocking
+import graft.model.Model
+import graft.pairs.PairGen
+import graft.score.Scoring
+
+/**
+ * Gazetteer matching — the reference's `POST /match` endpoint
+ * (`dedupe:api (class StaticGazetteer)†` served by
+ * `dedupe-api:api/app.py (route /match)†`; SURVEY.md §2.4 J4, §2.6 G8,
+ * §3.2): link messy records against a canonical index.
+ *
+ * One code path for single-record and bulk match: messy records derive
+ * the same blocking keys as the canon index; the join BROADCASTS the canon
+ * block index when it fits (a canon table is orders of magnitude smaller
+ * than the messy stream at crawl scale — broadcast kills the shuffle);
+ * score with the same model; per-messy-record top-n via window rank.
+ */
+object Gazetteer {
+
+  case class Config(model: Model, nMatches: Int = 3, broadcastCanon: Boolean = true,
+      // canon blocks larger than this are dropped from the index — the
+      // reference's gazetteer oversize-block behavior† (a key shared by
+      // thousands of canon rows has no discriminating power and its join
+      // fan-out is messy×canon quadratic)
+      maxCanonBlockSize: Int = 1000)
+
+  /**
+   * @param messy prepared messy records (id + derived scoring fields)
+   * @param canon prepared canonical records (id + same derived fields)
+   * @return (messy_id, canon_id, score, rank) — top-n per messy record
+   *         above the model threshold
+   */
+  def matchRecords(spark: SparkSession, messy: DataFrame, canon: DataFrame,
+      config: Config): DataFrame = {
+    val model = config.model
+    val messyBlocks = Blocking.blockingMap(messy, model.predicates, "id")
+      .withColumnRenamed("id", "messy_id")
+    val canonBlocksAll = Blocking.blockingMap(canon, model.predicates, "id")
+      .withColumnRenamed("id", "canon_id")
+    // drop oversized canon blocks (reference gazetteer behavior†): without
+    // this, one hot key fans out messy×canon quadratically
+    val eligible = canonBlocksAll.groupBy("block_key").count()
+      .filter(col("count") <= config.maxCanonBlockSize)
+      .select("block_key")
+    val canonBlocks0 = canonBlocksAll.join(eligible, "block_key")
+    val canonBlocks =
+      if (config.broadcastCanon) broadcast(canonBlocks0) else canonBlocks0
+
+    val pairs = messyBlocks.join(canonBlocks, "block_key")
+      .select(col("messy_id").as("id1"), col("canon_id").as("id2"))
+      .dropDuplicates("id1", "id2")
+
+    val fields = Dedupe.requiredFields(model.featureNames)
+    val m = messy.select(col("id").as("id1") +: fields.map(f => col(f).as(s"${f}_1")): _*)
+    val c = canon.select(col("id").as("id2") +: fields.map(f => col(f).as(s"${f}_2")): _*)
+    val attached = pairs.join(m, "id1")
+      .join(if (config.broadcastCanon) broadcast(c) else c, "id2")
+    val scored = Scoring.scorePairs(attached, model)
+      .filter(col("score") >= model.threshold)
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id1")).orderBy(col("score").desc, col("id2"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= config.nMatches)
+      .select(col("id1").as("messy_id"), col("id2").as("canon_id"),
+        col("score"), col("rank").cast("long").as("rank"))
+  }
+
+  /**
+   * Second-stage dedupe (`dedupe-api (fn dedupeCanon)†`, SURVEY.md §2.6
+   * G6): re-run the whole pipeline over canonical representatives and remap
+   * first-pass entities through the second-pass components — merges
+   * entities that first-pass blocking kept apart.
+   *
+   * @param firstEntityMap first-pass (id, component)
+   * @param canon canon table from Dedupe.run (component + text_norm + lang)
+   * @return (id, component) with merged entity ids (min first-pass
+   *         component per merged group — stable, deterministic)
+   */
+  def dedupeCanon(spark: SparkSession, firstEntityMap: DataFrame,
+      canon: DataFrame, config: Dedupe.Config): DataFrame = {
+    // canon rows re-enter the pipeline in pages shape; the synthetic url
+    // encodes the first-pass component for the remap join afterwards
+    val canonPages = canon.select(
+      concat(lit("canon://"), col("component")).as("url"),
+      lit(null).cast("timestamp").as("warc_ts"),
+      lit(null).cast("binary").as("html"),
+      col("text_norm").as("text"),
+      col("lang"))
+    val second = Dedupe.run(spark, canonPages, config)
+    val remap = second.entityMap.select(
+      regexp_extract(col("url"), "canon://(-?\\d+)", 1).cast("long").as("first_component"),
+      col("component").as("second_component"))
+    val merged = remap.groupBy("second_component")
+      .agg(min("first_component").as("merged"))
+    val mapTbl = remap.join(merged, "second_component")
+      .select(col("first_component"), col("merged"))
+    firstEntityMap.join(broadcast(mapTbl),
+        firstEntityMap("component") === mapTbl("first_component"), "left")
+      .select(firstEntityMap("id"),
+        coalesce(col("merged"), firstEntityMap("component")).as("component"))
+  }
+}

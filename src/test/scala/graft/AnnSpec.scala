@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ann.Ann
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  private lazy val items = Seq(
+    (1L, vec(1, 0, 0, 0)), (2L, vec(0.9, 0.1, 0, 0)), (3L, vec(0, 1, 0, 0)),
+    (4L, vec(0, 0, 1, 0)), (5L, vec(-1, 0, 0, 0))).toDF("vec_id", "embedding")
+
+  test("brute-force top-k: exact neighbors, deterministic order") {
+    val queries = Seq((100L, vec(1, 0, 0, 0))).toDF("qid", "qvec")
+    val got = Ann.bruteForceTopK(items, queries, 3)
+      .select("rank", "item_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
+
+  test("lsh top-k finds the true nearest for aligned vectors") {
+    val queries = Seq((100L, vec(1, 0.05, 0, 0))).toDF("qid", "qvec")
+    val got = Ann.lshTopK(items, queries, 2, nPlanes = 6, dim = 4)
+      .select("item_id").as[Long].collect().toSet
+    assert(got.contains(1L) || got.contains(2L)) // bucketed recall
+    // orthogonal/opposite vectors must not outrank near ones
+    assert(!got.contains(5L))
+  }
+
+  test("ivf top-k recovers the exact nearest with full probe") {
+    val queries = Seq((100L, vec(0.95, 0.05, 0, 0))).toDF("qid", "qvec")
+    val got = Ann.ivfTopK(items, queries, 2, nlist = 5, nprobe = 5)
+      .select("rank", "item_id").as[(Long, Long)].collect().toSeq
+    assert(got.head._2 == 1L || got.head._2 == 2L)
+    assert(got.size == 2)
+  }
+
+  test("works on the driver embeddings table") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val queries = emb.filter($"vec_id" < 3).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val got = Ann.bruteForceTopK(emb, queries, 5)
+    val rows = got.collect()
+    assert(rows.length == 15)
+    // self-match is rank 1 with cos ~ 1
+    val self = got.filter($"rank" === 1).select($"query_id", $"item_id", $"cos").collect()
+    assert(self.forall(r => r.getLong(0) == r.getLong(1)))
+    assert(self.forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-4))
+  }
+}

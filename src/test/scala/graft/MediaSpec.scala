@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Media
+
+class MediaSpec extends SparkSpec {
+
+  test("fake media table conforms to the media schema") {
+    val m = Media.fakeMediaFromDocuments(spark, "/root/testdata/sf0.001")
+    assert(m.columns.toSeq == Seq("media_id", "kind", "bytes", "meta"))
+    assert(m.count() == 500)
+    assert(m.select("kind").distinct().count() == 3)
+  }
+
+  test("feature extraction: deterministic, normalized histogram") {
+    val m = Media.fakeMediaFromDocuments(spark, "/root/testdata/sf0.001")
+    val f = Media.extractFeatures(m)
+    val row = f.orderBy("media_id").first()
+    val feats = row.getSeq[Double](2)
+    assert(feats.length == 16)
+    assert(math.abs(feats.sum - 1.0) < 1e-9) // normalized
+    // deterministic across runs
+    val again = Media.extractFeatures(m).orderBy("media_id").first().getSeq[Double](2)
+    assert(feats == again)
+  }
+
+  test("frame sampling: n frames, in order, deterministic offsets") {
+    val m = Media.fakeMediaFromDocuments(spark, "/root/testdata/sf0.001").limit(5)
+    val frames = Media.sampleFramesTable(m, 4)
+    val grouped = frames.groupBy("media_id").agg(count("*").as("n"))
+    assert(grouped.filter(col("n") =!= 4).count() == 0)
+    val idxs = frames.filter(col("media_id") === 0)
+      .orderBy("frame_idx").select("frame_idx")
+      .collect().map(_.getInt(0)).toSeq
+    assert(idxs == Seq(0, 1, 2, 3))
+  }
+}

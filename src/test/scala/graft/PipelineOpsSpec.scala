@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.TableIO
+import graft.pipeline.Review
+import graft.score.Threshold
+
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("TableIO round-trips through the configured format") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tio").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val back = TableIO.checkpoint(spark, df, TableIO.Path(s"$dir/t"))
+    assert(back.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("a", "b"))
+    // append mode
+    TableIO.write(df, TableIO.Path(s"$dir/t"), mode = "append")
+    assert(TableIO.read(spark, TableIO.Path(s"$dir/t")).count() == 4)
+  }
+
+  test("Review: next-cluster selection orders by confidence, skips reviewed") {
+    val em = Seq(
+      (1L, 100L, 0.9), (2L, 100L, 0.8),
+      (3L, 200L, 0.3), (4L, 200L, 0.4),
+      (5L, 300L, 0.6)).toDF("id", "component", "confidence")
+    val state = Review.init(em)
+    val next = Review.nextClusters(state, n = 2)
+    val got = next.select("component", "review_rank")
+      .as[(Long, Long)].collect().toSeq.sortBy(_._2)
+    assert(got == Seq((200L, 1L), (300L, 2L))) // lowest min-confidence first
+
+    // mark 200 accepted; it leaves the queue
+    val decisions = Seq((200L, true)).toDF("component", "accept")
+    val marked = Review.mark(state, decisions)
+    assert(marked.filter($"component" === 200L && !$"reviewed").count() == 0)
+    assert(marked.filter($"component" === 200L && $"accepted").count() == 2)
+    val next2 = Review.nextClusters(marked, n = 1)
+    assert(next2.select("component").as[Long].collect().toSeq == Seq(300L))
+    // counters
+    val c = Review.counts(marked).filter($"component" === 100L).first()
+    assert(c.getLong(1) == 2L && c.getDouble(2) == 0.8)
+  }
+
+  test("Threshold.select finds the gap in a bimodal score distribution") {
+    // matches near 0.9, non-matches near 0.1 → θ should land in between
+    val scores = (Seq.fill(100)(0.92) ++ Seq.fill(100)(0.88) ++
+      Seq.fill(400)(0.08) ++ Seq.fill(400)(0.12)).toDF("score")
+    val theta = Threshold.select(scores)
+    assert(theta > 0.15 && theta <= 0.88, s"theta=$theta")
+    // degenerate: empty input → default
+    assert(Threshold.select(Seq.empty[Double].toDF("score")) == 0.5)
+  }
+}

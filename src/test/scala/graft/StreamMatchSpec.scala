@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.{Model, PredicateSpec}
+import graft.pipeline.{Dedupe, Gazetteer}
+import graft.streaming.StreamMatch
+
+class StreamMatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("incremental gazetteer match over a micro-batched page stream") {
+    val model = Model(
+      bias = -13.0,
+      weights = Map("jw_text_norm" -> 6.0, "lev_text_norm" -> 9.0, "exact_lang" -> 0.4),
+      threshold = 0.5,
+      predicates = Seq(PredicateSpec("token", "text_norm")))
+
+    val canonPages = Seq(
+      ("https://c/1", "alpha beta gamma delta epsilon zeta eta theta", "en"),
+      ("https://c/2", "one two three four five six seven eight", "en"))
+      .toDF("url", "text", "lang")
+      .withColumn("warc_ts", lit(null).cast("timestamp"))
+      .withColumn("html", lit(null).cast("binary"))
+    val canon = Dedupe.prepare(canonPages)
+
+    // stream source: parquet dir we drip files into
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val schema = StructType(Seq(
+      StructField("url", StringType), StructField("warc_ts", TimestampType),
+      StructField("html", BinaryType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val messy = Seq(
+      ("https://m/1", "alpha beta gamma delta epsilon zeta eta  theta", "en"),
+      ("https://m/2", "nothing in common with anything at all", "fr"))
+      .toDF("url", "text", "lang")
+      .withColumn("warc_ts", lit(null).cast("timestamp"))
+      .withColumn("html", lit(null).cast("binary"))
+      .select("url", "warc_ts", "html", "text", "lang")
+    messy.write.mode("overwrite").parquet(s"$dir/in")
+
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = StreamMatch.start(spark, stream, canon,
+      Gazetteer.Config(model, nMatches = 1), "graft_stream_test") { (batch, _) =>
+        results ++= batch.select("messy_id", "canon_id").as[(Long, Long)].collect()
+      }
+    q.processAllAvailable()
+    q.stop()
+
+    val m1 = Dedupe.prepare(messy).filter($"url" === "https://m/1")
+      .select("id").as[Long].first()
+    val c1 = canon.filter($"url" === "https://c/1").select("id").as[Long].first()
+    assert(results.toSet == Set((m1, c1)))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.textops.TextOps
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts") {
+    val df = Seq("hello world, foo-bar!", "").toDF("text")
+    val got = df.select(
+      TextOps.tokenCount($"text").as("tc"),
+      TextOps.bpeishCount($"text").as("bc")).collect()
+    assert(got(0).getInt(0) == 4) // hello world foo bar
+    assert(got(0).getInt(1) == 7) // hello world , foo - bar !
+    assert(got(1).getInt(0) == 0 && got(1).getInt(1) == 0)
+  }
+
+  test("langId stopword voting") {
+    val df = Seq(
+      "the cat is in the house and it is warm",
+      "der hund ist nicht auf der wiese und das ist gut",
+      "le chat est dans la maison et il est content",
+      "el perro es un animal y la casa es grande",
+      "zzz qqq xxx").toDF("text")
+    val got = df.select(TextOps.langId($"text")).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "fr", "es", "und"))
+  }
+
+  test("qualityScore: clean text beats garbage") {
+    val df = Seq(
+      "The quick brown fox jumps over the lazy dog and it is a fine day in the park for everyone.",
+      "@@@ ### !!! ;;; ::: ,,, ... ??? %%% ^^^",
+      "a").toDF("text")
+    val got = df.select(TextOps.qualityScore($"text")).as[Double].collect()
+    assert(got(0) > 0.6, s"clean text scored ${got(0)}")
+    assert(got(1) < 0.4, s"garbage scored ${got(1)}")
+    assert(got(2) < got(0))
+    assert(got.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("exact dedup groups identical texts") {
+    val df = Seq(
+      (1L, "same text"), (2L, "same text"), (3L, "other"), (4L, "same text"))
+      .toDF("id", "text")
+    val got = TextOps.exactDupes(df, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set((1L, 1L, false), (2L, 1L, true), (3L, 3L, false), (4L, 1L, true)))
+  }
+
+  test("minhash LSH finds near-dups, not unrelated") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 38).map(i => s"tok$i").mkString(" ") + " xx yy"
+    val far = (100 to 140).map(i => s"zz$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "text")
+    val pairs = TextOps.minhashDupePairs(df, "id", "text", jaccardThreshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash dedup finds near-dups with hamming verify") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 59).map(i => s"tok$i").mkString(" ") + " other"
+    val far = (100 to 160).map(i => s"qq$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "text")
+    val pairs = TextOps.simhashDupePairs(df, "id", "text", bands = 4, maxHamming = 6)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("ngram jaccard spot values") {
+    val df = Seq(("abcd", "abcd"), ("abcd", "wxyz")).toDF("a", "b")
+    val got = df.select(TextOps.ngramJaccard($"a", $"b", 3)).as[Double].collect()
+    assert(got(0) == 1.0)
+    assert(got(1) == 0.0)
+  }
+}
