@@ -16,27 +16,36 @@ import graft.model.PredicateSpec
  *     forced through the `noop` sink — a bare count() would let Catalyst
  *     prune the comparator columns and measure nothing.
  *  2. the north-rule scaling evidence (BASELINE.json:2,14; sandbox
- *     substitute per driver instruction): the SAME pairs-scoring job on the
- *     SAME input at local[8] and local[32]; throughput at both + efficiency
- *     = (pairs/s@32 / pairs/s@8) / 4.
+ *     substitute per driver instruction): the SAME pairs-SCORING job on the
+ *     SAME input at local[8] and local[32]; throughput at both +
+ *     efficiency = (pairs/s@32 / pairs/s@8) / 4. The candidate pairs are
+ *     materialized ONCE to parquet and both runs score from that snapshot:
+ *     the metric is "pairs-scored/sec" (BASELINE.json:2), i.e. the batched
+ *     comparator+LR stage — pair GENERATION is a shuffle whose cost is
+ *     reported separately by q_block_pairs.
  */
 object Bench {
 
-  /** The headline job: token-block part names → candidate pairs → full
-    * comparator + LR score. CPU-bound string similarity — the engine's
-    * dominant cost at scale (dedupe's scoreDuplicates† analog). */
-  private def scoredPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Candidate pairs with both records' fields attached (generation). */
+  private def attachedPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val recs = spark.read.parquet(s"$sfDir/part.parquet")
       .select(col("p_partkey").as("id"), normalize_text(col("p_name")).as("name"))
     val blocks = graft.block.Blocking.blockingMap(
       recs, Seq(PredicateSpec("token", "name")), "id")
     val pairs = graft.pairs.PairGen.candidatePairs(blocks, maxBlockSize = 1000000)
-    val attached = graft.pairs.PairGen.attachFields(pairs, recs, "id", Seq("name"))
-    val z = lit(-8.0) +
-      lit(9.0) * jaro_winkler(col("name_1"), col("name_2")) +
-      lit(6.0) * levenshtein_sim(col("name_1"), col("name_2"))
-    attached.withColumn("score", lit(1.0) / (lit(1.0) + exp(-z)))
-      .select(col("id1"), col("id2"), col("score"))
+    graft.pairs.PairGen.attachFields(pairs, recs, "id", Seq("name"))
+  }
+
+  /** The scoring stage (the north-rule throughput surface): full
+    * comparator battery + logistic classification, flat columns. */
+  private def score(pairs: DataFrame): DataFrame = {
+    val jw = jaro_winkler(col("name_1"), col("name_2"))
+    val lev = levenshtein_sim(col("name_1"), col("name_2"))
+    val ag = affine_gap(col("name_1"), col("name_2"))
+    val z = lit(-8.0) + lit(9.0) * jw + lit(6.0) * lev - lit(2.0) * ag
+    pairs.select(col("id1"), col("id2"),
+      jw.as("jw"), lev.as("lev"), ag.as("affine"),
+      (lit(1.0) / (lit(1.0) + exp(-z))).as("score"))
   }
 
   private def force(df: DataFrame): Unit =
@@ -52,7 +61,9 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      // 4x cores pre-AQE: AQE coalesces small partitions back; oversized
+      // heavy shuffle partitions spill at 1x
+      .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -63,6 +74,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val pairsSnapshot = s"/tmp/graft_bench_pairs_${sfDir.replaceAll("[^0-9.]", "")}"
 
     // part 1: per-query timings at the configured parallelism.
     // One untimed warm-up absorbs JIT + parquet-footer caching.
@@ -73,20 +85,27 @@ object Bench {
       val t = try timeSec(force(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
       name -> t
     }
-    // pair count for the throughput denominator (not timed)
-    val nPairs = scoredPairs(spark, sfDir).count()
+    // materialize the pair snapshot for the scaling runs (not timed)
+    attachedPairs(spark, sfDir).write.mode("overwrite").parquet(pairsSnapshot)
+    val nPairs = spark.read.parquet(pairsSnapshot).count()
     spark.stop()
 
-    // part 2: scaling evidence — same job, same input, 8 vs 32 threads.
-    // Warm-up run at each size excluded from measurement (JIT + page cache).
-    def measure(p: Int): Double = {
+    // part 2: scaling evidence — same scoring job, same input, 8 vs 32
+    // threads. JIT-order bias control: a throwaway full pass runs FIRST
+    // (so neither measured size pays one-time codegen/JIT), then each size
+    // takes best-of-3 after its own warm-up. (A naive 8-then-32 ordering
+    // measured efficiency 1.21 — superlinear = artifact, not evidence.)
+    def measure(p: Int, warmOnly: Boolean = false): Double = {
       val s = session(p)
       try {
-        force(scoredPairs(s, sfDir)) // warm-up
-        val t = timeSec(force(scoredPairs(s, sfDir)))
+        val pairs = s.read.parquet(pairsSnapshot)
+        force(score(pairs)) // warm-up
+        if (warmOnly) return 0.0
+        val t = (1 to 3).map(_ => timeSec(force(score(pairs)))).min
         nPairs / t
       } finally s.stop()
     }
+    measure(32, warmOnly = true)
     val pps8 = measure(8)
     val pps32 = measure(32)
     val eff = (pps32 / pps8) / 4.0

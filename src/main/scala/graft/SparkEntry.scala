@@ -58,7 +58,6 @@ object SparkEntry {
       val blocks = graft.block.Blocking.blockingMap(
         c, Seq(PredicateSpec("token", "name")), "id")
       graft.pairs.PairGen.candidatePairs(blocks, maxBlockSize = 1000000)
-        .orderBy(col("id1"), col("id2"))
     }),
 
     // §2.5 C1: Jaro-Winkler + Levenshtein comparators on name pairs
@@ -72,7 +71,6 @@ object SparkEntry {
         .select(col("id1"), col("id2"),
           round(jaro_winkler(col("name_1"), col("name_2")), 6).as("jw"),
           levenshtein(col("name_1"), col("name_2")).cast("long").as("lev"))
-        .orderBy(col("id1"), col("id2"))
     }),
 
     // §2.6 G1: exact-duplicate grouping over part rows
@@ -136,7 +134,6 @@ object SparkEntry {
       graft.pairs.PairGen.attachFields(pairs, recs, "id", Seq("name"))
         .select(col("id1"), col("id2"),
           round(TextOps.ngramJaccard(col("name_1"), col("name_2"), 3), 6).as("jac3"))
-        .orderBy(col("id1"), col("id2"))
     }),
 
     // brute-force cosine top-k ANN over the embeddings table
@@ -176,7 +173,8 @@ object SparkEntry {
       val canon = prepared.filter(!col("url").endsWith("-v1"))
       val messy = prepared.filter(col("url").endsWith("-v1"))
       graft.pipeline.Gazetteer.matchRecords(s, messy, canon,
-          graft.pipeline.Gazetteer.Config(demoModel, nMatches = 1))
+          graft.pipeline.Gazetteer.Config(demoModel, nMatches = 1,
+            maxCanonBlockSize = 200))
         .select(col("messy_id"), col("canon_id"),
           round(col("score"), 6).as("score"), col("rank"))
         .orderBy(col("messy_id"))
@@ -190,6 +188,68 @@ object SparkEntry {
           round(aggregate(col("features"), lit(0.0d), (a, x) => a + x), 6).as("feat_sum"),
           round(element_at(col("features"), 1), 6).as("feat0"))
         .orderBy(col("media_id"))
+    }),
+
+    // review queue (G7): window-ranked next-clusters over a synthetic
+    // entity state derived from orders (component=custkey)
+    "q_review_queue" -> ((s, dir) => {
+      val state = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").as("id"), col("o_custkey").as("component"),
+          round(col("o_totalprice") / 600000.0, 6).as("confidence"),
+          lit(false).as("reviewed"), lit(false).as("accepted"),
+          lit(null).cast("timestamp").as("checked_out_at"))
+      graft.pipeline.Review.nextClusters(state, n = 10)
+        .select(col("component"), round(col("min_confidence"), 6).as("min_confidence"),
+          col("cluster_size"), col("review_rank").cast("long").as("review_rank"))
+        .orderBy(col("review_rank"))
+    }),
+
+    // threshold selection (C11) from the score histogram — single row
+    "q_threshold" -> ((s, dir) => {
+      import s.implicits._
+      val recs = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey").as("id"), normalize_text(col("p_name")).as("name"))
+      val blocks = graft.block.Blocking.blockingMap(
+        recs, Seq(PredicateSpec("token", "name")), "id")
+      val pairs = graft.pairs.PairGen.candidatePairs(blocks, maxBlockSize = 1000000)
+      val scored = graft.pairs.PairGen.attachFields(pairs, recs, "id", Seq("name"))
+        .withColumn("score", lit(1.0) / (lit(1.0) +
+          exp(-(lit(-8.0) + lit(9.0) * jaro_winkler(col("name_1"), col("name_2")) +
+            lit(6.0) * levenshtein_sim(col("name_1"), col("name_2"))))))
+      Seq(graft.score.Threshold.select(scored)).toDF("theta")
+    }),
+
+    // per-component HAC refinement (G3) over deterministic weak-bridge edges
+    "q_hac_refine" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Seq(
+        (1L, 2L, 0.95), (3L, 4L, 0.95), (2L, 3L, 0.35), // bridged → splits
+        (10L, 11L, 0.9), (11L, 12L, 0.85), (10L, 12L, 0.8)) // tight → holds
+        .toDF("id1", "id2", "score")
+      val labels = graft.cluster.ConnectedComponents.run(
+        edges.select("id1", "id2")).labels
+      graft.cluster.Hierarchical.refine(labels, edges, cut = 0.5)
+        .orderBy(col("id"))
+    }),
+
+    // affine-gap comparator (C1 reference parity option) — no DuckDB twin
+    "q_affine_scores" -> ((s, dir) => {
+      val recs = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey").as("id"), normalize_text(col("p_name")).as("name"))
+      val blocks = graft.block.Blocking.blockingMap(
+        recs, Seq(PredicateSpec("token", "name")), "id")
+      val pairs = graft.pairs.PairGen.candidatePairs(blocks, maxBlockSize = 1000000)
+      graft.pairs.PairGen.attachFields(pairs, recs, "id", Seq("name"))
+        .select(col("id1"), col("id2"),
+          round(affine_gap(col("name_1"), col("name_2")), 6).as("affine"))
+    }),
+
+    // phonetic (double-metaphone) blocking keys (B12) — no DuckDB metaphone
+    "q_metaphone_block" -> ((s, dir) => {
+      val recs = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey").as("id"), normalize_text(col("p_name")).as("name"))
+      graft.block.Blocking.blockingMap(
+        recs, Seq(PredicateSpec("metaphone", "name")), "id")
     }),
 
     // left-anti join (records lacking a match — §2.7 except/anti)
@@ -352,6 +412,23 @@ object SparkEntry {
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_review_queue" ->
+      """WITH state AS (
+        |  SELECT o_orderkey AS id, o_custkey AS component,
+        |         round(o_totalprice / 600000.0, 6) AS confidence
+        |  FROM orders),
+        |clusters AS (
+        |  SELECT component, min(confidence) AS min_confidence,
+        |         count(*) AS cluster_size
+        |  FROM state GROUP BY component),
+        |ranked AS (
+        |  SELECT component, round(min_confidence, 6) AS min_confidence,
+        |         cluster_size,
+        |         row_number() OVER (ORDER BY min_confidence ASC, component) AS review_rank
+        |  FROM clusters)
+        |SELECT component, min_confidence, cluster_size, review_rank
+        |FROM ranked WHERE review_rank <= 10 ORDER BY review_rank""".stripMargin
   )
 }

@@ -36,6 +36,7 @@ object Blocking {
       case "integer" => expr(s"regexp_extract_all(${p.field}, '\\\\d+', 0)")
       case "alphanum" => expr(s"regexp_extract_all(${p.field}, '[a-z0-9]+', 0)")
       case "exists" => array(when(col0.isNull, lit("0")).otherwise(lit("1")))
+      case "metaphone" => array_distinct(metaphone_tokens(tokens(col0)))
       case "simhash" =>
         // LSH banding of the 64-bit simhash: `bands` bands of 64/bands bits;
         // two docs within small hamming distance share >=1 band key w.h.p.

@@ -1,0 +1,147 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+object ExprKernels2 {
+  // commons-codec ships in /opt/spark/jars (verified); DoubleMetaphone's
+  // encode path is stateless per call → one shared instance is thread-safe.
+  private val dm = new org.apache.commons.codec.language.DoubleMetaphone
+
+  def metaphoneTokens(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val u = arr.getUTF8String(i)
+      val code = if (u == null) "" else dm.doubleMetaphone(u.toString)
+      out(i) = UTF8String.fromString(if (code == null) "" else code)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def affineGap(a: UTF8String, b: UTF8String): Double =
+    AffineGap.normalized(a.toString, b.toString)
+
+  def ngramJaccard(a: UTF8String, b: UTF8String, n: Int): Double =
+    Sim.ngramJaccard(a.toString, b.toString, n)
+}
+
+/**
+ * Affine-gap string distance (SURVEY.md §2.5 C1) — the reference's default
+ * String comparator (`affinegap (fn normalizedAffineGapDistance)†`).
+ * Gotoh alignment with the affinegap library's published default weights†:
+ * match 1, mismatch 11, gap-open 10, gap-extend 7 (integer tenths of the
+ * float defaults .5/1.1/1.0/.7 scaled — we keep the float scale directly).
+ * Normalization: distance / (len(a) + len(b)). Reconstructed from public
+ * knowledge; the empty reference mount precludes bit-level verification
+ * (SURVEY.md §0), so this ships as an OPTIONAL comparator — the north
+ * rule's required comparators are JW/Levenshtein/TF-IDF (BASELINE.json:6).
+ */
+object AffineGap {
+  val matchWeight = 0.5
+  val mismatchWeight = 1.1
+  val gapWeight = 1.0 // open
+  val spaceWeight = 0.7 // extend
+
+  // thread-local DP rows: this kernel runs 10^7+ times per scoring stage;
+  // 4 arrays per call was measured GC pressure (514 s for 47M pairs)
+  private val scratch = new ThreadLocal[Array[Array[Double]]] {
+    override def initialValue(): Array[Array[Double]] =
+      Array.fill(4)(new Array[Double](256))
+  }
+
+  def distance(s: String, t: String): Double = {
+    val n = s.length; val m = t.length
+    if (n == 0 && m == 0) return 0.0
+    if (n == 0) return gapWeight + spaceWeight * m
+    if (m == 0) return gapWeight + spaceWeight * n
+    val INF = Double.MaxValue / 4
+    var rows = scratch.get()
+    if (rows(0).length < m + 1) {
+      rows = Array.fill(4)(new Array[Double](2 * (m + 1)))
+      scratch.set(rows)
+    }
+    // D = cost ending in match/mismatch; V = min overall; I/J gap states
+    var prevV = rows(0)
+    var prevI = rows(1) // gap in s (consuming t)
+    var curV = rows(2)
+    var curI = rows(3)
+    prevV(0) = 0.0
+    prevI(0) = INF
+    var j = 1
+    while (j <= m) {
+      prevV(j) = gapWeight + spaceWeight * j
+      prevI(j) = prevV(j)
+      j += 1
+    }
+    var i = 1
+    while (i <= n) {
+      curV(0) = gapWeight + spaceWeight * i
+      var curJgap = INF // gap in t (consuming s chars) along this row
+      curI(0) = INF
+      j = 1
+      while (j <= m) {
+        val sub = prevV(j - 1) +
+          (if (s.charAt(i - 1) == t.charAt(j - 1)) matchWeight else mismatchWeight)
+        curI(j) = math.min(prevI(j) + spaceWeight, prevV(j) + gapWeight + spaceWeight)
+        curJgap = math.min(curJgap + spaceWeight, curV(j - 1) + gapWeight + spaceWeight)
+        curV(j) = math.min(sub, math.min(curI(j), curJgap))
+        j += 1
+      }
+      val t1 = prevV; prevV = curV; curV = t1
+      val t2 = prevI; prevI = curI; curI = t2
+      i += 1
+    }
+    prevV(m)
+  }
+
+  /** Normalized to [0, ~1]: distance over combined length. */
+  def normalized(s: String, t: String): Double = {
+    val denom = s.length + t.length
+    if (denom == 0) 0.0 else distance(s, t) / denom
+  }
+}
+
+/** metaphone codes of each token — predicate B12 (phonetic blocking). */
+case class MetaphoneTokensExpr(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_metaphone_tokens"
+  override protected def nullSafeEval(a: Any): Any =
+    ExprKernels2.metaphoneTokens(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.expr.ExprKernels2.metaphoneTokens($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** direct char-n-gram Jaccard similarity of two strings. */
+case class NGramJaccardExpr(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = s"graft_ngram_jaccard_$n"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels2.ngramJaccard(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.ExprKernels2.ngramJaccard($a, $b, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** normalized affine-gap distance — optional comparator C1. */
+case class AffineGapExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_affine_gap"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels2.affineGap(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.ExprKernels2.affineGap($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -48,6 +48,21 @@ object gfunctions {
   /** Hamming distance between two int64 simhashes. */
   def hamming64(a: Column, b: Column): Column = c(Hamming64Expr(x(a), x(b)))
 
+  /** Double-metaphone code per token (phonetic blocking, B12). */
+  def metaphone_tokens(tokens: Column): Column = c(MetaphoneTokensExpr(x(tokens)))
+
+  /** Normalized affine-gap distance (optional reference comparator C1). */
+  def affine_gap(a: Column, b: Column): Column = c(AffineGapExpr(x(a), x(b)))
+
+  /** Haversine great-circle distance in km (reference C4 comparator). */
+  def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val h = pow(sin(dLat / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+    lit(6371.0088) * lit(2.0) * asin(sqrt(h))
+  }
+
   /** Whitespace/punct tokenizer used consistently across blocking/scoring.
     * `\\W+` split with empties dropped — mirrors `dedupe:predicates (words)†`. */
   def tokens(s: Column): Column =

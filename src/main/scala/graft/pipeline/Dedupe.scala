@@ -72,6 +72,8 @@ object Dedupe {
     features.flatMap {
       case n if n.startsWith("cosine_tfidf_") =>
         Seq(n.stripPrefix("cosine_tfidf_") + "_tfidf")
+      case n if n.startsWith("haversine_") =>
+        val f = n.stripPrefix("haversine_"); Seq(s"${f}_lat", s"${f}_lon")
       case n =>
         Seq(n.dropWhile(_ != '_').drop(1))
     }.distinct
@@ -114,7 +116,11 @@ object Dedupe {
       case Some(dir) => // resume point (BASELINE.json:6)
         scored0.write.mode("overwrite").parquet(s"$dir/pairs")
         spark.read.parquet(s"$dir/pairs")
-      case None => scored0
+      case None =>
+        // scored pairs feed TWO downstream consumers (CC edges + per-record
+        // confidences); without a snapshot the whole block+join+score DAG
+        // would re-execute per consumer
+        scored0.localCheckpoint()
     }
 
     // ---- stage 4: threshold + transitive closure (G2)

@@ -53,6 +53,11 @@ object Scoring {
       case n if n.startsWith("hamming_") =>
         val f = n.stripPrefix("hamming_")
         lit(1.0) - hamming64(f1(f), f2(f)).cast("double") / 64.0
+      case n if n.startsWith("affine_") =>
+        val f = n.stripPrefix("affine_"); affine_gap(f1(f), f2(f))
+      case n if n.startsWith("haversine_") =>
+        val f = n.stripPrefix("haversine_")
+        haversine_km(f1(s"${f}_lat"), f1(s"${f}_lon"), f2(s"${f}_lat"), f2(s"${f}_lon"))
       case other => throw new IllegalArgumentException(s"unknown feature: $other")
     }
     // missing-data policy (C8): a null comparator value contributes 0; the

@@ -1,0 +1,145 @@
+package graft.score
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.model.{Model, PredicateSpec}
+
+/**
+ * Training support (SURVEY.md §2.8) — the engine's contract is model-in /
+ * scores-out, but the loop closes here:
+ *
+ *  - T1 blocked sampling: training pairs drawn preferentially from shared
+ *    blocks plus a uniform random floor (`dedupe:sampling†`). Deterministic
+ *    seeds only (driver determinism rule).
+ *  - LR fit: L2-regularized logistic regression on labeled pairs' feature
+ *    columns. The labeled set is human-sized (the reference caps active
+ *    learning at hundreds of pairs†), so the fit is DRIVER-SIDE batch
+ *    gradient descent on collected features — no distributed training
+ *    machinery for a 10²-row problem; the expensive part (feature
+ *    computation) is Spark.
+ *  - T3 greedy predicate cover (`dedupe:training (BlockLearner)†`): pick
+ *    predicates maximizing covered duplicate pairs, penalized by block
+ *    volume — driver-side greedy set cover over Spark-computed stats.
+ */
+object Training {
+
+  /** T1: sample candidate pairs for labeling — blocked pairs (they carry
+    * signal) topped up with random record pairs (they anchor the negative
+    * class). All seeded. */
+  def samplePairsForLabeling(records: DataFrame, blockedPairs: DataFrame,
+      nBlocked: Int, nRandom: Int, seed: Long = 42L): DataFrame = {
+    val blockedFrac = {
+      val n = blockedPairs.count().toDouble
+      if (n == 0) 0.0 else math.min(1.0, nBlocked * 1.2 / n)
+    }
+    val fromBlocks = blockedPairs.sample(withReplacement = false, blockedFrac, seed)
+      .limit(nBlocked)
+    val ids = records.select(col("id"))
+    val r1 = ids.sample(withReplacement = false, math.min(1.0, 4.0 * nRandom / math.max(1, records.count())), seed + 1)
+      .withColumn("rnd", xxhash64(col("id"), lit(seed)))
+    val r2 = r1.select(col("id").as("id2"), col("rnd").as("rnd2"))
+    val random = r1.select(col("id").as("id1"), col("rnd"))
+      .join(r2, col("rnd") < col("rnd2")) // deterministic half-pairing
+      .select(least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2"))
+      .limit(nRandom)
+    fromBlocks.select("id1", "id2").unionByName(random).dropDuplicates("id1", "id2")
+  }
+
+  /**
+   * Fit LR weights on labeled pairs. `labeledFeatures` must carry the
+   * feature columns named in `featureNames` plus a boolean/0-1 `label`.
+   * Returns (weights, bias). Collected to the driver: labeled sets are
+   * small by construction (active-learning scale).
+   */
+  def fitLR(labeledFeatures: DataFrame, featureNames: Seq[String],
+      l2: Double = 0.1, epochs: Int = 500, lr: Double = 0.5): (Map[String, Double], Double) = {
+    val rows = labeledFeatures
+      .select((featureNames.map(f => coalesce(col(f), lit(0.0)).cast("double")) :+
+        col("label").cast("double")): _*)
+      .collect()
+      .map(r => (featureNames.indices.map(r.getDouble).toArray, r.getDouble(featureNames.length)))
+    require(rows.nonEmpty, "no labeled pairs")
+    val k = featureNames.length
+    val w = new Array[Double](k)
+    var b = 0.0
+    val n = rows.length.toDouble
+    var e = 0
+    while (e < epochs) {
+      val gw = new Array[Double](k)
+      var gb = 0.0
+      rows.foreach { case (x, y) =>
+        var z = b
+        var i = 0
+        while (i < k) { z += w(i) * x(i); i += 1 }
+        val p = 1.0 / (1.0 + math.exp(-z))
+        val d = p - y
+        i = 0
+        while (i < k) { gw(i) += d * x(i); i += 1 }
+        gb += d
+      }
+      var i = 0
+      while (i < k) { w(i) -= lr * (gw(i) / n + l2 * w(i) / n); i += 1 }
+      b -= lr * gb / n
+      e += 1
+    }
+    (featureNames.zip(w).toMap, b)
+  }
+
+  /** Convenience: labeled (id1,id2,label) → features via the comparator
+    * registry → fitted Model reusing `base`'s predicates/threshold. */
+  def trainModel(attachedLabeled: DataFrame, base: Model,
+      l2: Double = 0.1): Model = {
+    val names = base.featureNames
+    val feats = names.foldLeft(attachedLabeled) { (df, f) =>
+      df.withColumn(f, Scoring.featureColumn(f))
+    }
+    val (w, b) = fitLR(feats, names, l2)
+    base.copy(weights = w, bias = b)
+  }
+
+  /**
+   * T3: greedy predicate cover. For each candidate predicate, Spark counts
+   * (a) how many KNOWN duplicate pairs it covers (same key both sides) and
+   * (b) its total pair volume Σ s·(s-1)/2. Greedy driver-side selection
+   * maximizes marginal dup coverage while total volume stays under budget.
+   */
+  def greedyPredicateCover(records: DataFrame, dupePairs: DataFrame,
+      candidates: Seq[PredicateSpec], maxPredicates: Int = 3,
+      volumeBudget: Long = 10000000L): Seq[PredicateSpec] = {
+    import graft.block.Blocking
+    // per-candidate: covered dup-pair set (collected as pair ids — labeled
+    // dup sets are small) + volume
+    val stats = candidates.zipWithIndex.map { case (p, i) =>
+      val blocks = Blocking.blockingMap(records, Seq(p), "id")
+      val b1 = blocks.withColumnRenamed("id", "id1")
+      val b2 = blocks.withColumnRenamed("id", "id2")
+      val covered = dupePairs.join(b1, "id1").join(b2, Seq("id2", "block_key"))
+        .select(col("id1"), col("id2")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val volume = blocks.groupBy("block_key").count()
+        .agg(coalesce(sum(col("count") * (col("count") - 1) / 2), lit(0L))
+          .cast("long")) // Spark `/` is double division
+        .collect()(0).getLong(0)
+      (p, covered, volume)
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[PredicateSpec]
+    val coveredSoFar = scala.collection.mutable.Set.empty[(Long, Long)]
+    var volumeSoFar = 0L
+    var continue = true
+    while (continue && chosen.size < maxPredicates) {
+      val remaining = stats.filterNot(s => chosen.contains(s._1))
+        .filter(s => volumeSoFar + s._3 <= volumeBudget)
+        .map(s => (s, (s._2 diff coveredSoFar).size))
+        .filter(_._2 > 0)
+      if (remaining.isEmpty) continue = false
+      else {
+        val best = remaining.maxBy(r => (r._2, -r._1._3))._1
+        chosen += best._1
+        coveredSoFar ++= best._2
+        volumeSoFar += best._3
+      }
+    }
+    chosen.toSeq
+  }
+}

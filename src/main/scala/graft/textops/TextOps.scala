@@ -131,9 +131,15 @@ object TextOps {
     when(uni === 0, lit(1.0)).otherwise(inter / uni.cast("double"))
   }
 
-  /** Character n-gram Jaccard similarity between two string columns. */
+  /** Character n-gram Jaccard similarity between two string columns.
+    * Direct kernel expression — the compositional
+    * `jaccard(char_ngrams(a,n), char_ngrams(b,n))` allocates intermediate
+    * arrays per pair and was 10x slower on 47M pairs. */
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column =
-    jaccard(char_ngrams(a, n), char_ngrams(b, n))
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expr.NGramJaccardExpr(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b), n))
 
   /**
    * SimHash near-dup pairs: banded 64-bit simhash keys → candidate pairs →

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.PredicateSpec
+
+/** Physical-plan assertions (SURVEY.md §4): the declarative pipeline must
+  * actually get the plans we designed for — column pruning reaching the
+  * parquet scan, broadcast joins where intended, no accidental cartesian
+  * products, whole-stage codegen over the scoring expressions. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("parquet scan prunes columns (ReadSchema only carries used fields)") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+      .filter(col("l_quantity") > 10)
+    val p = plan(df)
+    assert(p.contains("ReadSchema"))
+    val readSchema = p.split('\n').find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"), "unused column not pruned")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(l_quantity"))
+  }
+
+  test("scoring stage stays inside whole-stage codegen") {
+    import graft.gfunctions._
+    val df = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .select(jaro_winkler(col("p_name"), col("p_type")).as("jw"),
+        levenshtein_sim(col("p_name"), col("p_brand")).as("lv"))
+    val p = plan(df)
+    // "*(n)" prefixes mark WholeStageCodegen stages in the compact plan
+    // rendering; the Project holding our expressions must carry one
+    val projectLine = p.split('\n').find(_.contains("graft_jaro_winkler")).get
+    assert(projectLine.trim.startsWith("*("),
+      s"custom expressions must not break codegen: $projectLine")
+    assert(!p.contains("CodegenFallback"))
+  }
+
+  test("gazetteer canon side is broadcast") {
+    val model = SparkEntry.demoModel
+    val pages = graft.fixtures.PagesGen.fromDocuments(spark, "/root/testdata/sf0.001")
+    val prepared = graft.pipeline.Dedupe.prepare(pages)
+    val canon = prepared.filter(!col("url").endsWith("-v1"))
+    val messy = prepared.filter(col("url").endsWith("-v1"))
+    val out = graft.pipeline.Gazetteer.matchRecords(spark, messy, canon,
+      graft.pipeline.Gazetteer.Config(model, nMatches = 1))
+    assert(plan(out).contains("BroadcastHashJoin"))
+  }
+
+  test("candidate pair-gen plans no cartesian product") {
+    val recs = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .select(col("p_partkey").as("id"), col("p_name").as("name"))
+    val blocks = graft.block.Blocking.blockingMap(
+      recs, Seq(PredicateSpec("token", "name")), "id")
+    val pairs = graft.pairs.PairGen.candidatePairs(blocks)
+    val p = plan(pairs)
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.cluster.Hierarchical
+import graft.expr.AffineGap
+import graft.gfunctions._
+import graft.model.PredicateSpec
+import graft.score.Training
+
+class TrainingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fitLR separates an obviously separable labeled set") {
+    // feature x: dups ~0.95, non-dups ~0.1
+    val labeled = (Seq.fill(40)((0.95, 1.0)) ++ Seq.fill(40)((0.9, 1.0)) ++
+      Seq.fill(40)((0.1, 0.0)) ++ Seq.fill(40)((0.15, 0.0)))
+      .toDF("f_x", "label")
+    val (w, b) = Training.fitLR(labeled, Seq("f_x"), l2 = 0.01)
+    val pDup = 1.0 / (1.0 + math.exp(-(b + w("f_x") * 0.92)))
+    val pNon = 1.0 / (1.0 + math.exp(-(b + w("f_x") * 0.12)))
+    assert(pDup > 0.7, s"pDup=$pDup")
+    assert(pNon < 0.3, s"pNon=$pNon")
+  }
+
+  test("greedyPredicateCover picks the discriminating predicate") {
+    val recs = Seq(
+      (1L, "alpha beta"), (2L, "alpha beta"), // dup pair blocked by token
+      (3L, "gamma delta"), (4L, "gamma delta"),
+      (5L, "unrelated one"), (6L, "second thing")).toDF("id", "name")
+    val dupes = Seq((1L, 2L), (3L, 4L)).toDF("id1", "id2")
+    val chosen = Training.greedyPredicateCover(
+      recs, dupes,
+      Seq(PredicateSpec("token", "name"), PredicateSpec("exists", "name")),
+      maxPredicates = 1)
+    assert(chosen.map(_.kind) == Seq("token")) // exists covers dups but costs 15 pairs
+  }
+
+  test("samplePairsForLabeling is deterministic and bounded") {
+    val recs = spark.range(100).select(col("id"))
+    val blocked = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L)).toDF("id1", "id2")
+    val s1 = Training.samplePairsForLabeling(recs, blocked, 3, 5).collect().toSet
+    val s2 = Training.samplePairsForLabeling(recs, blocked, 3, 5).collect().toSet
+    assert(s1 == s2) // seeded
+    assert(s1.nonEmpty)
+  }
+
+  test("affine gap: identity, and one long gap beats two split gaps") {
+    assert(AffineGap.distance("same", "same") == 4 * AffineGap.matchWeight)
+    // the affine property: inserting XY contiguously is cheaper than
+    // inserting X and Y at separate positions (one gap-open vs two)
+    val oneGap = AffineGap.distance("abcdef", "abcXYdef")
+    val twoGaps = AffineGap.distance("abcdef", "abXcdYef")
+    assert(oneGap < twoGaps, s"$oneGap !< $twoGaps")
+    assert(AffineGap.distance("", "") == 0.0)
+    assert(AffineGap.normalized("", "") == 0.0)
+    assert(AffineGap.distance("", "ab") ==
+      AffineGap.gapWeight + 2 * AffineGap.spaceWeight)
+  }
+
+  test("metaphone predicate blocks homophones together") {
+    val df = Seq("smith", "smyth", "jones").toDF("f")
+    val keys = df.select(explode(metaphone_tokens(tokens($"f"))).as("k"))
+      .as[String].collect()
+    assert(keys(0) == keys(1)) // smith/smyth share a code
+    assert(keys(0) != keys(2))
+  }
+
+  test("haversine spot value: Paris-London ~343 km") {
+    val df = Seq((48.8566, 2.3522, 51.5074, -0.1278)).toDF("la1", "lo1", "la2", "lo2")
+    val d = df.select(haversine_km($"la1", $"lo1", $"la2", $"lo2")).as[Double].collect()(0)
+    assert(math.abs(d - 343.5) < 2.0, s"got $d")
+  }
+
+  test("hierarchical refinement splits a weakly-bridged component") {
+    // two tight pairs bridged by one weak edge: CC merges all four; HAC at
+    // cut=0.5 splits them (bridge distance 0.45 < 0.5 merges though...
+    // use bridge 0.35 score → distance 0.65 > cut → split)
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)).toDF("id", "component")
+    val pairs = Seq(
+      (1L, 2L, 0.95), (3L, 4L, 0.95), (2L, 3L, 0.35))
+      .toDF("id1", "id2", "score")
+    val refined = Hierarchical.refine(labels, pairs, cut = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(refined(1L) == refined(2L))
+    assert(refined(3L) == refined(4L))
+    assert(refined(1L) != refined(3L), s"expected split, got $refined")
+  }
+
+  test("hierarchical refinement keeps a tight component whole") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "component")
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.85), (1L, 3L, 0.8))
+      .toDF("id1", "id2", "score")
+    val refined = Hierarchical.refine(labels, pairs, cut = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(refined.values.toSet.size == 1)
+  }
+}
