@@ -105,4 +105,43 @@ object ConnectedComponents {
       .join(cc, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
+
+  /**
+   * Giant-component cap (G2 tail): the reference re-thresholds inside
+   * components that exceed the size cap (`dedupe:clustering†` caps giant
+   * components) — transitive closure on crawl data can chain unrelated
+   * pages through weak hubs. Components larger than `cap` have their
+   * internal edges re-thresholded at θ+Δ (Δ grows per round) and are
+   * re-clustered; repeats until all components fit or rounds run out.
+   *
+   * @param labels (id, component)
+   * @param scoredEdges (id1, id2, score)
+   */
+  def capGiantComponents(labels: DataFrame, scoredEdges: DataFrame,
+      cap: Int, theta: Double, thetaStep: Double = 0.1,
+      maxRounds: Int = 4): DataFrame = {
+    var current = labels
+    var round = 1
+    var done = false
+    while (!done && round <= maxRounds) {
+      val oversized = current.groupBy("component")
+        .agg(count("*").as("n")).filter(col("n") > cap)
+        .select(col("component"))
+      if (oversized.isEmpty) done = true
+      else {
+        val bigIds = current.join(oversized, "component").select(col("id"))
+        val keep = current.join(oversized, Seq("component"), "left_anti")
+        val subEdges = scoredEdges
+          .join(bigIds.withColumnRenamed("id", "id1"), "id1")
+          .join(bigIds.withColumnRenamed("id", "id2"), "id2")
+          .filter(col("score") >= theta + round * thetaStep)
+          .select(col("id1"), col("id2"))
+        val relabeled = labelAll(bigIds, "id", subEdges)
+        current = keep.select("id", "component")
+          .unionByName(relabeled.select("id", "component"))
+        round += 1
+      }
+    }
+    current
+  }
 }

@@ -29,6 +29,21 @@ object ExprKernels2 {
 
   def ngramJaccard(a: UTF8String, b: UTF8String, n: Int): Double =
     Sim.ngramJaccard(a.toString, b.toString, n)
+
+  def setJaccard(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val sa = new java.util.HashSet[UTF8String]()
+    var i = 0
+    while (i < a.numElements()) { sa.add(a.getUTF8String(i)); i += 1 }
+    val sb = new java.util.HashSet[UTF8String]()
+    i = 0
+    while (i < b.numElements()) { sb.add(b.getUTF8String(i)); i += 1 }
+    if (sa.isEmpty && sb.isEmpty) return 1.0
+    var inter = 0
+    val it = sb.iterator()
+    while (it.hasNext) if (sa.contains(it.next())) inter += 1
+    inter.toDouble / (sa.size + sb.size - inter)
+  }
 }
 
 /**
@@ -117,6 +132,23 @@ case class MetaphoneTokensExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a => s"graft.expr.ExprKernels2.metaphoneTokens($a)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** exact set Jaccard of two array<string> columns (direct kernel — the
+  * array_distinct/array_intersect composition allocates per pair). */
+case class SetJaccardExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_set_jaccard"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels2.setJaccard(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.ExprKernels2.setJaccard($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** direct char-n-gram Jaccard similarity of two strings. */

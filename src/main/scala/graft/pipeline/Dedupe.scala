@@ -39,7 +39,12 @@ object Dedupe {
       tfidfTopK: Int = 64,
       canonFields: Seq[String] = Seq("url", "text_norm", "lang"),
       // metrics cost extra actions (counts); off for latency-sensitive runs
-      collectMetrics: Boolean = true)
+      collectMetrics: Boolean = true,
+      // G2 tail: components above this size are re-thresholded (None = off)
+      capComponentSize: Option[Int] = None,
+      // G3: optional per-component HAC refinement (reference's hierarchical
+      // sub-clustering; off by default per the north rule)
+      hierarchicalCut: Option[Double] = None)
 
   case class Result(
       entityMap: DataFrame, // (id, url, component, confidence)
@@ -57,6 +62,22 @@ object Dedupe {
       edgesAboveTheta: Long,
       entities: Long,
       ccIterations: Int)
+
+  /**
+   * Resume from the scored-pairs snapshot (the resumability contract,
+   * BASELINE.json:6,14): skips prepare/block/score entirely and re-enters
+   * at the threshold+CC stage using `$checkpointDir/pairs` written by a
+   * previous (possibly interrupted) run. Clustering output is identical to
+   * a fresh run because everything downstream of the snapshot is a pure
+   * function of it plus the (deterministic) prepared pages.
+   */
+  def resumeFromPairs(spark: SparkSession, pages: DataFrame, config: Config): Result = {
+    val dir = config.checkpointDir.getOrElse(
+      throw new IllegalArgumentException("resume requires checkpointDir"))
+    require(new java.io.File(s"$dir/pairs").exists(), s"no pairs snapshot at $dir/pairs")
+    runInternal(spark, pages, config,
+      Some(spark.read.parquet(s"$dir/pairs")))
+  }
 
   /** Derived columns over the north-rule pages schema
     * (url, warc_ts, html, text, lang — BASELINE.json:15). */
@@ -78,7 +99,11 @@ object Dedupe {
         Seq(n.dropWhile(_ != '_').drop(1))
     }.distinct
 
-  def run(spark: SparkSession, pages: DataFrame, config: Config): Result = {
+  def run(spark: SparkSession, pages: DataFrame, config: Config): Result =
+    runInternal(spark, pages, config, None)
+
+  private def runInternal(spark: SparkSession, pages: DataFrame, config: Config,
+      resumeScored: Option[DataFrame]): Result = {
     val model = config.model
     config.checkpointDir.foreach(d =>
       spark.sparkContext.setCheckpointDir(s"$d/cc"))
@@ -101,36 +126,52 @@ object Dedupe {
     val reps = prepared.join(
       repMap.select(col("rep").as("id")), Seq("id"), "left_semi")
 
-    // ---- stage 2: blocking (narrow) + pair-gen (the shuffle)
-    val blocks = Blocking.blockingMap(reps, model.predicates, "id")
-    val blockM =
-      if (config.collectMetrics) PairGen.blockMetrics(blocks, config.maxBlockSize)
-      else PairGen.BlockMetrics(-1, -1, -1, -1, -1)
-    val pairs = PairGen.candidatePairs(blocks, config.maxBlockSize)
-
-    // ---- stage 3: attach fields + score (one codegen span)
-    val fields = requiredFields(model.featureNames)
-    val attached = PairGen.attachFields(pairs, reps, "id", fields)
-    val scored0 = Scoring.scorePairs(attached, model)
-    val scored = config.checkpointDir match {
-      case Some(dir) => // resume point (BASELINE.json:6)
-        scored0.write.mode("overwrite").parquet(s"$dir/pairs")
-        spark.read.parquet(s"$dir/pairs")
+    // ---- stages 2+3 (skipped entirely on resume): blocking (narrow) +
+    // pair-gen (the shuffle) + attach fields + score (one codegen span)
+    var pairsForMetrics: Option[DataFrame] = None
+    var blockM = PairGen.BlockMetrics(-1, -1, -1, -1, -1)
+    val scored = resumeScored match {
+      case Some(snapshot) => snapshot
       case None =>
-        // scored pairs feed TWO downstream consumers (CC edges + per-record
-        // confidences); without a snapshot the whole block+join+score DAG
-        // would re-execute per consumer
-        scored0.localCheckpoint()
+        val blocks = Blocking.blockingMap(reps, model.predicates, "id")
+        if (config.collectMetrics)
+          blockM = PairGen.blockMetrics(blocks, config.maxBlockSize)
+        val pairs = PairGen.candidatePairs(blocks, config.maxBlockSize)
+        pairsForMetrics = Some(pairs)
+        val fields = requiredFields(model.featureNames)
+        val attached = PairGen.attachFields(pairs, reps, "id", fields)
+        val scored0 = Scoring.scorePairs(attached, model)
+        config.checkpointDir match {
+          case Some(dir) => // resume point (BASELINE.json:6)
+            scored0.write.mode("overwrite").parquet(s"$dir/pairs")
+            spark.read.parquet(s"$dir/pairs")
+          case None =>
+            // scored pairs feed TWO downstream consumers (CC edges +
+            // per-record confidences); without a snapshot the whole
+            // block+join+score DAG would re-execute per consumer
+            scored0.localCheckpoint()
+        }
     }
 
     // ---- stage 4: threshold + transitive closure (G2)
     val edges = scored.filter(col("score") >= model.threshold)
       .select(col("id1"), col("id2"))
     val cc = ConnectedComponents.run(edges)
-    val repLabels = reps.select(col("id"))
+    val repLabels0 = reps.select(col("id"))
       .join(cc.labels, Seq("id"), "left")
-      .select(col("id").as("rep"),
-        coalesce(col("component"), col("id")).as("component"))
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    val repLabels1 = config.capComponentSize match {
+      case Some(cap) => ConnectedComponents.capGiantComponents(
+        repLabels0, scored.select(col("id1"), col("id2"), col("score")),
+        cap, model.threshold)
+      case None => repLabels0
+    }
+    val repLabels2 = config.hierarchicalCut match {
+      case Some(cut) => graft.cluster.Hierarchical.refine(
+        repLabels1, scored.select(col("id1"), col("id2"), col("score")), cut)
+      case None => repLabels1
+    }
+    val repLabels = repLabels2.select(col("id").as("rep"), col("component"))
 
     // ---- stage 5: expand exact groups, confidence, canon
     val allLabels = idToRep.join(repLabels, "rep")
@@ -151,7 +192,7 @@ object Dedupe {
       blockKeys = blockM.totalKeys,
       pluralKeys = blockM.pluralKeys,
       cappedKeys = blockM.cappedKeys,
-      candidatePairs = pairs.count(),
+      candidatePairs = pairsForMetrics.map(_.count()).getOrElse(scored.count()),
       edgesAboveTheta = edges.count(),
       entities = allLabels.agg(countDistinct(col("component"))).collect()(0).getLong(0),
       ccIterations = cc.iterations)

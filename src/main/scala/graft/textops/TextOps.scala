@@ -122,14 +122,12 @@ object TextOps {
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Exact set Jaccard over two array<string> columns. */
-  def jaccard(a: Column, b: Column): Column = {
-    val ad = array_distinct(a)
-    val bd = array_distinct(b)
-    val inter = size(array_intersect(ad, bd)).cast("double")
-    val uni = size(ad) + size(bd) - size(array_intersect(ad, bd))
-    when(uni === 0, lit(1.0)).otherwise(inter / uni.cast("double"))
-  }
+  /** Exact set Jaccard over two array<string> columns (direct kernel). */
+  def jaccard(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expr.SetJaccardExpr(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
 
   /** Character n-gram Jaccard similarity between two string columns.
     * Direct kernel expression — the compositional

@@ -47,4 +47,24 @@ class CCSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 99L -> 99L))
   }
+
+  test("giant-component cap re-thresholds oversized components (F7)") {
+    // hub chain: 1-2-3-4-5 all linked through weak 0.55 edges, plus one
+    // strong pair (1,2)=0.95. cap=2 forces re-threshold at 0.5+0.1 → only
+    // the strong edge survives → {1,2} stays merged, rest singletons.
+    val edges = Seq(
+      (1L, 2L, 0.95), (2L, 3L, 0.55), (3L, 4L, 0.55), (4L, 5L, 0.55))
+      .toDF("id1", "id2", "score")
+    val labels = ConnectedComponents.labelAll(
+      Seq(1L, 2L, 3L, 4L, 5L).toDF("id"), "id",
+      edges.filter($"score" >= 0.5).select("id1", "id2"))
+    // precondition: one giant component of 5
+    assert(labels.select("component").distinct().count() == 1)
+    val capped = ConnectedComponents.capGiantComponents(
+      labels, edges, cap = 2, theta = 0.5, thetaStep = 0.1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped(1L) == capped(2L))
+    assert(Set(capped(3L), capped(4L), capped(5L)).size == 3)
+    assert(capped(3L) != capped(1L))
+  }
 }

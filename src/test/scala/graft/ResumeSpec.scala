@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.fixtures.PagesGen
+import graft.pipeline.Dedupe
+
+/** Resumability contract (BASELINE.json:6,14): the pipeline restarts from
+  * the scored-pairs parquet snapshot and produces identical clustering. */
+class ResumeSpec extends SparkSpec {
+
+  test("resumeFromPairs reproduces the full run's entity map exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val (pages, _) = PagesGen.generate(spark, nBase = 60, seed = 7L)
+    val config = Dedupe.Config(SparkEntry.demoModel,
+      checkpointDir = Some(dir), collectMetrics = false)
+
+    val full = Dedupe.run(spark, pages.toDF(), config)
+    val fullMap = full.entityMap.select("url", "component")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(new java.io.File(s"$dir/pairs").exists(), "pairs snapshot written")
+
+    // resume: no blocking/scoring re-run — clustering from the snapshot
+    val resumed = Dedupe.resumeFromPairs(spark, pages.toDF(), config)
+    val resumedMap = resumed.entityMap.select("url", "component")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(resumedMap == fullMap)
+  }
+
+  test("resume without a checkpoint dir is rejected") {
+    val (pages, _) = PagesGen.generate(spark, nBase = 5, seed = 7L)
+    intercept[IllegalArgumentException] {
+      Dedupe.resumeFromPairs(spark, pages.toDF(),
+        Dedupe.Config(SparkEntry.demoModel))
+    }
+  }
+}
