@@ -151,6 +151,32 @@ object Sim {
    * identical: distinct n-gram sets, |∩| / |∪|, both-empty → 1.0.
    */
   def ngramJaccard(a: String, b: String, n: Int): Double = {
+    // zero-allocation fast path: an n-gram of up to 4 UTF-16 chars packs
+    // into one long (4x16 bits); distinct grams live in thread-local
+    // arrays with insertion-scan dedupe (gram counts are tiny for names).
+    // The HashSet<String> version allocated ~40 objects/pair — measured
+    // 531 s for 47M pairs; this path is allocation-free.
+    if (n <= 4 && a.length <= 132 && b.length <= 132) {
+      val bufA = longBuf(longScratchA, math.max(a.length, 1))
+      val bufB = longBuf(longScratchB, math.max(b.length, 1))
+      val na = packGrams(a, n, bufA)
+      val nb = packGrams(b, n, bufB)
+      if (na == 0 && nb == 0) return 1.0
+      var inter = 0
+      var i = 0
+      while (i < nb) {
+        var j = 0
+        var found = false
+        while (j < na && !found) {
+          if (bufA(j) == bufB(i)) found = true
+          j += 1
+        }
+        if (found) inter += 1
+        i += 1
+      }
+      return inter.toDouble / (na + nb - inter)
+    }
+    // general path (long texts / large n): hash sets of gram strings
     val sa = new java.util.HashSet[String]()
     var i = 0
     while (i + n <= a.length) { sa.add(a.substring(i, i + n)); i += 1 }
@@ -163,6 +189,40 @@ object Sim {
     while (it.hasNext) if (sa.contains(it.next())) inter += 1
     val uni = sa.size + sb.size - inter
     inter.toDouble / uni
+  }
+
+  private val longScratchA = new ThreadLocal[Array[Long]] {
+    override def initialValue(): Array[Long] = new Array[Long](128)
+  }
+  private val longScratchB = new ThreadLocal[Array[Long]] {
+    override def initialValue(): Array[Long] = new Array[Long](128)
+  }
+  private def longBuf(tl: ThreadLocal[Array[Long]], n: Int): Array[Long] = {
+    var buf = tl.get()
+    if (buf.length < n) { buf = new Array[Long](2 * n); tl.set(buf) }
+    buf
+  }
+
+  /** Pack distinct n-grams (n<=4) of s as longs into buf; returns count. */
+  private def packGrams(s: String, n: Int, buf: Array[Long]): Int = {
+    var count = 0
+    var i = 0
+    while (i + n <= s.length) {
+      // n<=4 UTF-16 chars pack uniquely into 16n <= 64 bits; all grams in
+      // one call share n, so no cross-length collision is possible
+      var g = 0L
+      var k = 0
+      while (k < n) { g = (g << 16) | s.charAt(i + k); k += 1 }
+      var j = 0
+      var dup = false
+      while (j < count && !dup) {
+        if (buf(j) == g) dup = true
+        j += 1
+      }
+      if (!dup) { buf(count) = g; count += 1 }
+      i += 1
+    }
+    count
   }
 
   /** Character n-grams of `s` (sliding window, stride 1). Mirrors

@@ -101,6 +101,24 @@ class SimSpec extends AnyFunSuite {
     assert(Sim.preProcess("ＡＢ") == "ab") // fullwidth AB → ab (NFKC)
   }
 
+  test("ngramJaccard: packed fast path == hash-set general path") {
+    val r = new scala.util.Random(17)
+    def rnd(maxLen: Int) = r.alphanumeric.take(r.nextInt(maxLen)).mkString
+    def slow(a: String, b: String, n: Int): Double = {
+      val sa = (0 to a.length - n).map(i => a.substring(i, i + n)).toSet
+      val sb = (0 to b.length - n).map(i => b.substring(i, i + n)).toSet
+      if (sa.isEmpty && sb.isEmpty) 1.0
+      else sa.intersect(sb).size.toDouble / (sa.size + sb.size - sa.intersect(sb).size)
+    }
+    for (_ <- 1 to 300; n <- Seq(1, 2, 3, 4)) {
+      // lengths straddle the 132-char fast-path boundary
+      val a = rnd(150); val b = rnd(150)
+      assert(Sim.ngramJaccard(a, b, n) == slow(a, b, n), s"'$a' '$b' n=$n")
+    }
+    // n=5 uses the general path
+    assert(Sim.ngramJaccard("abcdef", "abcdef", 5) == 1.0)
+  }
+
   test("doc fingerprint deterministic") {
     val t = "some reasonably long text for fingerprinting windows"
     assert(Sim.docFingerprint(t, 16) == Sim.docFingerprint(t, 16))
