@@ -64,6 +64,11 @@ object Bench {
       // 4x cores pre-AQE: AQE coalesces small partitions back; oversized
       // heavy shuffle partitions spill at 1x
       .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
+      // 16m read splits: the pairs snapshot is ~2.4 GB in ~128 parquet
+      // files; the 128m default packs them into ~19 splits — a 32-thread
+      // scoring pass then runs one ragged 19-task wave (the round-1
+      // scaling-efficiency miss: (19-task@32 / 19-task@8) / 4 ≈ 0.71)
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -38,15 +38,60 @@ object SparkEntry {
    */
   private val pairCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val scoredCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Evict memoized snapshots when their session ends — the caches would
+    * otherwise pin localCheckpoint blocks for the JVM lifetime in a
+    * long-lived process cycling sessions (Bench does exactly that). */
+  private def evictOnStop(s: SparkSession): Unit =
+    s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onApplicationEnd(
+          e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+        pairCache.keySet.removeIf(_._1 eq s)
+        scoredCache.keySet.removeIf(_._1 eq s)
+      }
+    })
+
+  /** Parquet snapshot, NOT localCheckpoint: caching 47M rows as
+    * deserialized block-manager objects read back at ~140k rows/s vs
+    * ~3M rows/s from parquet (measured — object scan + GC of a 10 GB live
+    * set); a columnar snapshot is 20× faster to consume and is the same
+    * mechanism the pipeline's resume point uses. */
+  private def snapshot(s: SparkSession, df: DataFrame, tag: String, dir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_snap_${tag}_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    df.write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
   private def attachedNamePairs(s: SparkSession, dir: String): DataFrame =
     pairCache.computeIfAbsent((s, dir), { _ =>
+      evictOnStop(s)
       val recs = s.read.parquet(s"$dir/part.parquet")
         .select(col("p_partkey").as("id"), normalize_text(col("p_name")).as("name"))
       val blocks = graft.block.Blocking.blockingMap(
         recs, Seq(PredicateSpec("token", "name")), "id")
       val pairs = graft.pairs.PairGen.candidatePairs(blocks, maxBlockSize = 1000000)
-      graft.pairs.PairGen.attachFields(pairs, recs, "id", Seq("name"))
-        .localCheckpoint()
+      // partitioning: PairGen emits the pair set at full width (explicit
+      // repartition, AQE-coalesce-exempt) and the attach joins broadcast
+      // the record side, so the snapshot inherits that parallelism
+      snapshot(s, graft.pairs.PairGen.attachFields(pairs, recs, "id", Seq("name")),
+        "pairs", dir)
+    })
+
+  /** JW + Levenshtein over the memoized pairs, snapshotted ONCE — shared
+    * by q_score_pairs and q_threshold (recomputing 47M JW+Lev per query
+    * was ~100 s each at sf0.1). Raw (unrounded) values; consumers round. */
+  private def scoredNamePairs(s: SparkSession, dir: String): DataFrame =
+    scoredCache.computeIfAbsent((s, dir), { _ =>
+      evictOnStop(s)
+      snapshot(s, attachedNamePairs(s, dir)
+        .select(col("id1"), col("id2"),
+          jaro_winkler(col("name_1"), col("name_2")).as("jw"),
+          levenshtein(col("name_1"), col("name_2")).cast("long").as("lev"),
+          levenshtein_sim(col("name_1"), col("name_2")).as("lev_sim")),
+        "scored", dir)
     })
 
   /** Flagship: full dedupe pipeline (block → score → CC cluster → entity
@@ -78,10 +123,9 @@ object SparkEntry {
 
     // §2.5 C1: Jaro-Winkler + Levenshtein comparators on name pairs
     "q_score_pairs" -> ((s, dir) => {
-      attachedNamePairs(s, dir)
+      scoredNamePairs(s, dir)
         .select(col("id1"), col("id2"),
-          round(jaro_winkler(col("name_1"), col("name_2")), 6).as("jw"),
-          levenshtein(col("name_1"), col("name_2")).cast("long").as("lev"))
+          round(col("jw"), 6).as("jw"), col("lev"))
     }),
 
     // §2.6 G1: exact-duplicate grouping over part rows
@@ -210,13 +254,14 @@ object SparkEntry {
         .orderBy(col("review_rank"))
     }),
 
-    // threshold selection (C11) from the score histogram — single row
+    // threshold selection (C11) from the score histogram — single row.
+    // Reuses the memoized JW+Lev snapshot (identical values; recomputing
+    // 47M comparator pairs here was ~100 s at sf0.1).
     "q_threshold" -> ((s, dir) => {
       import s.implicits._
-      val scored = attachedNamePairs(s, dir)
+      val scored = scoredNamePairs(s, dir)
         .withColumn("score", lit(1.0) / (lit(1.0) +
-          exp(-(lit(-8.0) + lit(9.0) * jaro_winkler(col("name_1"), col("name_2")) +
-            lit(6.0) * levenshtein_sim(col("name_1"), col("name_2"))))))
+          exp(-(lit(-8.0) + lit(9.0) * col("jw") + lit(6.0) * col("lev_sim")))))
       Seq(graft.score.Threshold.select(scored)).toDF("theta")
     }),
 
@@ -255,6 +300,131 @@ object SparkEntry {
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
+    }),
+
+    // TF-IDF cosine comparator (C2) over the blocked name pairs
+    "q_tfidf_cosine" -> ((s, dir) => {
+      val recs = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey").as("id"), normalize_text(col("p_name")).as("name"))
+      val vecs = graft.score.Scoring.withTfidfVectors(recs, "name", "id")
+        .select(col("id"), col("name_tfidf"))
+      attachedNamePairs(s, dir).select(col("id1"), col("id2"))
+        .join(vecs.select(col("id").as("id1"), col("name_tfidf").as("v1")), "id1")
+        .join(vecs.select(col("id").as("id2"), col("name_tfidf").as("v2")), "id2")
+        .select(col("id1"), col("id2"),
+          round(graft.score.Scoring.tfidfCosine(col("v1"), col("v2")), 6).as("cos"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // gazetteer restricted to token blocking + a pure-JW model so DuckDB
+    // can oracle the whole path (J4+G8 green twin of q_gazetteer)
+    "q_gazetteer_jw" -> ((s, dir) => {
+      val recs = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey").as("id"), normalize_text(col("p_name")).as("name"))
+      val messy = recs.filter(col("id") % 2 === 1)
+      val canon = recs.filter(col("id") % 2 === 0)
+      val m = Model(bias = -8.0, weights = Map("jw_name" -> 12.0), threshold = 0.5,
+        predicates = Seq(PredicateSpec("token", "name")))
+      graft.pipeline.Gazetteer.matchRecords(s, messy, canon,
+          graft.pipeline.Gazetteer.Config(m, nMatches = 2, maxCanonBlockSize = 1000))
+        .select(col("messy_id"), col("canon_id"),
+          round(col("score"), 6).as("score"), col("rank"))
+        .orderBy(col("messy_id"), col("rank"))
+    }),
+
+    // feature battery (C3 logratio, C6 exact+categorical dummies, C7
+    // interaction, C8 missing dummy) over same-nation customer pairs
+    "q_feature_pairs" -> ((s, dir) => {
+      import graft.score.Scoring.featureColumn
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("id"), col("c_nationkey").as("nat"),
+          col("c_mktsegment").as("seg"),
+          when(col("c_acctbal") > 0, col("c_acctbal").cast("double")).as("bal"))
+      val a = c.select(col("id").as("id1"), col("nat"),
+        col("seg").as("seg_1"), col("bal").as("bal_1"))
+      val b = c.select(col("id").as("id2"), col("nat"),
+        col("seg").as("seg_2"), col("bal").as("bal_2"))
+      a.join(b, "nat").filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          featureColumn("exact_seg").as("f_exact"),
+          featureColumn("missing_bal").as("f_missing"),
+          round(featureColumn("logratio_bal"), 6).as("f_logratio"),
+          featureColumn("cat_seg__BUILDING__AUTOMOBILE").as("f_cat_ba"),
+          featureColumn("cat_seg__BUILDING__BUILDING").as("f_cat_bb"),
+          featureColumn("inter_exact_seg__missing_bal").as("f_inter"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // datetime comparator (C5) over same-customer order pairs
+    "q_dt_pairs" -> ((s, dir) => {
+      import graft.score.Scoring.featureColumn
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").as("id"), col("o_custkey").as("ck"),
+          col("o_orderdate").as("odate"))
+      val a = o.select(col("id").as("id1"), col("ck"), col("odate").as("odate_1"))
+      val b = o.select(col("id").as("id2"), col("ck"), col("odate").as("odate_2"))
+      a.join(b, "ck").filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          round(featureColumn("dt_odate"), 6).as("dt_days"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // haversine comparator (C4) over same-nation suppliers with
+    // deterministic synthetic coordinates derived from the key
+    "q_haversine_pairs" -> ((s, dir) => {
+      import graft.score.Scoring.featureColumn
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").cast("long").as("id"), col("s_nationkey").as("nat"),
+          (pmod(col("s_suppkey").cast("long") * 7, lit(179L)) - 89).cast("double").as("loc_lat"),
+          (pmod(col("s_suppkey").cast("long") * 13, lit(359L)) - 179).cast("double").as("loc_lon"))
+      val a = sup.select(col("id").as("id1"), col("nat"),
+        col("loc_lat").as("loc_lat_1"), col("loc_lon").as("loc_lon_1"))
+      val b = sup.select(col("id").as("id2"), col("nat"),
+        col("loc_lat").as("loc_lat_2"), col("loc_lon").as("loc_lon_2"))
+      a.join(b, "nat").filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          round(featureColumn("haversine_loc"), 4).as("km"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // embedding-cosine near-duplicate pairs — exact, grid-decomposed
+    // self-join (the LSH-bucketed variant is the recall<1 scale path)
+    "q_embed_neardup" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").cast("long").as("id"), col("embedding"))
+      val blocks = emb.select(col("id"), lit("all").as("block_key"))
+      val pairs = graft.pairs.PairGen.candidatePairs(
+        blocks, maxBlockSize = Int.MaxValue, chunkTarget = 128)
+      graft.pairs.PairGen.attachFields(pairs, emb, "id", Seq("embedding"))
+        .select(col("id1"), col("id2"),
+          cosine_sim(col("embedding_1"), col("embedding_2")).as("cos_raw"))
+        .filter(col("cos_raw") >= 0.4)
+        .select(col("id1"), col("id2"), round(col("cos_raw"), 5).as("cos"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // second-stage dedupeCanon (G6) over a deterministic subset of pages
+    // (rows-only: CC + pipeline not SQL-expressible)
+    "q_dedupe_canon" -> ((s, dir) => {
+      val pages = PagesGen.fromDocuments(s, dir)
+        .filter(pmod(xxhash64(col("url")), lit(5L)) === 0)
+      val cfg = Dedupe.Config(demoModel, collectMetrics = false)
+      val r = Dedupe.run(s, pages, cfg)
+      graft.pipeline.Gazetteer.dedupeCanon(
+          s, r.entityMap.select(col("id"), col("component")), r.canon, cfg)
+        .orderBy(col("id"))
+    }),
+
+    // IVF-style ANN (scale path; centroids hash-sampled — rows-only)
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.ann.Ann.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("rank"), col("item_id"),
+          round(col("cos"), 5).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -409,6 +579,178 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_threshold" ->
+      """WITH recs AS (
+        |  SELECT p_partkey AS id,
+        |         lower(trim(regexp_replace(p_name, '\s+', ' ', 'g'))) AS name
+        |  FROM part),
+        |blocks AS (
+        |  SELECT id, tok AS block_key FROM recs,
+        |    unnest(regexp_split_to_array(name, '\W+')) AS t(tok)
+        |  WHERE length(tok) > 0
+        |  GROUP BY id, tok),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2
+        |  FROM blocks a JOIN blocks b USING (block_key)
+        |  WHERE a.id < b.id),
+        |scored AS (
+        |  SELECT 1.0/(1.0 + exp(-((-8.0 + 9.0*jaro_winkler_similarity(r1.name, r2.name))
+        |    + 6.0*(1.0 - CAST(levenshtein(r1.name, r2.name) AS DOUBLE)
+        |                 / greatest(length(r1.name), length(r2.name)))))) AS score
+        |  FROM pairs p
+        |  JOIN recs r1 ON p.id1 = r1.id
+        |  JOIN recs r2 ON p.id2 = r2.id),
+        |hist AS (
+        |  SELECT least(CAST(floor(score*200) AS INTEGER), 199) AS bin,
+        |         count(*) AS n, sum(score) AS mass
+        |  FROM scored GROUP BY 1),
+        |sweep AS (
+        |  SELECT bin,
+        |    sum(n) OVER (ORDER BY bin DESC) AS n_above,
+        |    sum(mass) OVER (ORDER BY bin DESC) AS mass_above,
+        |    (SELECT sum(mass ORDER BY bin) FROM hist) AS total_mass
+        |  FROM hist),
+        |f AS (
+        |  SELECT bin/200.0 AS theta,
+        |    ((2.0*(mass_above/n_above))*(mass_above/total_mass))
+        |      / ((1.0*(mass_above/n_above)) + (mass_above/total_mass)) AS fscore
+        |  FROM sweep)
+        |SELECT theta FROM f ORDER BY fscore DESC, theta DESC LIMIT 1""".stripMargin,
+
+    "q_tfidf_cosine" ->
+      """WITH recs AS (
+        |  SELECT p_partkey AS id,
+        |         lower(trim(regexp_replace(p_name, '\s+', ' ', 'g'))) AS name
+        |  FROM part),
+        |blocks AS (
+        |  SELECT id, tok AS block_key FROM recs,
+        |    unnest(regexp_split_to_array(name, '\W+')) AS t(tok)
+        |  WHERE length(tok) > 0
+        |  GROUP BY id, tok),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2
+        |  FROM blocks a JOIN blocks b USING (block_key)
+        |  WHERE a.id < b.id),
+        |toks AS (
+        |  SELECT id, tok AS term FROM recs,
+        |    unnest(regexp_split_to_array(name, '\W+')) AS t(tok)
+        |  WHERE length(tok) > 0),
+        |tf AS (
+        |  SELECT id, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM toks GROUP BY 1, 2),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM recs),
+        |dfreq AS (
+        |  SELECT term, count(*) AS df
+        |  FROM (SELECT DISTINCT id, term FROM toks) GROUP BY term),
+        |w AS (
+        |  SELECT tf.id, tf.term,
+        |    tf.tf * (ln(((SELECT n FROM nd) + 1.0) / (dfreq.df + 1)) + 1.0) AS w
+        |  FROM tf JOIN dfreq USING (term)),
+        |ranked AS (
+        |  SELECT id, term, w,
+        |    row_number() OVER (PARTITION BY id ORDER BY w DESC, term) AS rk
+        |  FROM w),
+        |topw AS (SELECT id, term, w FROM ranked WHERE rk <= 64),
+        |nrm AS (SELECT id, sqrt(sum(w*w)) AS nrm FROM topw GROUP BY id),
+        |vec AS (
+        |  SELECT t.id, t.term, t.w / n.nrm AS wn
+        |  FROM topw t JOIN nrm n USING (id)),
+        |dots AS (
+        |  SELECT p.id1, p.id2, sum(v1.wn * v2.wn) AS cos
+        |  FROM pairs p
+        |  JOIN vec v1 ON v1.id = p.id1
+        |  JOIN vec v2 ON v2.id = p.id2 AND v1.term = v2.term
+        |  GROUP BY 1, 2)
+        |SELECT p.id1, p.id2, round(coalesce(d.cos, 0.0), 6) AS cos
+        |FROM pairs p LEFT JOIN dots d USING (id1, id2)
+        |ORDER BY id1, id2""".stripMargin,
+
+    "q_gazetteer_jw" ->
+      """WITH recs AS (
+        |  SELECT p_partkey AS id,
+        |         lower(trim(regexp_replace(p_name, '\s+', ' ', 'g'))) AS name
+        |  FROM part),
+        |blocks AS (
+        |  SELECT id, tok AS block_key FROM recs,
+        |    unnest(regexp_split_to_array(name, '\W+')) AS t(tok)
+        |  WHERE length(tok) > 0
+        |  GROUP BY id, tok),
+        |canon_blocks AS (SELECT * FROM blocks WHERE id % 2 = 0),
+        |eligible AS (
+        |  SELECT block_key FROM canon_blocks
+        |  GROUP BY block_key HAVING count(*) <= 1000),
+        |messy_blocks AS (SELECT * FROM blocks WHERE id % 2 = 1),
+        |pairs AS (
+        |  SELECT DISTINCT m.id AS id1, c.id AS id2
+        |  FROM messy_blocks m
+        |  JOIN canon_blocks c ON m.block_key = c.block_key
+        |  JOIN eligible e ON c.block_key = e.block_key),
+        |scored AS (
+        |  SELECT p.id1, p.id2,
+        |    1.0/(1.0 + exp(-(-8.0 + 12.0*coalesce(
+        |      jaro_winkler_similarity(r1.name, r2.name), 0.0)))) AS score
+        |  FROM pairs p
+        |  JOIN recs r1 ON p.id1 = r1.id
+        |  JOIN recs r2 ON p.id2 = r2.id),
+        |ranked AS (
+        |  SELECT id1, id2, score,
+        |    row_number() OVER (PARTITION BY id1 ORDER BY score DESC, id2) AS rnk
+        |  FROM scored WHERE score >= 0.5)
+        |SELECT id1 AS messy_id, id2 AS canon_id,
+        |  round(score, 6) AS score, rnk AS "rank"
+        |FROM ranked WHERE rnk <= 2
+        |ORDER BY messy_id, "rank"""".stripMargin,
+
+    "q_feature_pairs" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS id, c_nationkey AS nat, c_mktsegment AS seg,
+        |    CASE WHEN c_acctbal > 0 THEN CAST(c_acctbal AS DOUBLE) END AS bal
+        |  FROM customer)
+        |SELECT a.id AS id1, b.id AS id2,
+        |  CAST(a.seg = b.seg AS DOUBLE) AS f_exact,
+        |  CAST(a.bal IS NULL OR b.bal IS NULL AS DOUBLE) AS f_missing,
+        |  round(coalesce(abs(log10(a.bal) - log10(b.bal)), 0.0), 6) AS f_logratio,
+        |  CAST((a.seg = 'BUILDING' AND b.seg = 'AUTOMOBILE')
+        |    OR (a.seg = 'AUTOMOBILE' AND b.seg = 'BUILDING') AS DOUBLE) AS f_cat_ba,
+        |  CAST(a.seg = 'BUILDING' AND b.seg = 'BUILDING' AS DOUBLE) AS f_cat_bb,
+        |  CAST(a.seg = b.seg AS DOUBLE)
+        |    * CAST(a.bal IS NULL OR b.bal IS NULL AS DOUBLE) AS f_inter
+        |FROM c a JOIN c b ON a.nat = b.nat AND a.id < b.id
+        |ORDER BY id1, id2""".stripMargin,
+
+    "q_dt_pairs" ->
+      """SELECT a.o_orderkey AS id1, b.o_orderkey AS id2,
+        |  round(coalesce(CAST(abs(epoch(a.o_orderdate) - epoch(b.o_orderdate)) AS DOUBLE)
+        |    / 86400.0, 0.0), 6) AS dt_days
+        |FROM orders a JOIN orders b
+        |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        |ORDER BY id1, id2""".stripMargin,
+
+    "q_haversine_pairs" ->
+      """WITH s AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) AS id, s_nationkey AS nat,
+        |    CAST((CAST(s_suppkey AS BIGINT) * 7) % 179 - 89 AS DOUBLE) AS lat,
+        |    CAST((CAST(s_suppkey AS BIGINT) * 13) % 359 - 179 AS DOUBLE) AS lon
+        |  FROM supplier)
+        |SELECT a.id AS id1, b.id AS id2,
+        |  round(coalesce(6371.0088 * 2.0 * asin(sqrt(least(
+        |    pow(sin(radians(b.lat - a.lat) / 2), 2)
+        |    + cos(radians(a.lat)) * cos(radians(b.lat))
+        |      * pow(sin(radians(b.lon - a.lon) / 2), 2), 1.0))), 0.0), 4) AS km
+        |FROM s a JOIN s b ON a.nat = b.nat AND a.id < b.id
+        |ORDER BY id1, id2""".stripMargin,
+
+    "q_embed_neardup" ->
+      """WITH e AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS id,
+        |         CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings)
+        |SELECT a.id AS id1, b.id AS id2,
+        |  round(list_cosine_similarity(a.v, b.v), 5) AS cos
+        |FROM e a JOIN e b ON a.id < b.id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        |ORDER BY id1, id2""".stripMargin,
 
     "q_review_queue" ->
       """WITH state AS (

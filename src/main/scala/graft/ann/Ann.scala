@@ -98,17 +98,25 @@ object Ann {
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val i = items.select(col(items.columns(0)).as("item_id"), col(items.columns(1)).as("ivec"))
-    // deterministic coarse centroids: rank by id, take every (n/nlist)-th
+    // deterministic coarse centroids: HASH-SAMPLED, partition-parallel —
+    // pmod(xxhash64(id), n/nlist) == 0 keeps ~nlist rows without sorting
+    // the corpus (the previous global row_number() window serialized the
+    // whole corpus through one task). `limit` then trims the sample to
+    // exactly nlist rows (tiny input by then; deterministic via the sort).
     val n = i.count()
     val step = math.max(1L, n / nlist)
-    val cents = i.withColumn("rn", row_number().over(Window.orderBy(col("item_id"))))
-      .filter(((col("rn") - 1) % step) === 0).limit(nlist)
+    val cents = i.filter(pmod(xxhash64(col("item_id")), lit(step)) === 0)
+      .sort(col("item_id")).limit(nlist)
       .select(col("item_id").as("cent_id"), col("ivec").as("cvec"))
-    // assign items to nearest centroid (corpus × nlist narrow, broadcast)
-    val wItem = Window.partitionBy(col("item_id")).orderBy(col("cos_c").desc, col("cent_id"))
+    // assign items to nearest centroid: broadcast nlist centroids, then a
+    // map-side-combining max_by aggregate — NOT a per-item window over the
+    // corpus×nlist expansion (that shuffled every expanded row full-width)
     val assigned = i.crossJoin(broadcast(cents))
       .withColumn("cos_c", cosine(col("ivec"), col("cvec")))
-      .withColumn("rc", row_number().over(wItem)).filter(col("rc") === 1)
+      .groupBy(col("item_id"))
+      .agg(
+        max_by(col("cent_id"), struct(col("cos_c"), -col("cent_id"))).as("cent_id"),
+        first(col("ivec")).as("ivec"))
       .select(col("cent_id"), col("item_id"), col("ivec"))
     // queries probe their nprobe nearest centroids
     val q = queries.select(col(queries.columns(0)).as("query_id"), col(queries.columns(1)).as("qvec"))

@@ -34,7 +34,77 @@ object Blocking {
       case "fingerprint" =>
         array(array_join(array_sort(array_distinct(tokens(col0))), ""))
       case "integer" => expr(s"regexp_extract_all(${p.field}, '\\\\d+', 0)")
+      // ---- B10 numeric predicate family (dedupe:predicates†) ----
+      case "first_integer" =>
+        // integer prefix of the field (dedupe: re.match(r'\d+')† — start
+        // anchored); no key when the field doesn't start with a digit
+        filter(array(regexp_extract(col0, "^(\\d+)", 1)), k => length(k) > 0)
+      case "near_integer" =>
+        // each integer i → keys {i-1, i, i+1}: two records sharing any
+        // integer within ±1 collide
+        array_distinct(flatten(transform(
+          expr(s"regexp_extract_all(${p.field}, '\\\\d+', 0)"),
+          s => {
+            val i = s.cast("long")
+            array((i - 1).cast("string"), i.cast("string"), (i + 1).cast("string"))
+          })))
+      case "hundred_integer" =>
+        // each integer floored to its hundred (i - i % 100)
+        array_distinct(transform(
+          expr(s"regexp_extract_all(${p.field}, '\\\\d+', 0)"),
+          s => {
+            val i = s.cast("long")
+            (i - pmod(i, lit(100L))).cast("string")
+          }))
+      case "order_of_magnitude" =>
+        // numeric field → round(log10(|x|)) as the key; 0/null → no key
+        filter(
+          array(when(abs(col0.cast("double")) > 0,
+            round(log10(abs(col0.cast("double")))).cast("long").cast("string"))),
+          k => k.isNotNull)
+      case "round_to_1" =>
+        // numeric field rounded to 1 significant figure (dedupe roundTo1†):
+        // x → round(x / 10^floor(log10|x|)) * 10^floor(log10|x|);
+        // fixed-point render, trailing zeros stripped ("1000", "0.005")
+        filter(
+          array(when(abs(col0.cast("double")) > 0, {
+            val d = col0.cast("double")
+            val mag = floor(log10(abs(d)))
+            val p10 = pow(lit(10.0), mag)
+            regexp_replace(
+              (round(d / p10) * p10).cast("decimal(38,6)").cast("string"),
+              "\\.?0+$", "")
+          }).otherwise(when(col0.cast("double") === 0.0, lit("0")))),
+          k => k.isNotNull)
       case "alphanum" => expr(s"regexp_extract_all(${p.field}, '[a-z0-9]+', 0)")
+      // ---- B13 set predicates over array columns (dedupe:predicates†) ----
+      case "whole_set" =>
+        // the whole (distinct, sorted) set as one key
+        array(array_join(array_sort(array_distinct(col0.cast("array<string>"))), " "))
+      case "common_set" => // each element is a key
+        array_distinct(col0.cast("array<string>"))
+      case "first_set_element" => slice(array_sort(col0.cast("array<string>")), 1, 1)
+      case "last_set_element" => slice(array_sort(col0.cast("array<string>")), -1, 1)
+      case "common_set_2" | "common_set_3" => {
+        // all k-element subsets of the sorted distinct set (dedupe
+        // commonTwo/ThreeElementsPredicate†); element order canonical so
+        // the same subset always yields the same key
+        val sorted = array_sort(array_distinct(col0.cast("array<string>")))
+        if (p.kind == "common_set_2")
+          flatten(transform(sorted, (x, i) =>
+            transform(slice(sorted, i + 2, size(sorted)), y => concat(x, lit(" "), y))))
+        else
+          flatten(flatten(transform(sorted, (x, i) =>
+            transform(slice(sorted, i + 2, size(sorted)), (y, j) =>
+              transform(slice(sorted, i + j + 3, size(sorted)), z =>
+                concat(x, lit(" "), y, lit(" "), z))))))
+      }
+      case "magnitude_cardinality" =>
+        // order of magnitude of the set size (dedupe magnitudeOfCardinality†)
+        filter(
+          array(when(size(col0) > 0,
+            round(log10(size(col0).cast("double"))).cast("long").cast("string"))),
+          k => k.isNotNull)
       case "exists" => array(when(col0.isNull, lit("0")).otherwise(lit("1")))
       case "metaphone" => array_distinct(metaphone_tokens(tokens(col0)))
       case "simhash" =>

@@ -22,44 +22,67 @@ object Hierarchical {
 
   /** Average-linkage HAC on a dense distance matrix; returns cluster ids
     * (0-based) after cutting at `cut`. Deterministic: merge order ties
-    * break by (min cluster index). */
+    * break by (min cluster index pair).
+    *
+    * Lance-Williams incremental updates: after merging b into a,
+    * D(a,k) = (|a|·D(a,k) + |b|·D(b,k)) / (|a|+|b|) — exactly the
+    * unweighted average-linkage distance, O(n) per merge instead of
+    * recomputing from member lists (the naive version was O(n³)-O(n⁴)
+    * per component; one 1000-node component stalled an executor). */
   private[cluster] def hacLabels(n: Int, dist: Array[Array[Double]], cut: Double): Array[Int] = {
-    // active clusters as mutable member lists
-    val members = Array.tabulate(n)(i => scala.collection.mutable.ArrayBuffer(i))
-    val active = scala.collection.mutable.LinkedHashSet(0 until n: _*)
-    def avgDist(a: Int, b: Int): Double = {
-      var s = 0.0
-      var c = 0
-      members(a).foreach { i =>
-        members(b).foreach { j => s += dist(i)(j); c += 1 }
-      }
-      s / c
+    val d = new Array[Double](n * n) // flat pairwise cluster distances
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < n) { d(i * n + j) = dist(i)(j); j += 1 }
+      i += 1
     }
-    var merged = true
-    while (merged && active.size > 1) {
-      merged = false
+    val size = Array.fill(n)(1)
+    val alive = Array.fill(n)(true)
+    val members = Array.tabulate(n)(i => scala.collection.mutable.ArrayBuffer(i))
+    var nActive = n
+    var continue = true
+    while (continue && nActive > 1) {
+      // global min over active pairs (i<j); first-in-index-order wins ties
       var best = Double.MaxValue
       var ba = -1; var bb = -1
-      val act = active.toIndexedSeq
       var x = 0
-      while (x < act.length) {
-        var y = x + 1
-        while (y < act.length) {
-          val d = avgDist(act(x), act(y))
-          if (d < best - 1e-12) { best = d; ba = act(x); bb = act(y) }
-          y += 1
+      while (x < n) {
+        if (alive(x)) {
+          var y = x + 1
+          while (y < n) {
+            if (alive(y)) {
+              val dd = d(x * n + y)
+              if (dd < best - 1e-12) { best = dd; ba = x; bb = y }
+            }
+            y += 1
+          }
         }
         x += 1
       }
-      if (best <= cut) {
+      if (ba >= 0 && best <= cut) {
+        val sa = size(ba); val sb = size(bb)
+        var k = 0
+        while (k < n) {
+          if (alive(k) && k != ba && k != bb) {
+            val nd = (sa * d(ba * n + k) + sb * d(bb * n + k)) / (sa + sb)
+            d(ba * n + k) = nd
+            d(k * n + ba) = nd
+          }
+          k += 1
+        }
+        size(ba) = sa + sb
         members(ba) ++= members(bb)
-        active.remove(bb)
-        merged = true
-      }
+        alive(bb) = false
+        nActive -= 1
+      } else continue = false
     }
     val out = new Array[Int](n)
-    active.toIndexedSeq.sorted.zipWithIndex.foreach { case (c, idx) =>
-      members(c).foreach(m => out(m) = idx)
+    var idx = 0
+    i = 0
+    while (i < n) {
+      if (alive(i)) { members(i).foreach(m => out(m) = idx); idx += 1 }
+      i += 1
     }
     out
   }
@@ -73,8 +96,15 @@ object Hierarchical {
    */
   def refine(labels: DataFrame, scoredPairs: DataFrame, cut: Double = 0.5,
       maxComponentSize: Int = 1000): DataFrame = {
+    // Intra-component edges ONLY: callers (Dedupe) pass ALL candidate
+    // pairs, including sub-threshold cross-component ones; a pair
+    // (a ∈ A, b ∈ B) must not pull b into A's HAC group (it would emit
+    // duplicate, conflicting labels for b). Sub-threshold edges WITHIN a
+    // component are kept — they carry the observed HAC distances.
     val l1 = labels.select(col("id").as("id1"), col("component"))
-    val edges = scoredPairs.join(l1, "id1")
+    val l2 = labels.select(col("id").as("id2"), col("component").as("component2"))
+    val edges = scoredPairs.join(l1, "id1").join(l2, "id2")
+      .filter(col("component") === col("component2"))
       .select(col("component"), col("id1"), col("id2"), col("score"))
     // group all of a component's edges + members; edges already imply
     // membership of both endpoints (CC labels come from the same edges)

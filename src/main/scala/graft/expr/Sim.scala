@@ -117,12 +117,26 @@ object Sim {
     buf
   }
 
-  /** Classic two-row DP Levenshtein distance (matches Spark/DuckDB).
-    * DP rows are thread-local scratch — zero per-call allocation. */
+  /** Levenshtein distance (matches Spark/DuckDB exactly).
+    *
+    * Dispatch: classic two-row DP for short strings; Myers' bit-parallel
+    * algorithm (Myers 1999 / Hyyrö 2002 — public algorithm) beyond that —
+    * O(⌈m/64⌉·n) instead of O(m·n). On the crawl-page pipeline the model
+    * compares multi-KB `text_norm` fields: the scalar DP is millions of
+    * cells per pair; bit-parallel is ~64× fewer word ops. Both paths
+    * return the exact distance, so oracle hashes are unaffected. */
   def levenshtein(s: String, t: String): Int = {
     val n = s.length; val m = t.length
     if (n == 0) return m
     if (m == 0) return n
+    if (math.min(n, m) > 12) {
+      // pattern = shorter side → fewest 64-bit blocks
+      return if (n <= m) {
+        if (n <= 64) myersLev1(s, t) else myersLevBlocked(s, t)
+      } else {
+        if (m <= 64) myersLev1(t, s) else myersLevBlocked(t, s)
+      }
+    }
     var prev = intBuf(intScratchA, m + 1)
     var cur = intBuf(intScratchB, m + 1)
     var j = 0
@@ -141,6 +155,123 @@ object Sim {
       i += 1
     }
     prev(m)
+  }
+
+  // per-thread Peq table for ASCII chars (128 × blocks longs, grown on
+  // demand); non-ASCII chars fall back to a per-call HashMap (rare in
+  // normalized crawl text, and only allocated when actually present)
+  private val peqScratch = new ThreadLocal[Array[Long]] {
+    override def initialValue(): Array[Long] = new Array[Long](128)
+  }
+  private def peqBuf(size: Int): Array[Long] = {
+    var buf = peqScratch.get()
+    if (buf.length < size) { buf = new Array[Long](2 * size); peqScratch.set(buf) }
+    java.util.Arrays.fill(buf, 0, size, 0L)
+    buf
+  }
+
+  /** Single-word Myers (pattern length ≤ 64). */
+  private def myersLev1(p: String, t: String): Int = {
+    val m = p.length
+    val peq = peqBuf(128)
+    var extra: java.util.HashMap[Character, Long] = null
+    var i = 0
+    while (i < m) {
+      val c = p.charAt(i)
+      if (c < 128) peq(c) |= 1L << i
+      else {
+        if (extra == null) extra = new java.util.HashMap[Character, Long]()
+        val prev = extra.get(c)
+        extra.put(c, (if (prev == null) 0L else prev.longValue()) | (1L << i))
+      }
+      i += 1
+    }
+    var pv = -1L
+    var mv = 0L
+    var score = m
+    val mask = 1L << (m - 1)
+    val n = t.length
+    var j = 0
+    while (j < n) {
+      val c = t.charAt(j)
+      val eq =
+        if (c < 128) peq(c)
+        else if (extra != null) { val v = extra.get(c); if (v == null) 0L else v.longValue() }
+        else 0L
+      val xv = eq | mv
+      val xh = (((eq & pv) + pv) ^ pv) | eq
+      var ph = mv | ~(xh | pv)
+      var mh = pv & xh
+      if ((ph & mask) != 0L) score += 1
+      else if ((mh & mask) != 0L) score -= 1
+      ph = (ph << 1) | 1L
+      mh = mh << 1
+      pv = mh | ~(xv | ph)
+      mv = ph & xv
+      j += 1
+    }
+    score
+  }
+
+  /** Blocked Myers (Hyyrö's generalization) for patterns > 64 chars. */
+  private def myersLevBlocked(p: String, t: String): Int = {
+    val m = p.length
+    val W = 64
+    val blocks = (m + W - 1) / W
+    val peq = peqBuf(128 * blocks)
+    var extra: java.util.HashMap[Character, Array[Long]] = null
+    var i = 0
+    while (i < m) {
+      val c = p.charAt(i)
+      if (c < 128) peq(c * blocks + i / W) |= 1L << (i % W)
+      else {
+        if (extra == null) extra = new java.util.HashMap[Character, Array[Long]]()
+        var arr = extra.get(c)
+        if (arr == null) { arr = new Array[Long](blocks); extra.put(c, arr) }
+        arr(i / W) |= 1L << (i % W)
+      }
+      i += 1
+    }
+    val pvs = new Array[Long](blocks)
+    val mvs = new Array[Long](blocks)
+    java.util.Arrays.fill(pvs, -1L)
+    var score = m
+    val lastMask = 1L << ((m - 1) % W)
+    val n = t.length
+    var j = 0
+    while (j < n) {
+      val c = t.charAt(j)
+      val extraArr = if (c < 128 || extra == null) null else extra.get(c)
+      var hin = 1
+      var b = 0
+      while (b < blocks) {
+        var eq =
+          if (c < 128) peq(c * blocks + b)
+          else if (extraArr != null) extraArr(b)
+          else 0L
+        val pv = pvs(b); val mv = mvs(b)
+        val xv = eq | mv
+        if (hin < 0) eq |= 1L
+        val xh = (((eq & pv) + pv) ^ pv) | eq
+        var ph = mv | ~(xh | pv)
+        var mh = pv & xh
+        val mask = if (b == blocks - 1) lastMask else 1L << 63
+        var hout = 0
+        if ((ph & mask) != 0L) hout = 1
+        else if ((mh & mask) != 0L) hout = -1
+        ph = ph << 1
+        mh = mh << 1
+        if (hin < 0) mh |= 1L
+        else if (hin > 0) ph |= 1L
+        pvs(b) = mh | ~(xv | ph)
+        mvs(b) = ph & xv
+        hin = hout
+        b += 1
+      }
+      score += hin
+      j += 1
+    }
+    score
   }
 
   /**

@@ -60,7 +60,9 @@ object gfunctions {
     val dLon = radians(lon2 - lon1)
     val h = pow(sin(dLat / 2), 2) +
       cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
-    lit(6371.0088) * lit(2.0) * asin(sqrt(h))
+    // clamp: sin²+cos·cos·sin² can exceed 1.0 by an ulp for near-antipodal
+    // points, and asin(1+ε) is NaN
+    lit(6371.0088) * lit(2.0) * asin(sqrt(least(h, lit(1.0))))
   }
 
   /** Whitespace/punct tokenizer used consistently across blocking/scoring.

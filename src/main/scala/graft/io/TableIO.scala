@@ -41,4 +41,27 @@ object TableIO {
     write(df, t)
     read(spark, t)
   }
+
+  /**
+   * Entity/canon sink partitioned by a hash bucket of the entity id
+   * (SURVEY.md §2.1 S4): downstream consumers (review UI, incremental
+   * match) look up single entities — bucket layout turns that into one
+   * partition read instead of a full scan, and bounds per-file size at
+   * 10^12-row scale. Path targets write `bucket=N/` directories; catalog
+   * targets use DataSourceV2 bucket transforms (Iceberg bucket
+   * partitioning in production).
+   */
+  def writeBucketed(df: DataFrame, t: Target, bucketCol: String,
+      numBuckets: Int = 256, saveMode: String = "overwrite"): Unit = {
+    import org.apache.spark.sql.functions._
+    t match {
+      case Path(p) =>
+        df.withColumn("bucket", pmod(xxhash64(col(bucketCol)), lit(numBuckets.toLong)))
+          .repartition(numBuckets, col("bucket")) // one file per bucket dir
+          .write.format(format).mode(saveMode).partitionBy("bucket").save(p)
+      case Table(n) =>
+        val w = df.writeTo(n).partitionedBy(bucket(numBuckets, col(bucketCol)))
+        if (saveMode == "overwrite") w.createOrReplace() else w.append()
+    }
+  }
 }

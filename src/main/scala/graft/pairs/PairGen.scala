@@ -69,13 +69,26 @@ object PairGen {
         explode(sequence(col("r"), col("m") - 1)).as("j"))
     val right = b.select(col("block_key"), col("id").as("id2"), col("r").as("j"),
         explode(sequence(lit(0), col("r"))).as("i"))
+    // EXPLICIT repartition on the cell key, fixed width: AQE sizes
+    // post-shuffle partitions by INPUT bytes, but this join's cost is its
+    // OUTPUT — each cell expands to ~chunkTarget² pairs. A few MB of block
+    // rows coalesce to 1-2 partitions and the entire quadratic expansion
+    // serializes through them (measured: 345 s for a 47M-pair generation
+    // that runs in ~30 s spread across cells). User-specified repartition
+    // is exempt from AQE coalescing and the join reuses the partitioning.
+    val cells = math.max(4 * blocks.sparkSession.sparkContext.defaultParallelism, 16)
+    val cellKey = Seq(col("block_key"), col("i"), col("j"))
     // canonicalize to id1 < id2 AFTER the join: a pair whose smaller id
     // hashes to the LARGER chunk meets only as (bigger, smaller) — a plain
     // id1 < id2 filter would drop it.
-    left.join(right, Seq("block_key", "i", "j"))
+    left.repartition(cells, cellKey: _*)
+      .join(right.repartition(cells, cellKey: _*), Seq("block_key", "i", "j"))
       .filter(col("id1") =!= col("id2"))
       .select(least(col("id1"), col("id2")).as("id1"),
         greatest(col("id1"), col("id2")).as("id2"))
+      // same reasoning for the dedup shuffle: keep the pair set spread at
+      // full width so every downstream comparator pass is parallel
+      .repartition(cells, col("id1"), col("id2"))
       .dropDuplicates("id1", "id2") // J3: score each pair once
   }
 

@@ -74,7 +74,12 @@ object Dedupe {
   def resumeFromPairs(spark: SparkSession, pages: DataFrame, config: Config): Result = {
     val dir = config.checkpointDir.getOrElse(
       throw new IllegalArgumentException("resume requires checkpointDir"))
-    require(new java.io.File(s"$dir/pairs").exists(), s"no pairs snapshot at $dir/pairs")
+    // Hadoop FileSystem, not java.io.File: the checkpoint dir is an
+    // hdfs:///s3a:// path in production — a local-FS check would always
+    // fail there even when the snapshot exists.
+    val pairsPath = new org.apache.hadoop.fs.Path(s"$dir/pairs")
+    val fs = pairsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(pairsPath), s"no pairs snapshot at $dir/pairs")
     runInternal(spark, pages, config,
       Some(spark.read.parquet(s"$dir/pairs")))
   }
@@ -95,6 +100,10 @@ object Dedupe {
         Seq(n.stripPrefix("cosine_tfidf_") + "_tfidf")
       case n if n.startsWith("haversine_") =>
         val f = n.stripPrefix("haversine_"); Seq(s"${f}_lat", s"${f}_lon")
+      case n if n.startsWith("inter_") => // C7: union of both sub-features
+        requiredFields(n.stripPrefix("inter_").split("__", 2).toSeq)
+      case n if n.startsWith("cat_") => // C6: cat_<field>__<x>__<y>
+        Seq(n.stripPrefix("cat_").split("__", 3)(0))
       case n =>
         Seq(n.dropWhile(_ != '_').drop(1))
     }.distinct
@@ -110,12 +119,15 @@ object Dedupe {
 
     // ---- stage 1: prepare + exact pre-group (G1)
     val prepared0 = prepare(pages)
-    val needsTfidf = model.featureNames.exists(_.startsWith("cosine_tfidf_"))
-    val prepared = if (needsTfidf) {
-      val f = model.featureNames.find(_.startsWith("cosine_tfidf_")).get
-        .stripPrefix("cosine_tfidf_")
-      Scoring.withTfidfVectors(prepared0, f, "id", topK = config.tfidfTopK)
-    } else prepared0
+    // EVERY distinct cosine_tfidf field gets its vector column (a model
+    // with TF-IDF on two fields previously failed analysis — only the
+    // first field's <f>_tfidf column was built).
+    val tfidfFields = model.featureNames
+      .filter(_.startsWith("cosine_tfidf_"))
+      .map(_.stripPrefix("cosine_tfidf_")).distinct
+    val prepared = tfidfFields.foldLeft(prepared0) { (df, f) =>
+      Scoring.withTfidfVectors(df, f, "id", topK = config.tfidfTopK)
+    }
 
     val repMap = prepared
       .groupBy(col("text_hash"))
@@ -148,8 +160,14 @@ object Dedupe {
           case None =>
             // scored pairs feed TWO downstream consumers (CC edges +
             // per-record confidences); without a snapshot the whole
-            // block+join+score DAG would re-execute per consumer
-            scored0.localCheckpoint()
+            // block+join+score DAG would re-execute per consumer.
+            // Ephemeral parquet, NOT localCheckpoint: deserialized block
+            // cache of tens of millions of rows reads back ~20× slower
+            // than a columnar snapshot (measured) and pins the heap.
+            val tmp = java.nio.file.Files
+              .createTempDirectory("graft_scored_snap").toString
+            scored0.write.mode("overwrite").parquet(tmp)
+            spark.read.parquet(tmp)
         }
     }
 

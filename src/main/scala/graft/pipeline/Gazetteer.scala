@@ -29,16 +29,17 @@ object Gazetteer {
       maxCanonBlockSize: Int = 1000)
 
   /**
-   * @param messy prepared messy records (id + derived scoring fields)
-   * @param canon prepared canonical records (id + same derived fields)
-   * @return (messy_id, canon_id, score, rank) — top-n per messy record
-   *         above the model threshold
+   * Prepared canonical index: block map (oversize keys dropped) + scoring
+   * fields. Build ONCE per canon table; reuse across every match call —
+   * a streaming job matching micro-batches must not re-derive the index
+   * (and its oversize-filter groupBy) per batch.
    */
-  def matchRecords(spark: SparkSession, messy: DataFrame, canon: DataFrame,
-      config: Config): DataFrame = {
+  case class CanonIndex(blocks: DataFrame, fields: DataFrame, config: Config)
+
+  /** @param canon prepared canonical records (id + derived scoring fields).
+    * The returned frames are persisted; call `unpersist()` when done. */
+  def buildCanonIndex(canon: DataFrame, config: Config): CanonIndex = {
     val model = config.model
-    val messyBlocks = Blocking.blockingMap(messy, model.predicates, "id")
-      .withColumnRenamed("id", "messy_id")
     val canonBlocksAll = Blocking.blockingMap(canon, model.predicates, "id")
       .withColumnRenamed("id", "canon_id")
     // drop oversized canon blocks (reference gazetteer behavior†): without
@@ -46,9 +47,22 @@ object Gazetteer {
     val eligible = canonBlocksAll.groupBy("block_key").count()
       .filter(col("count") <= config.maxCanonBlockSize)
       .select("block_key")
-    val canonBlocks0 = canonBlocksAll.join(eligible, "block_key")
+    val blocks = canonBlocksAll.join(eligible, "block_key").persist()
+    val flds = Dedupe.requiredFields(model.featureNames)
+    val fields = canon
+      .select(col("id").as("id2") +: flds.map(f => col(f).as(s"${f}_2")): _*)
+      .persist()
+    CanonIndex(blocks, fields, config)
+  }
+
+  /** Match messy records against a prebuilt canon index. */
+  def matchAgainst(messy: DataFrame, index: CanonIndex): DataFrame = {
+    val config = index.config
+    val model = config.model
+    val messyBlocks = Blocking.blockingMap(messy, model.predicates, "id")
+      .withColumnRenamed("id", "messy_id")
     val canonBlocks =
-      if (config.broadcastCanon) broadcast(canonBlocks0) else canonBlocks0
+      if (config.broadcastCanon) broadcast(index.blocks) else index.blocks
 
     val pairs = messyBlocks.join(canonBlocks, "block_key")
       .select(col("messy_id").as("id1"), col("canon_id").as("id2"))
@@ -56,9 +70,8 @@ object Gazetteer {
 
     val fields = Dedupe.requiredFields(model.featureNames)
     val m = messy.select(col("id").as("id1") +: fields.map(f => col(f).as(s"${f}_1")): _*)
-    val c = canon.select(col("id").as("id2") +: fields.map(f => col(f).as(s"${f}_2")): _*)
     val attached = pairs.join(m, "id1")
-      .join(if (config.broadcastCanon) broadcast(c) else c, "id2")
+      .join(if (config.broadcastCanon) broadcast(index.fields) else index.fields, "id2")
     val scored = Scoring.scorePairs(attached, model)
       .filter(col("score") >= model.threshold)
 
@@ -69,6 +82,17 @@ object Gazetteer {
       .select(col("id1").as("messy_id"), col("id2").as("canon_id"),
         col("score"), col("rank").cast("long").as("rank"))
   }
+
+  /**
+   * One-shot convenience: build the index and match in one call.
+   * @param messy prepared messy records (id + derived scoring fields)
+   * @param canon prepared canonical records (id + same derived fields)
+   * @return (messy_id, canon_id, score, rank) — top-n per messy record
+   *         above the model threshold
+   */
+  def matchRecords(spark: SparkSession, messy: DataFrame, canon: DataFrame,
+      config: Config): DataFrame =
+    matchAgainst(messy, buildCanonIndex(canon, config))
 
   /**
    * Second-stage dedupe (`dedupe-api (fn dedupeCanon)†`, SURVEY.md §2.6

@@ -44,10 +44,13 @@ object Review {
         col("checked_out_at") < current_timestamp() - expr(s"INTERVAL $checkoutTtlMinutes MINUTES"))
       .groupBy("component")
       .agg(min("confidence").as("min_confidence"), count("*").as("cluster_size"))
+    // top-n FIRST (distributed TakeOrdered — per-partition heaps, no
+    // global window over the full cluster list), THEN rank the n
+    // survivors; the partition-less window only ever sees n rows
     import org.apache.spark.sql.expressions.Window
+    val top = clusters.orderBy(col("min_confidence").asc, col("component")).limit(n)
     val w = Window.orderBy(col("min_confidence").asc, col("component"))
-    clusters.withColumn("review_rank", row_number().over(w))
-      .filter(col("review_rank") <= n)
+    top.withColumn("review_rank", row_number().over(w))
   }
 
   /** Mark a set of components accepted/rejected (the /mark-cluster call). */

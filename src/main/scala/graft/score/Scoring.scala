@@ -22,6 +22,8 @@ import graft.model.Model
  *   dt_<f>              |Δ seconds| / 86400 on timestamp fields   (C5)
  *   logratio_<f>        |log10(a)-log10(b)| on numerics           (C3)
  *   hamming_<f>         simhash hamming similarity 1 - d/64
+ *   inter_<a>__<b>      interaction term: product of features a,b (C7)
+ *   cat_<f>__<x>__<y>   categorical pair dummy: 1 iff {f1,f2}={x,y} (C6)
  * The model's learned weights key this registry — mirrors "dedupe's
  * learned field weights" (BASELINE.json:6).
  */
@@ -58,6 +60,23 @@ object Scoring {
       case n if n.startsWith("haversine_") =>
         val f = n.stripPrefix("haversine_")
         haversine_km(f1(s"${f}_lat"), f1(s"${f}_lon"), f2(s"${f}_lat"), f2(s"${f}_lon"))
+      case n if n.startsWith("inter_") =>
+        // C7: interaction term — product of two named features (dedupe's
+        // Interaction variable†). Sub-features are full registry names,
+        // joined by "__": e.g. inter_jw_name__exact_lang.
+        val parts = n.stripPrefix("inter_").split("__", 2)
+        require(parts.length == 2, s"interaction needs two features: $n")
+        featureColumn(parts(0)) * featureColumn(parts(1))
+      case n if n.startsWith("cat_") =>
+        // C6: categorical pair dummy (dedupe's Categorical variable's
+        // fixed-width one-hot over unordered value pairs†):
+        // cat_<field>__<x>__<y> = 1.0 iff {f1,f2} == {x,y}. x==y encodes
+        // the same-category dummy; a full categorical variable is one such
+        // feature per unordered category pair, each with a learned weight.
+        val parts = n.stripPrefix("cat_").split("__", 3)
+        require(parts.length == 3, s"categorical dummy needs field+2 values: $n")
+        val (f, x, y) = (parts(0), parts(1), parts(2))
+        ((f1(f) === x && f2(f) === y) || (f1(f) === y && f2(f) === x)).cast("double")
       case other => throw new IllegalArgumentException(s"unknown feature: $other")
     }
     // missing-data policy (C8): a null comparator value contributes 0; the
@@ -66,13 +85,15 @@ object Scoring {
   }
 
   /** TF-IDF cosine between two pre-normalized map<string,double> vectors:
-    * dot product over the key union (missing → 0). Pure built-ins —
-    * map_zip_with + aggregate keep it inside codegen (C2). */
+    * dot product over the key union (missing → 0). Direct Catalyst kernel
+    * (C2) — value- and order-identical to the built-in composition
+    * `aggregate(map_values(map_zip_with(a,b,coalesce·*)))` but without its
+    * per-pair map allocations (see ExprKernels2.mapDot). */
   def tfidfCosine(a: Column, b: Column): Column =
-    aggregate(
-      map_values(map_zip_with(a, b, (_, x, y) =>
-        coalesce(x, lit(0.0)) * coalesce(y, lit(0.0)))),
-      lit(0.0d), (acc, v) => acc + v)
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expr.MapDotExpr(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
 
   /**
    * Append per-feature columns + the LR score

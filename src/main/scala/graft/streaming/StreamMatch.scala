@@ -23,12 +23,17 @@ object StreamMatch {
   def start(spark: SparkSession, pagesStream: DataFrame, canonPrepared: DataFrame,
       config: Gazetteer.Config, queryName: String)
       (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    // canon index built ONCE, persisted — every micro-batch reuses the
+    // cached block map + field table (re-deriving the index and its
+    // oversize-filter groupBy per 1-second batch was a per-batch full
+    // recompute of the static side)
+    val index = Gazetteer.buildCanonIndex(canonPrepared, config)
     pagesStream.writeStream
       .queryName(queryName)
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val prepared = Dedupe.prepare(batch)
-        val matches = Gazetteer.matchRecords(spark, prepared, canonPrepared, config)
+        val matches = Gazetteer.matchAgainst(prepared, index)
         sink(matches, batchId)
       }
       .start()

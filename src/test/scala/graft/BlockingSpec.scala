@@ -33,6 +33,37 @@ class BlockingSpec extends SparkSpec {
       "foo bar") == Set("foo:f"))
   }
 
+  test("B10 numeric predicate family key sets") {
+    assert(keysFor(PredicateSpec("first_integer", "f"), "12 east 34") == Set("12"))
+    assert(keysFor(PredicateSpec("first_integer", "f"), "east 34") == Set())
+    assert(keysFor(PredicateSpec("near_integer", "f"), "call 10") ==
+      Set("9", "10", "11"))
+    assert(keysFor(PredicateSpec("hundred_integer", "f"), "1234 and 56") ==
+      Set("1200", "0"))
+    assert(keysFor(PredicateSpec("order_of_magnitude", "f"), "950") == Set("3"))
+    assert(keysFor(PredicateSpec("order_of_magnitude", "f"), "0") == Set())
+    assert(keysFor(PredicateSpec("round_to_1", "f"), "1234") == Set("1000"))
+    assert(keysFor(PredicateSpec("round_to_1", "f"), "0") == Set("0"))
+  }
+
+  test("B13 set predicates over array columns") {
+    def setKeys(p: PredicateSpec, value: Seq[String]): Set[String] =
+      Seq(Tuple1(value)).toDF("f")
+        .select(explode(Blocking.predicateKeys(p)).as("k"))
+        .as[String].collect().toSet
+    val v = Seq("c", "a", "b", "a")
+    assert(setKeys(PredicateSpec("whole_set", "f"), v) == Set("a b c"))
+    assert(setKeys(PredicateSpec("common_set", "f"), v) == Set("a", "b", "c"))
+    assert(setKeys(PredicateSpec("first_set_element", "f"), v) == Set("a"))
+    assert(setKeys(PredicateSpec("last_set_element", "f"), v) == Set("c"))
+    assert(setKeys(PredicateSpec("common_set_2", "f"), v) ==
+      Set("a b", "a c", "b c"))
+    assert(setKeys(PredicateSpec("common_set_3", "f"), Seq("d", "a", "c", "b")) ==
+      Set("a b c", "a b d", "a c d", "b c d"))
+    assert(setKeys(PredicateSpec("magnitude_cardinality", "f"),
+      (1 to 95).map(_.toString)) == Set("2"))
+  }
+
   test("simhash banding: identical text shares all bands, unrelated none") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

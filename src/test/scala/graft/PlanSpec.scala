@@ -49,6 +49,26 @@ class PlanSpec extends SparkSpec {
     assert(plan(out).contains("BroadcastHashJoin"))
   }
 
+  test("no partition-less window anywhere in the ANN plans") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    for (df <- Seq(
+        graft.ann.Ann.ivfTopK(emb, queries, k = 3, nlist = 4, nprobe = 2),
+        graft.ann.Ann.bruteForceTopK(emb, queries, 3),
+        graft.ann.Ann.lshTopK(emb, queries, 3))) {
+      // sparkPlan, not executedPlan: the AQE wrapper hides its subtree
+      // from TreeNode.collect
+      val global = df.queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(global.isEmpty,
+        s"global window serializes the corpus through one task: $global")
+    }
+  }
+
   test("candidate pair-gen plans no cartesian product") {
     val recs = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
       .select(col("p_partkey").as("id"), col("p_name").as("name"))

@@ -54,6 +54,42 @@ class SimSpec extends AnyFunSuite {
     }
   }
 
+  test("bit-parallel levenshtein == classic DP (single-word + blocked + unicode)") {
+    def dp(s: String, t: String): Int = {
+      val n = s.length; val m = t.length
+      val prev = Array.tabulate(m + 1)(identity)
+      val cur = new Array[Int](m + 1)
+      for (i <- 1 to n) {
+        cur(0) = i
+        for (j <- 1 to m) {
+          val cost = if (s.charAt(i - 1) == t.charAt(j - 1)) 0 else 1
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        }
+        Array.copy(cur, 0, prev, 0, m + 1)
+      }
+      prev(m)
+    }
+    val r = new scala.util.Random(23)
+    val alphabets = Seq("ab", "abcde", "abcdefghij klmnop", "日本語テキストと漢字", "aé日b ")
+    for (trial <- 1 to 400) {
+      val alpha = alphabets(trial % alphabets.size)
+      // lengths straddle every dispatch boundary: ≤12 scalar, ≤64
+      // single-word Myers, >64 blocked (incl. exact multiples of 64)
+      def rnd(): String = {
+        val len = Seq(0, 5, 12, 13, 31, 63, 64, 65, 128, 129, 200, 300)(r.nextInt(12)) +
+          r.nextInt(4)
+        (1 to len).map(_ => alpha.charAt(r.nextInt(alpha.length))).mkString
+      }
+      val a = rnd(); val b = rnd()
+      assert(Sim.levenshtein(a, b) == dp(a, b),
+        s"mismatch len=(${a.length},${b.length}) alpha='$alpha'")
+    }
+    // near-identical long strings (the hot dedupe case)
+    val base = (1 to 500).map(_ => "abcdefgh"(r.nextInt(8))).mkString
+    val mutated = base.updated(100, 'z').updated(400, 'q') + "tail"
+    assert(Sim.levenshtein(base, mutated) == dp(base, mutated))
+  }
+
   test("char n-grams (F6)") {
     assert(Sim.charNGrams("abcde", 4).toSeq == Seq("abcd", "bcde"))
     assert(Sim.charNGrams("abc", 4).isEmpty)

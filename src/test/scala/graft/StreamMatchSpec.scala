@@ -53,4 +53,36 @@ class StreamMatchSpec extends SparkSpec {
     val c1 = canon.filter($"url" === "https://c/1").select("id").as[Long].first()
     assert(results.toSet == Set((m1, c1)))
   }
+
+  test("canon index is built once, persisted, and reused across batches") {
+    val model = Model(
+      bias = -13.0,
+      weights = Map("jw_text_norm" -> 6.0, "lev_text_norm" -> 9.0, "exact_lang" -> 0.4),
+      threshold = 0.5,
+      predicates = Seq(PredicateSpec("token", "text_norm")))
+    val canonPages = Seq(
+      ("https://c/1", "alpha beta gamma delta epsilon zeta eta theta", "en"))
+      .toDF("url", "text", "lang")
+      .withColumn("warc_ts", lit(null).cast("timestamp"))
+      .withColumn("html", lit(null).cast("binary"))
+    val canon = Dedupe.prepare(canonPages)
+    val index = Gazetteer.buildCanonIndex(canon, Gazetteer.Config(model, nMatches = 1))
+    // persisted: repeated micro-batch matches hit the cached index instead
+    // of re-deriving blocking + the oversize-filter groupBy per batch
+    assert(index.blocks.storageLevel.useMemory || index.blocks.storageLevel.useDisk,
+      "canon block index must be persisted")
+    assert(index.fields.storageLevel.useMemory || index.fields.storageLevel.useDisk,
+      "canon field table must be persisted")
+    // two consecutive matches against the same index agree with the
+    // one-shot path
+    val messy = Dedupe.prepare(Seq(
+      ("https://m/1", "alpha beta gamma delta epsilon zeta eta  theta", "en"))
+      .toDF("url", "text", "lang")
+      .withColumn("warc_ts", lit(null).cast("timestamp"))
+      .withColumn("html", lit(null).cast("binary")))
+    val a = Gazetteer.matchAgainst(messy, index).collect().toSet
+    val b = Gazetteer.matchAgainst(messy, index).collect().toSet
+    assert(a == b && a.nonEmpty)
+    index.blocks.unpersist(); index.fields.unpersist()
+  }
 }

@@ -86,6 +86,43 @@ class TrainingSpec extends SparkSpec {
     assert(refined(1L) != refined(3L), s"expected split, got $refined")
   }
 
+  test("refine ignores cross-component candidate pairs (one label per id)") {
+    // Dedupe passes ALL candidate pairs, including sub-threshold
+    // cross-component ones; (2,3) here links components 1 and 3 at score
+    // 0.2 — it must NOT pull 3 into component 1's HAC group (that emitted
+    // duplicate conflicting labels before the fix).
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)).toDF("id", "component")
+    val pairs = Seq(
+      (1L, 2L, 0.95), (3L, 4L, 0.95), (2L, 3L, 0.2))
+      .toDF("id1", "id2", "score")
+    val out = Hierarchical.refine(labels, pairs, cut = 0.5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.length == 4, s"duplicate labels: ${out.toSeq}")
+    val m = out.toMap
+    assert(m(1L) == m(2L) && m(3L) == m(4L) && m(1L) != m(3L))
+  }
+
+  test("Lance-Williams HAC handles a 1000-node component in seconds") {
+    // 1000 nodes in one CC component: a chain of strong edges. The naive
+    // average-linkage recomputation was O(n^3)-O(n^4); Lance-Williams
+    // updates finish quickly, labels unchanged (all merge: distances 0.1).
+    val n = 1000
+    val labels = (1 to n).map(i => (i.toLong, 1L)).toDF("id", "component")
+    val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong, 0.9))
+      .toDF("id1", "id2", "score")
+    val t0 = System.nanoTime()
+    val out = Hierarchical.refine(labels, pairs, cut = 0.5,
+      maxComponentSize = 2000).collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(out.length == n)
+    assert(sec < 60.0, s"HAC too slow: $sec s")
+    // chain at distance 0.1 merges fully under average linkage? no — the
+    // average distance between growing clusters includes many unobserved
+    // (=1.0) pairs, so the chain fragments; assert structure is stable
+    // instead: every node labeled exactly once
+    assert(out.map(_.getLong(0)).distinct.length == n)
+  }
+
   test("hierarchical refinement keeps a tight component whole") {
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "component")
     val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.85), (1L, 3L, 0.8))
