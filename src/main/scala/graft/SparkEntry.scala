@@ -313,7 +313,6 @@ object SparkEntry {
         .join(vecs.select(col("id").as("id2"), col("name_tfidf").as("v2")), "id2")
         .select(col("id1"), col("id2"),
           round(graft.score.Scoring.tfidfCosine(col("v1"), col("v2")), 6).as("cos"))
-        .orderBy(col("id1"), col("id2"))
     }),
 
     // gazetteer restricted to token blocking + a pure-JW model so DuckDB
@@ -344,7 +343,14 @@ object SparkEntry {
         col("seg").as("seg_1"), col("bal").as("bal_1"))
       val b = c.select(col("id").as("id2"), col("nat"),
         col("seg").as("seg_2"), col("bal").as("bal_2"))
-      a.join(b, "nat").filter(col("id1") < col("id2"))
+      // explicit width on the join key: a 15k-row dimension self-join has
+      // tiny shuffle INPUT, so AQE coalesces it to ~1 partition and the
+      // 9M-row expansion runs single-threaded (measured 72 s; same
+      // expansion-blindness as pair-gen)
+      val width = s.sparkContext.defaultParallelism * 4
+      a.repartition(width, col("nat"))
+        .join(b.repartition(width, col("nat")), "nat")
+        .filter(col("id1") < col("id2"))
         .select(col("id1"), col("id2"),
           featureColumn("exact_seg").as("f_exact"),
           featureColumn("missing_bal").as("f_missing"),
@@ -352,7 +358,6 @@ object SparkEntry {
           featureColumn("cat_seg__BUILDING__AUTOMOBILE").as("f_cat_ba"),
           featureColumn("cat_seg__BUILDING__BUILDING").as("f_cat_bb"),
           featureColumn("inter_exact_seg__missing_bal").as("f_inter"))
-        .orderBy(col("id1"), col("id2"))
     }),
 
     // datetime comparator (C5) over same-customer order pairs
@@ -363,10 +368,12 @@ object SparkEntry {
           col("o_orderdate").as("odate"))
       val a = o.select(col("id").as("id1"), col("ck"), col("odate").as("odate_1"))
       val b = o.select(col("id").as("id2"), col("ck"), col("odate").as("odate_2"))
-      a.join(b, "ck").filter(col("id1") < col("id2"))
+      val width = s.sparkContext.defaultParallelism * 4
+      a.repartition(width, col("ck"))
+        .join(b.repartition(width, col("ck")), "ck")
+        .filter(col("id1") < col("id2"))
         .select(col("id1"), col("id2"),
           round(featureColumn("dt_odate"), 6).as("dt_days"))
-        .orderBy(col("id1"), col("id2"))
     }),
 
     // haversine comparator (C4) over same-nation suppliers with
@@ -413,6 +420,22 @@ object SparkEntry {
       graft.pipeline.Gazetteer.dedupeCanon(
           s, r.entityMap.select(col("id"), col("component")), r.canon, cfg)
         .orderBy(col("id"))
+    }),
+
+    // tumbling-window event aggregation (§2.9; same code path runs
+    // streaming once the caller adds a watermark)
+    "q_event_windows" -> ((s, dir) => {
+      graft.streaming.EventAgg.windowedCounts(
+          s.read.parquet(s"$dir/events.parquet"), "1 hour")
+        .orderBy(col("ws"), col("event_type"))
+    }),
+
+    // gap-based sessionization, batch twin (§2.9/§2.10; the streaming
+    // flatMapGroupsWithState twin is asserted equal in SessionizeSpec)
+    "q_sessionize" -> ((s, dir) => {
+      graft.streaming.EventAgg.sessionize(
+          s.read.parquet(s"$dir/events.parquet"), gapMinutes = 30)
+        .orderBy(col("user_id"), col("session_start"))
     }),
 
     // IVF-style ANN (scale path; centroids hash-sampled — rows-only)
@@ -751,6 +774,27 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.id < b.id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
         |ORDER BY id1, id2""".stripMargin,
+
+    "q_event_windows" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH f AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_num
+        |  FROM f)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sess_num
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q_review_queue" ->
       """WITH state AS (

@@ -30,6 +30,49 @@ object ExprKernels2 {
   def ngramJaccard(a: UTF8String, b: UTF8String, n: Int): Double =
     Sim.ngramJaccard(a.toString, b.toString, n)
 
+  /** One-pass cosine over two numeric arrays. IEEE-identical to the
+    * composed `dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b)))` with
+    * cast-to-double zip_with dots: the three accumulators add the same
+    * terms in the same index order, just in one traversal — and without
+    * the six intermediate arrays the composition allocates per pair.
+    * Mirrors the composition's null semantics: unequal lengths or a null
+    * element poison the result (zip_with pads/propagates null). */
+  def arrayCosine(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData,
+      aFloat: Boolean, bFloat: Boolean): Any = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Allocation-free dot product of two numeric arrays (same parity
+    * contract as [[arrayCosine]]). */
+  def arrayDot(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData,
+      aFloat: Boolean, bFloat: Boolean): Any = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      i += 1
+    }
+    dot
+  }
+
   /** Dot product of two map<string,double> vectors over the key union —
     * identical value AND identical summation order to the built-in
     * composition `aggregate(map_values(map_zip_with(a,b,coalesce·*)))`:
@@ -161,6 +204,57 @@ case class MetaphoneTokensExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a => s"graft.expr.ExprKernels2.metaphoneTokens($a)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** one-pass cosine similarity of two numeric array columns (ANN hot path;
+  * see ExprKernels2.arrayCosine for the composition-parity argument). */
+case class ArrayCosineExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_array_cosine"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels2.arrayCosine(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      isFloat(left), isFloat(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lf = isFloat(left); val rf = isFloat(right)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      Object r = graft.expr.ExprKernels2.arrayCosine($a, $b, $lf, $rf);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) r).doubleValue(); }
+    """)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** allocation-free dot product of two numeric array columns. */
+case class ArrayDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_array_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels2.arrayDot(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      isFloat(left), isFloat(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lf = isFloat(left); val rf = isFloat(right)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      Object r = graft.expr.ExprKernels2.arrayDot($a, $b, $lf, $rf);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) r).doubleValue(); }
+    """)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** dot product of two map<string,double> TF-IDF vectors (direct kernel —

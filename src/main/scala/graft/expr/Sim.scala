@@ -39,6 +39,75 @@ object Sim {
     buf
   }
 
+  // per-char position-cursor scratch for the O(n+m) Jaro matcher
+  private val jaroCnt = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](129)
+  }
+  private val jaroCur = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](129)
+  }
+  private val jaroPos = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](256)
+  }
+
+  private def isAscii(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) >= 128) return false
+      i += 1
+    }
+    true
+  }
+
+  /**
+   * Jaro match phase in O(n+m) for ASCII inputs: per-character sorted
+   * position lists with forward-only cursors. EXACTLY the classic greedy
+   * semantics — for each i, take the leftmost UNMATCHED j in
+   * [i-window, i+window] with s(i)==t(j):
+   * positions before a char's cursor are consumed or permanently below
+   * every future window (lo is non-decreasing in i), so the cursor's
+   * position IS the leftmost available candidate. The classic scan is
+   * O(n·window) — ~2M char-ops per pair on multi-KB crawl texts, the
+   * dominant cost of the page-dedupe pipeline before this.
+   * Sets match flags in `buf` (s at [0,n), t at [n,n+m)); returns matches.
+   */
+  private def jaroMatchAscii(s: String, t: String, window: Int,
+      buf: Array[Boolean]): Int = {
+    val n = s.length; val m = t.length
+    val cnt = jaroCnt.get()
+    val cur = jaroCur.get()
+    java.util.Arrays.fill(cnt, 0, 129, 0)
+    var j = 0
+    while (j < m) { cnt(t.charAt(j) + 1) += 1; j += 1 }
+    var c = 1
+    while (c < 129) { cnt(c) += cnt(c - 1); c += 1 } // cnt(c) = end offset of char c-1... cumulative
+    var pos = jaroPos.get()
+    if (pos.length < m) { pos = new Array[Int](2 * m); jaroPos.set(pos) }
+    System.arraycopy(cnt, 0, cur, 0, 129) // fill cursors: cur(c) = start of char c
+    j = 0
+    while (j < m) { val ch = t.charAt(j); pos(cur(ch)) = j; cur(ch) += 1; j += 1 }
+    System.arraycopy(cnt, 0, cur, 0, 129) // reset: cur(c) = first candidate index
+    var matches = 0
+    var i = 0
+    while (i < n) {
+      val lo = if (i - window > 0) i - window else 0
+      val hi = if (i + window < m - 1) i + window else m - 1
+      val ch = s.charAt(i)
+      val end = cnt(ch + 1)
+      var k = cur(ch)
+      while (k < end && pos(k) < lo) k += 1
+      cur(ch) = k
+      if (k < end && pos(k) <= hi) {
+        buf(i) = true
+        buf(n + pos(k)) = true
+        matches += 1
+        cur(ch) = k + 1
+      }
+      i += 1
+    }
+    matches
+  }
+
   /** Jaro similarity in [0,1]; 0.0 if either side is empty (DuckDB parity). */
   def jaro(s: String, t: String): Double = {
     val n = s.length
@@ -49,28 +118,32 @@ object Sim {
     val buf = boolBuf(n + m)
     // sMatched = buf[0, n); tMatched = buf[n, n+m)
     var matches = 0
-    var i = 0
-    while (i < n) {
-      val lo = math.max(0, i - window)
-      val hi = math.min(m - 1, i + window)
-      var j = lo
-      var done = false
-      while (j <= hi && !done) {
-        if (!buf(n + j) && s.charAt(i) == t.charAt(j)) {
-          buf(i) = true
-          buf(n + j) = true
-          matches += 1
-          done = true
+    if (math.max(n, m) > 64 && isAscii(s) && isAscii(t)) {
+      matches = jaroMatchAscii(s, t, window, buf)
+    } else {
+      var i = 0
+      while (i < n) {
+        val lo = math.max(0, i - window)
+        val hi = math.min(m - 1, i + window)
+        var j = lo
+        var done = false
+        while (j <= hi && !done) {
+          if (!buf(n + j) && s.charAt(i) == t.charAt(j)) {
+            buf(i) = true
+            buf(n + j) = true
+            matches += 1
+            done = true
+          }
+          j += 1
         }
-        j += 1
+        i += 1
       }
-      i += 1
     }
     if (matches == 0) return 0.0
     // transpositions: matched chars out of order
     var transpositions = 0
     var k = 0
-    i = 0
+    var i = 0
     while (i < n) {
       if (buf(i)) {
         while (!buf(n + k)) k += 1

@@ -70,13 +70,12 @@ object gfunctions {
   def tokens(s: Column): Column =
     filter(split(s, "\\W+"), t => length(t) > 0)
 
-  /** Cosine similarity between two float/double array columns (same length).
-    * Pure built-ins: zip_with dot product over L2-normalized inputs. */
-  def cosine_sim(a: Column, b: Column): Column = {
-    def dot(u: Column, v: Column): Column =
-      aggregate(zip_with(u, v, (p, q) => p * q), lit(0.0d), (acc, z) => acc + z)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Cosine similarity between two float/double array columns (same
+    * length). One-pass Catalyst kernel — value-identical to the zip_with
+    * dot composition (ExprKernels2.arrayCosine), without its per-pair
+    * intermediate arrays. */
+  def cosine_sim(a: Column, b: Column): Column =
+    c(ArrayCosineExpr(x(a), x(b)))
 
   /** SQL-expression registration so the same functions are usable from
     * spark.sql strings: graft_jaro_winkler(a,b), graft_simhash64(arr), ... */

@@ -90,6 +90,55 @@ class SimSpec extends AnyFunSuite {
     assert(Sim.levenshtein(base, mutated) == dp(base, mutated))
   }
 
+  test("O(n+m) ascii jaro matcher == classic windowed scan (long strings)") {
+    // reference: the classic greedy O(n·window) matcher
+    def classicJaro(s: String, t: String): Double = {
+      val n = s.length; val m = t.length
+      if (n == 0 || m == 0) return 0.0
+      if (s == t) return 1.0
+      val window = math.max(0, math.max(n, m) / 2 - 1)
+      val sm = new Array[Boolean](n); val tm = new Array[Boolean](m)
+      var matches = 0
+      for (i <- 0 until n) {
+        val lo = math.max(0, i - window); val hi = math.min(m - 1, i + window)
+        var j = lo; var done = false
+        while (j <= hi && !done) {
+          if (!tm(j) && s.charAt(i) == t.charAt(j)) {
+            sm(i) = true; tm(j) = true; matches += 1; done = true
+          }
+          j += 1
+        }
+      }
+      if (matches == 0) return 0.0
+      var transpositions = 0; var k = 0
+      for (i <- 0 until n) if (sm(i)) {
+        while (!tm(k)) k += 1
+        if (s.charAt(i) != t.charAt(k)) transpositions += 1
+        k += 1
+      }
+      val mm = matches.toDouble
+      (mm / n + mm / m + (mm - (transpositions / 2)) / mm) / 3.0
+    }
+    val r = new scala.util.Random(41)
+    val alphas = Seq("ab", "abcdefgh", "abcdefghijklmnop qrstuvwxyz0123456789")
+    for (trial <- 1 to 300) {
+      val alpha = alphas(trial % alphas.size)
+      def rnd(minLen: Int, maxLen: Int) = {
+        val len = minLen + r.nextInt(maxLen - minLen + 1)
+        (1 to len).map(_ => alpha.charAt(r.nextInt(alpha.length))).mkString
+      }
+      // straddle the >64 dispatch boundary; include near-identical pairs
+      val a = rnd(50, 300)
+      val b = if (trial % 3 == 0) a.updated(a.length / 2, 'z') + "xy"
+              else rnd(50, 300)
+      assert(Sim.jaro(a, b) == classicJaro(a, b),
+        s"len=(${a.length},${b.length}) alpha='$alpha'")
+    }
+    // non-ascii falls back to the classic path — still equal
+    val u1 = "日本語テキスト" * 20; val u2 = "日本語テキヌト" * 20
+    assert(Sim.jaro(u1, u2) == classicJaro(u1, u2))
+  }
+
   test("char n-grams (F6)") {
     assert(Sim.charNGrams("abcde", 4).toSeq == Seq("abcd", "bcde"))
     assert(Sim.charNGrams("abc", 4).isEmpty)
