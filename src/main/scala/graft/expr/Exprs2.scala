@@ -24,11 +24,15 @@ object ExprKernels2 {
     new GenericArrayData(out)
   }
 
-  def affineGap(a: UTF8String, b: UTF8String): Double =
-    AffineGap.normalized(a.toString, b.toString)
+  def affineGap(a: UTF8String, b: UTF8String): Double = {
+    val la = ExprKernels.fillA(a); val lb = ExprKernels.fillB(b)
+    AffineGap.normalizedChars(CharScratch.bufA(0), la, CharScratch.bufB(0), lb)
+  }
 
-  def ngramJaccard(a: UTF8String, b: UTF8String, n: Int): Double =
-    Sim.ngramJaccard(a.toString, b.toString, n)
+  def ngramJaccard(a: UTF8String, b: UTF8String, n: Int): Double = {
+    val la = ExprKernels.fillA(a); val lb = ExprKernels.fillB(b)
+    Sim.ngramJaccardChars(CharScratch.bufA(0), la, CharScratch.bufB(0), lb, n)
+  }
 
   /** One-pass cosine over two numeric arrays. IEEE-identical to the
     * composed `dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b)))` with
@@ -142,8 +146,10 @@ object AffineGap {
       Array.fill(4)(new Array[Double](256))
   }
 
-  def distance(s: String, t: String): Double = {
-    val n = s.length; val m = t.length
+  def distance(s: String, t: String): Double =
+    distanceChars(CharScratch.fillA(s), s.length, CharScratch.fillB(t), t.length)
+
+  def distanceChars(s: Array[Char], n: Int, t: Array[Char], m: Int): Double = {
     if (n == 0 && m == 0) return 0.0
     if (n == 0) return gapWeight + spaceWeight * m
     if (m == 0) return gapWeight + spaceWeight * n
@@ -174,7 +180,7 @@ object AffineGap {
       j = 1
       while (j <= m) {
         val sub = prevV(j - 1) +
-          (if (s.charAt(i - 1) == t.charAt(j - 1)) matchWeight else mismatchWeight)
+          (if (s(i - 1) == t(j - 1)) matchWeight else mismatchWeight)
         curI(j) = math.min(prevI(j) + spaceWeight, prevV(j) + gapWeight + spaceWeight)
         curJgap = math.min(curJgap + spaceWeight, curV(j - 1) + gapWeight + spaceWeight)
         curV(j) = math.min(sub, math.min(curI(j), curJgap))
@@ -191,6 +197,11 @@ object AffineGap {
   def normalized(s: String, t: String): Double = {
     val denom = s.length + t.length
     if (denom == 0) 0.0 else distance(s, t) / denom
+  }
+
+  def normalizedChars(s: Array[Char], n: Int, t: Array[Char], m: Int): Double = {
+    val denom = n + m
+    if (denom == 0) 0.0 else distanceChars(s, n, t, m) / denom
   }
 }
 

@@ -20,6 +20,37 @@ package graft.expr
  *  - simhash64 is the scale substitute for the reference's TF-IDF canopy
  *    index predicates (`dedupe:index/tfidf†`, SURVEY.md §2.3 B15).
  */
+/**
+ * Shared per-thread char buffers: every pairwise comparator call converts
+ * its two inputs into these (String.getChars / ASCII byte copy — NO
+ * String/char[] allocation on the hot path). The scoring stage runs the
+ * kernels 10^7-10^8 times per pass; the per-call `UTF8String.toString`
+ * conversions were ~560M allocations/pass, and the resulting GC ran "for
+ * free" on idle cores at local[8] while competing with the workers at
+ * local[32] — a direct scaling-efficiency tax.
+ */
+private[expr] object CharScratch {
+  private val tlA = new ThreadLocal[Array[Char]] {
+    override def initialValue(): Array[Char] = new Array[Char](256)
+  }
+  private val tlB = new ThreadLocal[Array[Char]] {
+    override def initialValue(): Array[Char] = new Array[Char](256)
+  }
+  def bufA(min: Int): Array[Char] = grow(tlA, min)
+  def bufB(min: Int): Array[Char] = grow(tlB, min)
+  private def grow(tl: ThreadLocal[Array[Char]], min: Int): Array[Char] = {
+    var b = tl.get()
+    if (b.length < min) { b = new Array[Char](math.max(2 * min, 256)); tl.set(b) }
+    b
+  }
+  def fillA(s: String): Array[Char] = {
+    val b = bufA(s.length); s.getChars(0, s.length, b, 0); b
+  }
+  def fillB(s: String): Array[Char] = {
+    val b = bufB(s.length); s.getChars(0, s.length, b, 0); b
+  }
+}
+
 object Sim {
 
   // per-thread scratch: the pairwise kernels run 10^7-10^8 times per stage;
@@ -50,10 +81,20 @@ object Sim {
     override def initialValue(): Array[Int] = new Array[Int](256)
   }
 
-  private def isAscii(s: String): Boolean = {
+  private def isAscii(s: Array[Char], n: Int): Boolean = {
     var i = 0
-    while (i < s.length) {
-      if (s.charAt(i) >= 128) return false
+    while (i < n) {
+      if (s(i) >= 128) return false
+      i += 1
+    }
+    true
+  }
+
+  private def eqChars(s: Array[Char], n: Int, t: Array[Char], m: Int): Boolean = {
+    if (n != m) return false
+    var i = 0
+    while (i < n) {
+      if (s(i) != t(i)) return false
       i += 1
     }
     true
@@ -71,28 +112,27 @@ object Sim {
    * dominant cost of the page-dedupe pipeline before this.
    * Sets match flags in `buf` (s at [0,n), t at [n,n+m)); returns matches.
    */
-  private def jaroMatchAscii(s: String, t: String, window: Int,
-      buf: Array[Boolean]): Int = {
-    val n = s.length; val m = t.length
+  private def jaroMatchAscii(s: Array[Char], n: Int, t: Array[Char], m: Int,
+      window: Int, buf: Array[Boolean]): Int = {
     val cnt = jaroCnt.get()
     val cur = jaroCur.get()
     java.util.Arrays.fill(cnt, 0, 129, 0)
     var j = 0
-    while (j < m) { cnt(t.charAt(j) + 1) += 1; j += 1 }
+    while (j < m) { cnt(t(j) + 1) += 1; j += 1 }
     var c = 1
     while (c < 129) { cnt(c) += cnt(c - 1); c += 1 } // cnt(c) = end offset of char c-1... cumulative
     var pos = jaroPos.get()
     if (pos.length < m) { pos = new Array[Int](2 * m); jaroPos.set(pos) }
     System.arraycopy(cnt, 0, cur, 0, 129) // fill cursors: cur(c) = start of char c
     j = 0
-    while (j < m) { val ch = t.charAt(j); pos(cur(ch)) = j; cur(ch) += 1; j += 1 }
+    while (j < m) { val ch = t(j); pos(cur(ch)) = j; cur(ch) += 1; j += 1 }
     System.arraycopy(cnt, 0, cur, 0, 129) // reset: cur(c) = first candidate index
     var matches = 0
     var i = 0
     while (i < n) {
       val lo = if (i - window > 0) i - window else 0
       val hi = if (i + window < m - 1) i + window else m - 1
-      val ch = s.charAt(i)
+      val ch = s(i)
       val end = cnt(ch + 1)
       var k = cur(ch)
       while (k < end && pos(k) < lo) k += 1
@@ -109,17 +149,19 @@ object Sim {
   }
 
   /** Jaro similarity in [0,1]; 0.0 if either side is empty (DuckDB parity). */
-  def jaro(s: String, t: String): Double = {
-    val n = s.length
-    val m = t.length
+  def jaro(s: String, t: String): Double =
+    jaroChars(CharScratch.fillA(s), s.length, CharScratch.fillB(t), t.length)
+
+  /** Char-buffer core (zero-allocation hot path; see [[CharScratch]]). */
+  def jaroChars(s: Array[Char], n: Int, t: Array[Char], m: Int): Double = {
     if (n == 0 || m == 0) return 0.0
-    if (s == t) return 1.0
+    if (eqChars(s, n, t, m)) return 1.0
     val window = math.max(0, math.max(n, m) / 2 - 1)
     val buf = boolBuf(n + m)
     // sMatched = buf[0, n); tMatched = buf[n, n+m)
     var matches = 0
-    if (math.max(n, m) > 64 && isAscii(s) && isAscii(t)) {
-      matches = jaroMatchAscii(s, t, window, buf)
+    if (math.max(n, m) > 64 && isAscii(s, n) && isAscii(t, m)) {
+      matches = jaroMatchAscii(s, n, t, m, window, buf)
     } else {
       var i = 0
       while (i < n) {
@@ -128,7 +170,7 @@ object Sim {
         var j = lo
         var done = false
         while (j <= hi && !done) {
-          if (!buf(n + j) && s.charAt(i) == t.charAt(j)) {
+          if (!buf(n + j) && s(i) == t(j)) {
             buf(i) = true
             buf(n + j) = true
             matches += 1
@@ -147,7 +189,7 @@ object Sim {
     while (i < n) {
       if (buf(i)) {
         while (!buf(n + k)) k += 1
-        if (s.charAt(i) != t.charAt(k)) transpositions += 1
+        if (s(i) != t(k)) transpositions += 1
         k += 1
       }
       i += 1
@@ -162,20 +204,26 @@ object Sim {
   }
 
   /** Jaro-Winkler with p=0.1, 4-char prefix cap, 0.7 boost threshold. */
-  def jaroWinkler(s: String, t: String): Double = {
-    val j = jaro(s, t)
+  def jaroWinkler(s: String, t: String): Double =
+    jaroWinklerChars(CharScratch.fillA(s), s.length, CharScratch.fillB(t), t.length)
+
+  def jaroWinklerChars(s: Array[Char], n: Int, t: Array[Char], m: Int): Double = {
+    val j = jaroChars(s, n, t, m)
     if (j <= 0.7) return j
     var prefix = 0
-    val cap = math.min(4, math.min(s.length, t.length))
-    while (prefix < cap && s.charAt(prefix) == t.charAt(prefix)) prefix += 1
+    val cap = math.min(4, math.min(n, m))
+    while (prefix < cap && s(prefix) == t(prefix)) prefix += 1
     j + prefix * 0.1 * (1.0 - j)
   }
 
   /** Normalized Levenshtein similarity in [0,1]: 1 - dist/max(len). */
-  def levenshteinSim(s: String, t: String): Double = {
-    val maxLen = math.max(s.length, t.length)
+  def levenshteinSim(s: String, t: String): Double =
+    levenshteinSimChars(CharScratch.fillA(s), s.length, CharScratch.fillB(t), t.length)
+
+  def levenshteinSimChars(s: Array[Char], n: Int, t: Array[Char], m: Int): Double = {
+    val maxLen = math.max(n, m)
     if (maxLen == 0) 1.0
-    else 1.0 - levenshtein(s, t).toDouble / maxLen
+    else 1.0 - levenshteinChars(s, n, t, m).toDouble / maxLen
   }
 
   private val intScratchA = new ThreadLocal[Array[Int]] {
@@ -198,16 +246,18 @@ object Sim {
     * compares multi-KB `text_norm` fields: the scalar DP is millions of
     * cells per pair; bit-parallel is ~64× fewer word ops. Both paths
     * return the exact distance, so oracle hashes are unaffected. */
-  def levenshtein(s: String, t: String): Int = {
-    val n = s.length; val m = t.length
+  def levenshtein(s: String, t: String): Int =
+    levenshteinChars(CharScratch.fillA(s), s.length, CharScratch.fillB(t), t.length)
+
+  def levenshteinChars(s: Array[Char], n: Int, t: Array[Char], m: Int): Int = {
     if (n == 0) return m
     if (m == 0) return n
     if (math.min(n, m) > 12) {
       // pattern = shorter side → fewest 64-bit blocks
       return if (n <= m) {
-        if (n <= 64) myersLev1(s, t) else myersLevBlocked(s, t)
+        if (n <= 64) myersLev1(s, n, t, m) else myersLevBlocked(s, n, t, m)
       } else {
-        if (m <= 64) myersLev1(t, s) else myersLevBlocked(t, s)
+        if (m <= 64) myersLev1(t, m, s, n) else myersLevBlocked(t, m, s, n)
       }
     }
     var prev = intBuf(intScratchA, m + 1)
@@ -217,10 +267,10 @@ object Sim {
     var i = 1
     while (i <= n) {
       cur(0) = i
-      val sc = s.charAt(i - 1)
+      val sc = s(i - 1)
       j = 1
       while (j <= m) {
-        val cost = if (sc == t.charAt(j - 1)) 0 else 1
+        val cost = if (sc == t(j - 1)) 0 else 1
         cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
         j += 1
       }
@@ -244,13 +294,12 @@ object Sim {
   }
 
   /** Single-word Myers (pattern length ≤ 64). */
-  private def myersLev1(p: String, t: String): Int = {
-    val m = p.length
+  private def myersLev1(p: Array[Char], m: Int, t: Array[Char], n: Int): Int = {
     val peq = peqBuf(128)
     var extra: java.util.HashMap[Character, Long] = null
     var i = 0
     while (i < m) {
-      val c = p.charAt(i)
+      val c = p(i)
       if (c < 128) peq(c) |= 1L << i
       else {
         if (extra == null) extra = new java.util.HashMap[Character, Long]()
@@ -263,10 +312,9 @@ object Sim {
     var mv = 0L
     var score = m
     val mask = 1L << (m - 1)
-    val n = t.length
     var j = 0
     while (j < n) {
-      val c = t.charAt(j)
+      val c = t(j)
       val eq =
         if (c < 128) peq(c)
         else if (extra != null) { val v = extra.get(c); if (v == null) 0L else v.longValue() }
@@ -287,15 +335,14 @@ object Sim {
   }
 
   /** Blocked Myers (Hyyrö's generalization) for patterns > 64 chars. */
-  private def myersLevBlocked(p: String, t: String): Int = {
-    val m = p.length
+  private def myersLevBlocked(p: Array[Char], m: Int, t: Array[Char], n: Int): Int = {
     val W = 64
     val blocks = (m + W - 1) / W
     val peq = peqBuf(128 * blocks)
     var extra: java.util.HashMap[Character, Array[Long]] = null
     var i = 0
     while (i < m) {
-      val c = p.charAt(i)
+      val c = p(i)
       if (c < 128) peq(c * blocks + i / W) |= 1L << (i % W)
       else {
         if (extra == null) extra = new java.util.HashMap[Character, Array[Long]]()
@@ -310,10 +357,9 @@ object Sim {
     java.util.Arrays.fill(pvs, -1L)
     var score = m
     val lastMask = 1L << ((m - 1) % W)
-    val n = t.length
     var j = 0
     while (j < n) {
-      val c = t.charAt(j)
+      val c = t(j)
       val extraArr = if (c < 128 || extra == null) null else extra.get(c)
       var hin = 1
       var b = 0
@@ -354,17 +400,21 @@ object Sim {
    * for 47M pairs at sf0.1; this kernel replaces it). Semantics are
    * identical: distinct n-gram sets, |∩| / |∪|, both-empty → 1.0.
    */
-  def ngramJaccard(a: String, b: String, n: Int): Double = {
+  def ngramJaccard(a: String, b: String, n: Int): Double =
+    ngramJaccardChars(CharScratch.fillA(a), a.length, CharScratch.fillB(b), b.length, n)
+
+  def ngramJaccardChars(a: Array[Char], la: Int, b: Array[Char], lb: Int,
+      n: Int): Double = {
     // zero-allocation fast path: an n-gram of up to 4 UTF-16 chars packs
     // into one long (4x16 bits); distinct grams live in thread-local
     // arrays with insertion-scan dedupe (gram counts are tiny for names).
     // The HashSet<String> version allocated ~40 objects/pair — measured
     // 531 s for 47M pairs; this path is allocation-free.
-    if (n <= 4 && a.length <= 132 && b.length <= 132) {
-      val bufA = longBuf(longScratchA, math.max(a.length, 1))
-      val bufB = longBuf(longScratchB, math.max(b.length, 1))
-      val na = packGrams(a, n, bufA)
-      val nb = packGrams(b, n, bufB)
+    if (n <= 4 && la <= 132 && lb <= 132) {
+      val bufA = longBuf(longScratchA, math.max(la, 1))
+      val bufB = longBuf(longScratchB, math.max(lb, 1))
+      val na = packGrams(a, la, n, bufA)
+      val nb = packGrams(b, lb, n, bufB)
       if (na == 0 && nb == 0) return 1.0
       var inter = 0
       var i = 0
@@ -381,12 +431,14 @@ object Sim {
       return inter.toDouble / (na + nb - inter)
     }
     // general path (long texts / large n): hash sets of gram strings
+    val as = new String(a, 0, la)
+    val bs = new String(b, 0, lb)
     val sa = new java.util.HashSet[String]()
     var i = 0
-    while (i + n <= a.length) { sa.add(a.substring(i, i + n)); i += 1 }
+    while (i + n <= la) { sa.add(as.substring(i, i + n)); i += 1 }
     val sb = new java.util.HashSet[String]()
     i = 0
-    while (i + n <= b.length) { sb.add(b.substring(i, i + n)); i += 1 }
+    while (i + n <= lb) { sb.add(bs.substring(i, i + n)); i += 1 }
     if (sa.isEmpty && sb.isEmpty) return 1.0
     var inter = 0
     val it = sb.iterator()
@@ -408,15 +460,15 @@ object Sim {
   }
 
   /** Pack distinct n-grams (n<=4) of s as longs into buf; returns count. */
-  private def packGrams(s: String, n: Int, buf: Array[Long]): Int = {
+  private def packGrams(s: Array[Char], len: Int, n: Int, buf: Array[Long]): Int = {
     var count = 0
     var i = 0
-    while (i + n <= s.length) {
+    while (i + n <= len) {
       // n<=4 UTF-16 chars pack uniquely into 16n <= 64 bits; all grams in
       // one call share n, so no cross-length collision is possible
       var g = 0L
       var k = 0
-      while (k < n) { g = (g << 16) | s.charAt(i + k); k += 1 }
+      while (k < n) { g = (g << 16) | s(i + k); k += 1 }
       var j = 0
       var dup = false
       while (j < count && !dup) {

@@ -37,8 +37,12 @@ object Gazetteer {
   case class CanonIndex(blocks: DataFrame, fields: DataFrame, config: Config)
 
   /** @param canon prepared canonical records (id + derived scoring fields).
-    * The returned frames are persisted; call `unpersist()` when done. */
-  def buildCanonIndex(canon: DataFrame, config: Config): CanonIndex = {
+    * @param persist cache the index frames (the reuse-across-batches
+    *   path — call `unpersist()` on both when done); one-shot callers
+    *   pass false so nothing leaks into the block-manager
+    */
+  def buildCanonIndex(canon: DataFrame, config: Config,
+      persist: Boolean = true): CanonIndex = {
     val model = config.model
     val canonBlocksAll = Blocking.blockingMap(canon, model.predicates, "id")
       .withColumnRenamed("id", "canon_id")
@@ -47,11 +51,12 @@ object Gazetteer {
     val eligible = canonBlocksAll.groupBy("block_key").count()
       .filter(col("count") <= config.maxCanonBlockSize)
       .select("block_key")
-    val blocks = canonBlocksAll.join(eligible, "block_key").persist()
+    val blocks0 = canonBlocksAll.join(eligible, "block_key")
+    val blocks = if (persist) blocks0.persist() else blocks0
     val flds = Dedupe.requiredFields(model.featureNames)
-    val fields = canon
+    val fields0 = canon
       .select(col("id").as("id2") +: flds.map(f => col(f).as(s"${f}_2")): _*)
-      .persist()
+    val fields = if (persist) fields0.persist() else fields0
     CanonIndex(blocks, fields, config)
   }
 
@@ -92,7 +97,7 @@ object Gazetteer {
    */
   def matchRecords(spark: SparkSession, messy: DataFrame, canon: DataFrame,
       config: Config): DataFrame =
-    matchAgainst(messy, buildCanonIndex(canon, config))
+    matchAgainst(messy, buildCanonIndex(canon, config, persist = false))
 
   /**
    * Second-stage dedupe (`dedupe-api (fn dedupeCanon)†`, SURVEY.md §2.6
