@@ -76,7 +76,10 @@ object SparkEntry {
   private def attachedNamePairs(s: SparkSession, dir: String): DataFrame =
     pairCache.computeIfAbsent((s, dir), { _ =>
       evictOnStop(s)
+      // repartition: part.parquet is one row group — without it the NFKC
+      // normalize + token explode feeding the census run single-threaded
       val recs = s.read.parquet(s"$dir/part.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("p_partkey").as("id"), normalize_text(col("p_name")).as("name"))
       val blocks = graft.block.Blocking.blockingMap(
         recs, Seq(PredicateSpec("token", "name")), "id")
@@ -164,10 +167,13 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
-    // text-analysis pack over documents: token counts, lang-ID, quality
+    // text-analysis pack over documents: token counts, lang-ID, quality.
+    // repartition: the single-row-group input scan would otherwise run
+    // every regex kernel on one thread (scan-parallelism floor)
     "q_text_stats" -> ((s, dir) => {
       import graft.textops.TextOps
       s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
           TextOps.bpeishCount(col("text")).cast("long").as("n_bpeish"),
@@ -238,13 +244,18 @@ object SparkEntry {
         .orderBy(col("messy_id"))
     }),
 
-    // multimodal plumbing: batched feature extraction over binary columns
+    // multimodal plumbing: batched feature extraction over binary columns.
+    // Green-checkable: the deterministic decode stub is a byte histogram,
+    // so DuckDB reproduces bins from the (all-ASCII) source text — feat0 =
+    // control-char bin (empty-bin correctness), feat6 = the 0x60-0x6f bin
+    // (varies per doc), feat_sum = 1.0 (normalization)
     "q_media_features" -> ((s, dir) => {
       val media = graft.multimodal.Media.fakeMediaFromDocuments(s, dir)
       graft.multimodal.Media.extractFeatures(media)
         .select(col("media_id"), col("kind"),
           round(aggregate(col("features"), lit(0.0d), (a, x) => a + x), 6).as("feat_sum"),
-          round(element_at(col("features"), 1), 6).as("feat0"))
+          round(element_at(col("features"), 1), 6).as("feat0"),
+          round(element_at(col("features"), 7), 6).as("feat6"))
         .orderBy(col("media_id"))
     }),
 
@@ -331,6 +342,44 @@ object SparkEntry {
       val messy = recs.filter(col("id") % 2 === 1)
       val canon = recs.filter(col("id") % 2 === 0)
       val m = Model(bias = -8.0, weights = Map("jw_name" -> 12.0), threshold = 0.5,
+        predicates = Seq(PredicateSpec("token", "name")))
+      graft.pipeline.Gazetteer.matchRecords(s, messy, canon,
+          graft.pipeline.Gazetteer.Config(m, nMatches = 2, maxCanonBlockSize = 1000))
+        .select(col("messy_id"), col("canon_id"),
+          round(col("score"), 6).as("score"), col("rank"))
+        .orderBy(col("messy_id"), col("rank"))
+    }),
+
+    // unicode tokenizer parity (round-2 verdict item 7): the REAL blocking
+    // path (token predicate) over a non-ASCII literal fixture, green-
+    // checked against DuckDB's RE2 on the same `[^\p{L}\p{N}]+` class —
+    // proves blocking keys agree on multilingual crawl text, not just the
+    // ASCII part/customer names every other green query uses
+    "q_unicode_block" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Seq(
+        (1L, "café crème brûlée"),
+        (2L, "naïve café owner"),
+        (3L, "mötley crüe 東京 tour"),
+        (4L, "data_pipeline über alles"),
+        (5L, "ασπίδα δεδομένων 42")).toDF("id", "name")
+      graft.block.Blocking.blockingMap(
+          recs, Seq(PredicateSpec("token", "name")), "id")
+        .orderBy(col("id"), col("block_key"))
+    }),
+
+    // gazetteer with a MULTI-feature LR model (JW + Lev + exact), token
+    // blocking only — the full matchRecords path with several weighted
+    // comparators, DuckDB-oracle-checkable end to end (verdict item 10)
+    "q_gazetteer_multi" -> ((s, dir) => {
+      val recs = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey").as("id"), normalize_text(col("p_name")).as("name"),
+          col("p_brand").as("brand"))
+      val messy = recs.filter(col("id") % 2 === 1)
+      val canon = recs.filter(col("id") % 2 === 0)
+      val m = Model(bias = -10.0,
+        weights = Map("jw_name" -> 9.0, "lev_name" -> 6.0, "exact_brand" -> 1.0),
+        threshold = 0.5,
         predicates = Seq(PredicateSpec("token", "name")))
       graft.pipeline.Gazetteer.matchRecords(s, messy, canon,
           graft.pipeline.Gazetteer.Config(m, nMatches = 2, maxCanonBlockSize = 1000))
@@ -475,7 +524,7 @@ object SparkEntry {
         |  FROM part),
         |blocks AS (
         |  SELECT id, tok AS block_key FROM recs,
-        |    unnest(regexp_split_to_array(name, '\W+')) AS t(tok)
+        |    unnest(regexp_split_to_array(name, '[^\p{L}\p{N}]+')) AS t(tok)
         |  WHERE length(tok) > 0
         |  GROUP BY id, tok)
         |SELECT DISTINCT a.id AS id1, b.id AS id2
@@ -490,7 +539,7 @@ object SparkEntry {
         |  FROM part),
         |blocks AS (
         |  SELECT id, tok AS block_key FROM recs,
-        |    unnest(regexp_split_to_array(name, '\W+')) AS t(tok)
+        |    unnest(regexp_split_to_array(name, '[^\p{L}\p{N}]+')) AS t(tok)
         |  WHERE length(tok) > 0
         |  GROUP BY id, tok),
         |pairs AS (
@@ -520,7 +569,7 @@ object SparkEntry {
     "q_text_stats" ->
       """WITH base AS (
         |  SELECT doc_id, text,
-        |    list_filter(regexp_split_to_array(lower(text), '\W+'),
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
         |                x -> length(x) > 0) AS ltoks
         |  FROM documents),
         |hits AS (
@@ -543,7 +592,7 @@ object SparkEntry {
         |    greatest(CAST(len(ltoks) AS DOUBLE), 1.0) AS ntoks
         |  FROM hits)
         |SELECT doc_id,
-        |  len(list_filter(regexp_split_to_array(text, '\W+'), x -> length(x) > 0)) AS n_tokens,
+        |  len(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'), x -> length(x) > 0)) AS n_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish,
         |  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
         |       WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
@@ -574,7 +623,7 @@ object SparkEntry {
         |  FROM part),
         |blocks AS (
         |  SELECT id, tok AS block_key FROM recs,
-        |    unnest(regexp_split_to_array(name, '\W+')) AS t(tok)
+        |    unnest(regexp_split_to_array(name, '[^\p{L}\p{N}]+')) AS t(tok)
         |  WHERE length(tok) > 0
         |  GROUP BY id, tok),
         |pairs AS (
@@ -618,7 +667,7 @@ object SparkEntry {
         |  FROM part),
         |blocks AS (
         |  SELECT id, tok AS block_key FROM recs,
-        |    unnest(regexp_split_to_array(name, '\W+')) AS t(tok)
+        |    unnest(regexp_split_to_array(name, '[^\p{L}\p{N}]+')) AS t(tok)
         |  WHERE length(tok) > 0
         |  GROUP BY id, tok),
         |pairs AS (
@@ -656,7 +705,7 @@ object SparkEntry {
         |  FROM part),
         |blocks AS (
         |  SELECT id, tok AS block_key FROM recs,
-        |    unnest(regexp_split_to_array(name, '\W+')) AS t(tok)
+        |    unnest(regexp_split_to_array(name, '[^\p{L}\p{N}]+')) AS t(tok)
         |  WHERE length(tok) > 0
         |  GROUP BY id, tok),
         |pairs AS (
@@ -665,7 +714,7 @@ object SparkEntry {
         |  WHERE a.id < b.id),
         |toks AS (
         |  SELECT id, tok AS term FROM recs,
-        |    unnest(regexp_split_to_array(name, '\W+')) AS t(tok)
+        |    unnest(regexp_split_to_array(name, '[^\p{L}\p{N}]+')) AS t(tok)
         |  WHERE length(tok) > 0),
         |tf AS (
         |  SELECT id, term, CAST(count(*) AS DOUBLE) AS tf
@@ -704,7 +753,7 @@ object SparkEntry {
         |  FROM part),
         |blocks AS (
         |  SELECT id, tok AS block_key FROM recs,
-        |    unnest(regexp_split_to_array(name, '\W+')) AS t(tok)
+        |    unnest(regexp_split_to_array(name, '[^\p{L}\p{N}]+')) AS t(tok)
         |  WHERE length(tok) > 0
         |  GROUP BY id, tok),
         |canon_blocks AS (SELECT * FROM blocks WHERE id % 2 = 0),
@@ -803,6 +852,84 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, sess_num
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // the decode stub is a normalized 16-bin byte histogram over the
+    // UTF-8 bytes of text; the corpus is ASCII (verified), so char counts
+    // == byte counts and RE2 hex classes reproduce the bins exactly
+    "q_media_features" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  round(CASE WHEN length(text) = 0 THEN 0.0 ELSE 1.0 END, 6) AS feat_sum,
+        |  round(CAST(length(text) - length(regexp_replace(text, '[\x00-\x0f]', '', 'g'))
+        |        AS DOUBLE) / greatest(length(text), 1), 6) AS feat0,
+        |  round(CAST(length(text) - length(regexp_replace(text, '[\x60-\x6f]', '', 'g'))
+        |        AS DOUBLE) / greatest(length(text), 1), 6) AS feat6
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // constant-fixture oracle: the 6-edge input is a literal, so the
+    // expected refinement is a constant — this green row regression-guards
+    // G3's semantics (the component with the round-1 relabeling bug)
+    "q_hac_refine" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT)), (2, 1), (3, 3), (4, 3),
+        |  (10, 10), (11, 10), (12, 10)) AS t(id, component)
+        |ORDER BY id""".stripMargin,
+
+    "q_unicode_block" ->
+      """WITH recs AS (
+        |  SELECT * FROM (VALUES
+        |    (CAST(1 AS BIGINT), 'café crème brûlée'),
+        |    (2, 'naïve café owner'),
+        |    (3, 'mötley crüe 東京 tour'),
+        |    (4, 'data_pipeline über alles'),
+        |    (5, 'ασπίδα δεδομένων 42')) AS v(id, name))
+        |SELECT id, '0:' || tok AS block_key
+        |FROM recs, unnest(regexp_split_to_array(name, '[^\p{L}\p{N}]+')) AS t(tok)
+        |WHERE length(tok) > 0
+        |GROUP BY id, tok
+        |ORDER BY id, block_key""".stripMargin,
+
+    "q_gazetteer_multi" ->
+      """WITH recs AS (
+        |  SELECT p_partkey AS id,
+        |         lower(trim(regexp_replace(p_name, '\s+', ' ', 'g'))) AS name,
+        |         p_brand AS brand
+        |  FROM part),
+        |blocks AS (
+        |  SELECT id, tok AS block_key FROM recs,
+        |    unnest(regexp_split_to_array(name, '[^\p{L}\p{N}]+')) AS t(tok)
+        |  WHERE length(tok) > 0
+        |  GROUP BY id, tok),
+        |canon_blocks AS (SELECT * FROM blocks WHERE id % 2 = 0),
+        |eligible AS (
+        |  SELECT block_key FROM canon_blocks
+        |  GROUP BY block_key HAVING count(*) <= 1000),
+        |messy_blocks AS (SELECT * FROM blocks WHERE id % 2 = 1),
+        |pairs AS (
+        |  SELECT DISTINCT m.id AS id1, c.id AS id2
+        |  FROM messy_blocks m
+        |  JOIN canon_blocks c ON m.block_key = c.block_key
+        |  JOIN eligible e ON c.block_key = e.block_key),
+        |scored AS (
+        |  SELECT p.id1, p.id2,
+        |    1.0/(1.0 + exp(-(-10.0
+        |      + 9.0*coalesce(jaro_winkler_similarity(r1.name, r2.name), 0.0)
+        |      + 6.0*coalesce(1.0 - CAST(levenshtein(r1.name, r2.name) AS DOUBLE)
+        |                     / greatest(length(r1.name), length(r2.name)), 0.0)
+        |      + 1.0*coalesce(CAST(r1.brand = r2.brand AS DOUBLE), 0.0)))) AS score
+        |  FROM pairs p
+        |  JOIN recs r1 ON p.id1 = r1.id
+        |  JOIN recs r2 ON p.id2 = r2.id),
+        |ranked AS (
+        |  SELECT id1, id2, score,
+        |    row_number() OVER (PARTITION BY id1 ORDER BY score DESC, id2) AS rnk
+        |  FROM scored WHERE score >= 0.5)
+        |SELECT id1 AS messy_id, id2 AS canon_id,
+        |  round(score, 6) AS score, rnk AS "rank"
+        |FROM ranked WHERE rnk <= 2
+        |ORDER BY messy_id, "rank"""".stripMargin,
 
     "q_review_queue" ->
       """WITH state AS (

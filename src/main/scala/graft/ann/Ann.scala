@@ -113,8 +113,17 @@ object Ann {
     // whole corpus through one task). `limit` then trims the sample to
     // exactly nlist rows (tiny input by then; deterministic via the sort).
     val n = i.count()
-    val step = math.max(1L, n / nlist)
-    val cents = i.filter(pmod(xxhash64(col("item_id")), lit(step)) === 0)
+    // hash sampling keeps ~nlist rows only in EXPECTATION — a skewed or
+    // tiny corpus can come up short (extreme: zero centroids → no
+    // neighbors at all). Relax the modulus (halving) until enough rows
+    // survive; each retry is one cheap filtered count, and step=1 keeps
+    // everything, so termination with >= min(nlist, n) rows is guaranteed.
+    var step = math.max(1L, n / nlist)
+    def sample(st: Long) = i.filter(pmod(xxhash64(col("item_id")), lit(st)) === 0)
+    while (step > 1L && sample(step).count() < math.min(nlist.toLong, n)) {
+      step = step / 2
+    }
+    val cents = sample(step)
       .sort(col("item_id")).limit(nlist)
       .select(col("item_id").as("cent_id"), col("ivec").as("cvec"))
     // assign items to nearest centroid: broadcast nlist centroids, then a

@@ -19,24 +19,34 @@ import graft.expr.Sim
  */
 object Canonicalize {
 
-  def medoid(values: Seq[String], maxValues: Int = 64): String = {
+  def medoid(values: Seq[String], maxValues: Int = 64,
+      maxCompareLen: Int = 256): String = {
     val vs = values.filter(v => v != null && v.nonEmpty).sorted.take(maxValues)
     if (vs.isEmpty) return null
-    if (vs.length == 1) return vs.head
-    var best: String = null
+    // k ≤ 2 short-circuit: with one value it IS the medoid; with two, the
+    // distance is symmetric so both tie and the tie-break picks the
+    // lexicographic minimum — vs.head either way, no comparator call.
+    if (vs.length <= 2) return vs.head
+    // comparator inputs capped at a prefix: crawl-page fields are multi-KB
+    // and JW over full bodies made canonicalization the pipeline's top cost
+    // at scale; the first maxCompareLen chars carry the discriminating
+    // signal (values identical through the prefix tie → lexicographic min,
+    // still deterministic). The RETURNED value is always the full string.
+    val cs = vs.map(v => if (v.length > maxCompareLen) v.substring(0, maxCompareLen) else v)
+    var bestIdx = 0
     var bestCost = Double.MaxValue
     var i = 0
-    while (i < vs.length) {
+    while (i < cs.length) {
       var cost = 0.0
       var j = 0
-      while (j < vs.length) {
-        if (i != j) cost += 1.0 - Sim.jaroWinkler(vs(i), vs(j))
+      while (j < cs.length) {
+        if (i != j) cost += 1.0 - Sim.jaroWinkler(cs(i), cs(j))
         j += 1
       }
-      if (cost < bestCost) { bestCost = cost; best = vs(i) } // first == lexic. min on tie
+      if (cost < bestCost) { bestCost = cost; bestIdx = i } // first == lexic. min on tie
       i += 1
     }
-    best
+    vs(bestIdx)
   }
 
   /**

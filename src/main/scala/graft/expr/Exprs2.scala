@@ -77,15 +77,18 @@ object ExprKernels2 {
     dot
   }
 
-  /** Dot product of two map<string,double> vectors over the key union —
-    * identical value AND identical summation order to the built-in
-    * composition `aggregate(map_values(map_zip_with(a,b,coalesce·*)))`:
-    * map_zip_with walks a's keys first (keys-only-in-b contribute exact
-    * +0.0 terms, which cannot change an IEEE sum of non-negative weights).
-    * Direct kernel: zero allocation vs ~10 objects/pair for the composed
-    * form (maps are top-64 TF-IDF vectors, so the O(|a|·|b|) scan is
-    * bounded and branch-cheap). */
-  def mapDot(a: org.apache.spark.sql.catalyst.util.MapData,
+  private def isKeySorted(k: ArrayData, n: Int): Boolean = {
+    var i = 1
+    while (i < n) {
+      if (k.getUTF8String(i).compareTo(k.getUTF8String(i - 1)) <= 0) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Reference/fallback kernel: O(|a|·|b|) scan over a's keys. Summation
+    * order = a's entry order. */
+  private[expr] def mapDotScan(a: org.apache.spark.sql.catalyst.util.MapData,
       b: org.apache.spark.sql.catalyst.util.MapData): Double = {
     val ak = a.keyArray(); val av = a.valueArray()
     val bk = b.keyArray(); val bv = b.valueArray()
@@ -102,6 +105,34 @@ object ExprKernels2 {
       }
       if (hit >= 0) acc += av.getDouble(i) * bv.getDouble(hit)
       i += 1
+    }
+    acc
+  }
+
+  /** Dot product of two map<string,double> vectors over the key union
+    * (missing → 0). When BOTH maps are key-ascending — the TF-IDF builder
+    * sorts entries (Scoring.withTfidfVectors) — a two-cursor merge does it
+    * in O(|a|+|b|) byte comparisons; otherwise it falls back to the
+    * quadratic [[mapDotScan]] (an O(n+m) up-front sortedness check, so the
+    * fallback costs one extra pass, never a wrong answer). Summation order
+    * is key order under the merge vs a's entry order under the scan; all
+    * matched products are the same non-negative terms either way and the
+    * q_tfidf_cosine oracle stays hash-green at 6 decimals. */
+  def mapDot(a: org.apache.spark.sql.catalyst.util.MapData,
+      b: org.apache.spark.sql.catalyst.util.MapData): Double = {
+    val ak = a.keyArray(); val av = a.valueArray()
+    val bk = b.keyArray(); val bv = b.valueArray()
+    val na = a.numElements(); val nb = b.numElements()
+    if (!isKeySorted(ak, na) || !isKeySorted(bk, nb)) return mapDotScan(a, b)
+    var acc = 0.0
+    var i = 0; var j = 0
+    while (i < na && j < nb) {
+      val c = ak.getUTF8String(i).compareTo(bk.getUTF8String(j))
+      if (c == 0) {
+        acc += av.getDouble(i) * bv.getDouble(j)
+        i += 1; j += 1
+      } else if (c < 0) i += 1
+      else j += 1
     }
     acc
   }

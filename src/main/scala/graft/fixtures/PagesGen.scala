@@ -85,7 +85,10 @@ object PagesGen {
     * variants — used by SparkEntry queries so sfDir scaling carries over. */
   def fromDocuments(spark: SparkSession, sfDir: String, variantsPerDoc: Int = 1): DataFrame = {
     import org.apache.spark.sql.functions._
+    // the driver's documents.parquet is one row group → a 1-partition scan
+    // that would serialize every downstream per-row kernel; spread it once
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
     val base = docs.select(
       concat(lit("https://docs.example/"), col("doc_id")).as("url"),
       to_timestamp(lit("2017-07-14 02:40:00")).as("warc_ts"),

@@ -65,10 +65,16 @@ object gfunctions {
     lit(6371.0088) * lit(2.0) * asin(sqrt(least(h, lit(1.0))))
   }
 
-  /** Whitespace/punct tokenizer used consistently across blocking/scoring.
-    * `\\W+` split with empties dropped — mirrors `dedupe:predicates (words)†`. */
+  /** Whitespace/punct tokenizer used consistently across blocking/scoring —
+    * mirrors `dedupe:predicates (words)†`. The split class is an explicit
+    * Unicode one, `[^\p{L}\p{N}]+`, NOT `\W+`: Java's `\w` without
+    * UNICODE_CHARACTER_CLASS is ASCII-only, which would shred multilingual
+    * crawl text ("café" → "caf") and silently diverge from any oracle
+    * engine with different `\w` semantics. `\p{L}\p{N}` means the same
+    * thing in Java regex and RE2 (DuckDB), so blocking-key parity holds on
+    * non-ASCII input too (round-2 verdict item: unicode tokenizer parity). */
   def tokens(s: Column): Column =
-    filter(split(s, "\\W+"), t => length(t) > 0)
+    filter(split(s, "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
 
   /** Cosine similarity between two float/double array columns (same
     * length). One-pass Catalyst kernel — value-identical to the zip_with

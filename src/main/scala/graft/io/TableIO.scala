@@ -50,18 +50,44 @@ object TableIO {
    * 10^12-row scale. Path targets write `bucket=N/` directories; catalog
    * targets use DataSourceV2 bucket transforms (Iceberg bucket
    * partitioning in production).
+   *
+   * HASH-FAMILY DIVERGENCE (known, deliberate): path mode buckets by
+   * `pmod(xxhash64(col), n)` while the catalog transform uses the
+   * catalog's own hash (Iceberg: 32-bit Murmur3 per its spec) — the SAME
+   * entity id lands in DIFFERENT bucket numbers under the two layouts.
+   * Point-lookup code must therefore resolve the bucket through
+   * [[bucketOf]] for path layouts and through the catalog's metadata for
+   * table layouts, never assume the numbers are interchangeable. We do
+   * not replicate Iceberg's bucket hash here: no Iceberg jar ships in
+   * this sandbox, so a reimplementation would be unverifiable.
    */
   def writeBucketed(df: DataFrame, t: Target, bucketCol: String,
       numBuckets: Int = 256, saveMode: String = "overwrite"): Unit = {
     import org.apache.spark.sql.functions._
     t match {
       case Path(p) =>
-        df.withColumn("bucket", pmod(xxhash64(col(bucketCol)), lit(numBuckets.toLong)))
+        df.withColumn("bucket", bucketOf(col(bucketCol), numBuckets))
           .repartition(numBuckets, col("bucket")) // one file per bucket dir
           .write.format(format).mode(saveMode).partitionBy("bucket").save(p)
       case Table(n) =>
         val w = df.writeTo(n).partitionedBy(bucket(numBuckets, col(bucketCol)))
         if (saveMode == "overwrite") w.createOrReplace() else w.append()
     }
+  }
+
+  /** Path-layout bucket number of a key — the single source of truth for
+    * path-mode point lookups (`.../bucket=<N>/`). */
+  def bucketOf(key: org.apache.spark.sql.Column, numBuckets: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    pmod(xxhash64(key), lit(numBuckets.toLong))
+  }
+
+  /** Read a path-mode bucketed sink back WITHOUT the layout-private
+    * `bucket` partition column, so consumers see one schema regardless of
+    * whether the sink was a path or a catalog table (catalog bucket
+    * transforms add no column). */
+  def readBucketed(spark: SparkSession, t: Target): DataFrame = t match {
+    case Path(p) => spark.read.format(format).load(p).drop("bucket")
+    case Table(n) => spark.read.table(n)
   }
 }

@@ -64,6 +64,59 @@ object Dedupe {
       ccIterations: Int)
 
   /**
+   * Scratch base for ephemeral snapshots. Precedence: an explicit
+   * `spark.graft.scratchDir` (any Hadoop-FS URI — hdfs://, s3a://, ...);
+   * otherwise the driver-local java.io.tmpdir, which is only correct under
+   * a local master — on a multi-node cluster executors would write
+   * partitions to their own local disks and the read-back sees garbage
+   * (the same failure class resumeFromPairs guards against), so fail fast
+   * instead of producing wrong data.
+   */
+  private[graft] def resolveScratchBase(master: String,
+      configured: Option[String]): String =
+    configured.getOrElse {
+      require(master.startsWith("local"),
+        s"master '$master' needs a shared-FS scratch: set Config.checkpointDir " +
+          "or spark.graft.scratchDir to an hdfs://-style URI")
+      "file:" + System.getProperty("java.io.tmpdir")
+    }
+
+  /**
+   * Ephemeral parquet snapshot: materialize `df` once on a shared FS and
+   * read it back, so a frame consumed by several downstream actions does
+   * not re-execute its whole DAG per consumer. Parquet, NOT
+   * localCheckpoint: a deserialized block cache of tens of millions of
+   * rows reads back ~20× slower than a columnar snapshot (measured) and
+   * pins the heap. The directory is removed on JVM exit (Hadoop-FS
+   * deleteOnExit — works for remote FS schemes too).
+   */
+  private[graft] def ephemeralSnapshot(spark: SparkSession, df: DataFrame,
+      tag: String): DataFrame = {
+    val base = resolveScratchBase(spark.sparkContext.master,
+      spark.conf.getOption("spark.graft.scratchDir")
+        .filter(_.nonEmpty))
+    val path = new org.apache.hadoop.fs.Path(base,
+      s"graft_${tag}_${java.util.UUID.randomUUID().toString.take(12)}")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df.write.mode("overwrite").parquet(path.toString)
+    fs.deleteOnExit(path)
+    spark.read.parquet(path.toString)
+  }
+
+  /**
+   * Per-partition lineage metrics (S5; BASELINE.json:14 "per-partition
+   * lineage and scoring metrics persisted alongside"): one (stage,
+   * partition_id, n_rows) row per partition of the stage's output,
+   * persisted next to the checkpoint so an operator can audit exactly
+   * which partitions a resumed run re-reads.
+   */
+  private[graft] def writeLineage(dir: String, stage: String, df: DataFrame): Unit =
+    df.groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("stage", lit(stage))
+      .write.mode("overwrite").parquet(s"$dir/metrics/$stage")
+
+  /**
    * Resume from the scored-pairs snapshot (the resumability contract,
    * BASELINE.json:6,14): skips prepare/block/score entirely and re-enters
    * at the threshold+CC stage using `$checkpointDir/pairs` written by a
@@ -118,7 +171,17 @@ object Dedupe {
       spark.sparkContext.setCheckpointDir(s"$d/cc"))
 
     // ---- stage 1: prepare + exact pre-group (G1)
-    val prepared0 = prepare(pages)
+    // Scan-parallelism floor: the per-row prepare/blocking work (NFKC,
+    // tokenize, simhash) is CPU-heavy, and a small or single-row-group
+    // input yields 1-2 scan partitions — the whole narrow chain then runs
+    // on 1-2 threads regardless of cores (measured: 19 s single-threaded
+    // blocking over 10k pages that takes <1 s spread across 32). One cheap
+    // up-front shuffle of the raw pages fixes it; skipped when the scan is
+    // already wide (the 100 TB case — thousands of file splits).
+    val width = spark.sparkContext.defaultParallelism
+    val pagesPar =
+      if (pages.rdd.getNumPartitions < width) pages.repartition(width) else pages
+    val prepared0 = prepare(pagesPar)
     // EVERY distinct cosine_tfidf field gets its vector column (a model
     // with TF-IDF on two fields previously failed analysis — only the
     // first field's <f>_tfidf column was built).
@@ -145,7 +208,13 @@ object Dedupe {
     val scored = resumeScored match {
       case Some(snapshot) => snapshot
       case None =>
-        val blocks = Blocking.blockingMap(reps, model.predicates, "id")
+        // snapshot: the blocking map feeds the size census AND both legs
+        // of the grid self-join — three evaluations that would each re-run
+        // NFKC + tokenize + simhash over every record. The reference
+        // materializes its block table the same way (Postgres block_{sid}
+        // table†); here it's a scratch parquet of narrow (id, key) rows.
+        val blocks = ephemeralSnapshot(spark,
+          Blocking.blockingMap(reps, model.predicates, "id"), "blocks")
         if (config.collectMetrics)
           blockM = PairGen.blockMetrics(blocks, config.maxBlockSize)
         val pairs = PairGen.candidatePairs(blocks, config.maxBlockSize)
@@ -156,18 +225,16 @@ object Dedupe {
         config.checkpointDir match {
           case Some(dir) => // resume point (BASELINE.json:6)
             scored0.write.mode("overwrite").parquet(s"$dir/pairs")
-            spark.read.parquet(s"$dir/pairs")
+            val snap = spark.read.parquet(s"$dir/pairs")
+            // S5: per-partition lineage of the resume point, persisted
+            // alongside it (cheap: one columnar count over the snapshot)
+            writeLineage(dir, "scored_pairs", snap)
+            snap
           case None =>
             // scored pairs feed TWO downstream consumers (CC edges +
             // per-record confidences); without a snapshot the whole
             // block+join+score DAG would re-execute per consumer.
-            // Ephemeral parquet, NOT localCheckpoint: deserialized block
-            // cache of tens of millions of rows reads back ~20× slower
-            // than a columnar snapshot (measured) and pins the heap.
-            val tmp = java.nio.file.Files
-              .createTempDirectory("graft_scored_snap").toString
-            scored0.write.mode("overwrite").parquet(tmp)
-            spark.read.parquet(tmp)
+            ephemeralSnapshot(spark, scored0, "scored_snap")
         }
     }
 
@@ -194,6 +261,9 @@ object Dedupe {
     // ---- stage 5: expand exact groups, confidence, canon
     val allLabels = idToRep.join(repLabels, "rep")
       .select(col("id"), col("component"))
+    // S5: lineage of the clustering output too (CC iterations checkpoint
+    // under $dir/cc; this records what the final labels looked like)
+    config.checkpointDir.foreach(dir => writeLineage(dir, "labels", allLabels))
     val conf = Canonicalize.confidences(
       allLabels, scored.select(col("id1"), col("id2"), col("score")))
     val entityMap = prepared.select(col("id"), col("url"))

@@ -113,13 +113,19 @@ object Gazetteer {
   def dedupeCanon(spark: SparkSession, firstEntityMap: DataFrame,
       canon: DataFrame, config: Dedupe.Config): DataFrame = {
     // canon rows re-enter the pipeline in pages shape; the synthetic url
-    // encodes the first-pass component for the remap join afterwards
-    val canonPages = canon.select(
+    // encodes the first-pass component for the remap join afterwards.
+    // SNAPSHOT the canon frame first: it is the output of the first pass's
+    // canonTable (a mapGroups medoid over the whole first-pass DAG) and the
+    // second pipeline run consumes it from MANY actions (scored-pairs
+    // write, CC iterations' lineage, the final remap join) — without the
+    // snapshot the entire first pass re-executed per consumer (measured:
+    // the 185 s q_dedupe_canon anomaly, round-2 verdict item 4).
+    val canonPages = Dedupe.ephemeralSnapshot(spark, canon.select(
       concat(lit("canon://"), col("component")).as("url"),
       lit(null).cast("timestamp").as("warc_ts"),
       lit(null).cast("binary").as("html"),
       col("text_norm").as("text"),
-      col("lang"))
+      col("lang")), "canon_pages")
     val second = Dedupe.run(spark, canonPages, config)
     val remap = second.entityMap.select(
       regexp_extract(col("url"), "canon://(-?\\d+)", 1).cast("long").as("first_component"),

@@ -134,8 +134,11 @@ object Scoring {
         org.apache.spark.sql.expressions.Window
           .partitionBy(idCol).orderBy(col("w").desc, col("term"))))
       .filter(col("rk") <= topK)
+    // entries sorted by term: MapDotExpr's two-cursor merge kernel needs
+    // key-ascending maps (it falls back to a quadratic scan otherwise)
     val vecs = ranked.groupBy(idCol)
-      .agg(map_from_entries(collect_list(struct(col("term"), col("w")))).as("_rawvec"))
+      .agg(map_from_entries(array_sort(collect_list(struct(col("term"), col("w")))))
+        .as("_rawvec"))
       .withColumn("_norm", sqrt(aggregate(
         map_values(col("_rawvec")), lit(0.0d), (acc, v) => acc + v * v)))
       .select(col(idCol),

@@ -111,7 +111,13 @@ object EventAgg extends Serializable {
     }
     cur.foreach { st =>
       state.update(st)
-      state.setTimeoutTimestamp((st.lastUs + gapUs) / 1000L + 1L)
+      // clamp to just past the current watermark: an event already older
+      // than watermark-by-more-than-gap puts the session horizon AT/BEFORE
+      // the watermark, and setTimeoutTimestamp throws for non-increasing
+      // timeouts — which would kill the whole streaming query on one late
+      // row. Clamped, the stale session times out on the next trigger.
+      val horizonMs = (st.lastUs + gapUs) / 1000L + 1L
+      state.setTimeoutTimestamp(math.max(horizonMs, state.getCurrentWatermarkMs() + 1L))
     }
     closed.iterator
   }

@@ -107,10 +107,15 @@ object TextOps {
     val rows = bands
     require(k % bands == 0, "k must divide into bands")
     val width = k / bands
-    val shingled = df.select(
-      col(idCol).as("id"),
-      token_shingles(tokens(lower(col(textCol))), 3).as("shingles"))
-      .withColumn("sig", minhash(col("shingles"), k))
+    // snapshot: the shingle+minhash frame feeds the block census, both
+    // legs of the grid self-join AND the verify attach — without it the
+    // CPU-heavy signature computation re-executes per consumer (~4×)
+    val shingled = graft.pipeline.Dedupe.ephemeralSnapshot(df.sparkSession,
+      df.select(
+        col(idCol).as("id"),
+        token_shingles(tokens(lower(col(textCol))), 3).as("shingles"))
+        .withColumn("sig", minhash(col("shingles"), k)),
+      "minhash_sigs")
     val bucketKeys = (0 until rows).map { b =>
       concat(lit(s"$b#"), xxhash64(slice(col("sig"), b * width + 1, width)))
     }
@@ -148,8 +153,12 @@ object TextOps {
   def simhashDupePairs(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val width = 64 / bands
-    val withHash = df.select(col(idCol).as("id"),
-      simhash64(tokens(lower(col(textCol)))).as("sh"))
+    // snapshot for the same multi-consumer reason as minhashDupePairs —
+    // simhash over full text is the dominant per-row cost here
+    val withHash = graft.pipeline.Dedupe.ephemeralSnapshot(df.sparkSession,
+      df.select(col(idCol).as("id"),
+        simhash64(tokens(lower(col(textCol)))).as("sh")),
+      "simhash_sigs")
     val bandCols = (0 until bands).map { b =>
       concat(lit(s"$b#"),
         shiftrightunsigned(col("sh"), b * width).bitwiseAND(lit((1L << width) - 1)))

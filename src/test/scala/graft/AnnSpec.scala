@@ -36,6 +36,20 @@ class AnnSpec extends SparkSpec {
     assert(got.size == 2)
   }
 
+  test("ivf centroid sampling self-heals when the hash sample comes up " +
+      "short (skew/small-corpus fallback relaxes the modulus)") {
+    // 5 items, nlist=4 → step=1 path is fine; force the sparse-sample case
+    // with a larger nlist than hash-survivors: ids chosen so that
+    // pmod(xxhash64(id), step) == 0 misses most rows at the initial step.
+    val wide = (1L to 40L).map(i => (i, vec(i % 7, (i + 1) % 5, 1, 0)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, vec(1, 1, 1, 0))).toDF("qid", "qvec")
+    val got = Ann.ivfTopK(wide, queries, k = 3, nlist = 16, nprobe = 16)
+    // regardless of hash luck, the fallback guarantees >= min(nlist, n)
+    // centroids, so probing all lists returns a full top-k
+    assert(got.count() == 3)
+  }
+
   test("works on the driver embeddings table") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select($"vec_id", $"embedding")

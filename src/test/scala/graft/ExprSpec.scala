@@ -50,6 +50,14 @@ class ExprSpec extends SparkSpec {
     assert(got == Seq("a", "b", "c"))
   }
 
+  test("tokens keeps unicode word chars intact (not ASCII-\\w shredded)") {
+    val got = Seq("café naïve_test 42 mötley-crüe 東京 data")
+      .toDF("s").select(tokens($"s")).as[Seq[String]].collect()(0)
+    // matches DuckDB RE2 on the same [^\p{L}\p{N}]+ class (verified):
+    // underscore splits, accented letters and CJK stay whole
+    assert(got == Seq("café", "naïve", "test", "42", "mötley", "crüe", "東京", "data"))
+  }
+
   test("cosine_sim on float arrays") {
     val df = Seq((Array(1.0, 2.0), Array(2.0, 4.0)), (Array(1.0, 0.0), Array(0.0, 1.0)))
       .toDF("a", "b")

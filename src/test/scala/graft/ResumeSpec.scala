@@ -53,6 +53,68 @@ class ResumeSpec extends SparkSpec {
     assert(back.columns.contains("bucket"))
   }
 
+  test("per-partition lineage metrics persist alongside the checkpoint " +
+      "and survive a resume (S5)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lineage").toString
+    val (pages, _) = PagesGen.generate(spark, nBase = 30, seed = 5L)
+    val config = Dedupe.Config(SparkEntry.demoModel,
+      checkpointDir = Some(dir), collectMetrics = false)
+    Dedupe.run(spark, pages.toDF(), config)
+    for (stage <- Seq("scored_pairs", "labels")) {
+      val m = spark.read.parquet(s"$dir/metrics/$stage")
+      assert(m.columns.toSet == Set("partition_id", "n_rows", "stage"))
+      val total = m.agg(sum("n_rows")).collect()(0).getLong(0)
+      assert(total > 0, s"$stage lineage rows")
+    }
+    val pairRows = spark.read.parquet(s"$dir/pairs").count()
+    val lineageTotal = spark.read.parquet(s"$dir/metrics/scored_pairs")
+      .agg(sum("n_rows")).collect()(0).getLong(0)
+    assert(lineageTotal == pairRows, "lineage counts == snapshot rows")
+    // resume must not destroy the fresh run's lineage record
+    Dedupe.resumeFromPairs(spark, pages.toDF(), config)
+    assert(spark.read.parquet(s"$dir/metrics/scored_pairs").count() > 0)
+  }
+
+  test("ephemeral snapshots resolve to a shared-FS scratch, never a " +
+      "driver-local default on a non-local master") {
+    // explicit scratch dir wins regardless of master
+    assert(Dedupe.resolveScratchBase("spark://host:7077",
+      Some("hdfs:///scratch")) == "hdfs:///scratch")
+    // local master may fall back to the driver-local tmpdir
+    assert(Dedupe.resolveScratchBase("local[4]", None)
+      .startsWith("file:"))
+    // a cluster master without a shared scratch must fail fast — executors
+    // writing to their own local disks is silent data corruption
+    intercept[IllegalArgumentException] {
+      Dedupe.resolveScratchBase("spark://host:7077", None)
+    }
+    intercept[IllegalArgumentException] {
+      Dedupe.resolveScratchBase("yarn", None)
+    }
+    // end-to-end: with spark.graft.scratchDir set, the snapshot lands there
+    val scratch = java.nio.file.Files.createTempDirectory("graft_scratch").toString
+    spark.conf.set("spark.graft.scratchDir", scratch)
+    try {
+      import spark.implicits._
+      val back = Dedupe.ephemeralSnapshot(spark,
+        Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "testsnap")
+      assert(back.count() == 2)
+      val staged = new java.io.File(scratch).listFiles()
+        .filter(_.getName.startsWith("graft_testsnap_"))
+      assert(staged.nonEmpty, "snapshot written under the configured scratch")
+    } finally spark.conf.unset("spark.graft.scratchDir")
+  }
+
+  test("readBucketed hides the path-layout bucket column (S4 schema parity)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucketed_r").toString
+    val df = spark.range(0, 100).toDF("id").withColumn("component", col("id") % 7)
+    graft.io.TableIO.writeBucketed(df, graft.io.TableIO.Path(dir),
+      bucketCol = "component", numBuckets = 4)
+    val back = graft.io.TableIO.readBucketed(spark, graft.io.TableIO.Path(dir))
+    assert(!back.columns.contains("bucket"))
+    assert(back.count() == 100)
+  }
+
   test("resume without a checkpoint dir is rejected") {
     val (pages, _) = PagesGen.generate(spark, nBase = 5, seed = 7L)
     intercept[IllegalArgumentException] {

@@ -57,6 +57,38 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a deeply-late event does not kill the stream (watermark-late rows " +
+      "are dropped; the timeout clamp keeps any residual horizon legal)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = EventAgg.sessionizeStream(
+      mem.toDS().withWatermark("ts", "1 minute"), gapMinutes = 30)
+    val q = out.writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      // advance the watermark to ~2024-01-02 10:00
+      mem.addData(Event(1,
+        java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 7L, "view", 1.0))
+      q.processAllAvailable()
+      // an event a full DAY behind the watermark: Spark's stateful operator
+      // drops watermark-late input before it reaches sessionStep, so no
+      // session may appear for it — and the query must NOT die (an
+      // unclamped setTimeoutTimestamp at/behind the watermark throws; the
+      // clamp in sessionStep keeps any such horizon strictly legal)
+      mem.addData(Event(2, ts(0), 8L, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(3,
+        java.sql.Timestamp.valueOf("2024-01-02 11:00:00"), 7L, "view", 1.0))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      // late row dropped per watermark semantics: no phantom session
+      assert(spark.table("sess_late").filter(col("user_id") === 8L).isEmpty)
+      // user 7's first session (closed by the 11:00 event, 60-min gap) flushed
+      val u7 = spark.table("sess_late").filter(col("user_id") === 7L).collect()
+      assert(u7.length == 1 && u7(0).getLong(3) == 1L)
+    } finally q.stop()
+  }
+
   test("windowedCounts: tumbling windows are epoch-aligned per type") {
     val got = EventAgg.windowedCounts(fixture.toDF(), "1 hour").collect()
     // all fixture events fall in the 10:00 hour

@@ -209,4 +209,34 @@ class SimSpec extends AnyFunSuite {
     assert(Sim.docFingerprint(t, 16) == Sim.docFingerprint(t, 16))
     assert(Sim.docFingerprint(t, 16) != Sim.docFingerprint(t + " changed early? no", 64))
   }
+
+  test("mapDot: two-cursor merge == brute-force dot, sorted AND unsorted " +
+      "(unsorted exercises the quadratic fallback)") {
+    import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+    import org.apache.spark.unsafe.types.UTF8String
+    def mapOf(entries: Seq[(String, Double)]) =
+      new ArrayBasedMapData(
+        new GenericArrayData(entries.map(e => UTF8String.fromString(e._1)).toArray[Any]),
+        new GenericArrayData(entries.map(e => java.lang.Double.valueOf(e._2)).toArray[Any]))
+    def brute(a: Seq[(String, Double)], b: Seq[(String, Double)]): Double = {
+      val bm = b.toMap
+      a.iterator.map { case (k, v) => v * bm.getOrElse(k, 0.0) }.sum
+    }
+    val r = new scala.util.Random(13)
+    for (trial <- 1 to 300) {
+      val vocab = Seq.tabulate(30)(i => s"t${r.alphanumeric.take(1 + r.nextInt(6)).mkString}$i")
+      def vec() = r.shuffle(vocab).take(1 + r.nextInt(20))
+        .map(k => k -> (0.01 + r.nextDouble()))
+      val a = vec(); val b = vec()
+      val sortedGot = graft.expr.ExprKernels2.mapDot(
+        mapOf(a.sortBy(_._1)), mapOf(b.sortBy(_._1)))
+      assert(math.abs(sortedGot - brute(a, b)) < 1e-12, s"sorted trial $trial")
+      val unsortedGot = graft.expr.ExprKernels2.mapDot(mapOf(a), mapOf(b))
+      assert(math.abs(unsortedGot - brute(a, b)) < 1e-12, s"unsorted trial $trial")
+    }
+    // empty / disjoint edges
+    assert(graft.expr.ExprKernels2.mapDot(mapOf(Nil), mapOf(Seq("a" -> 1.0))) == 0.0)
+    assert(graft.expr.ExprKernels2.mapDot(
+      mapOf(Seq("a" -> 2.0)), mapOf(Seq("b" -> 3.0))) == 0.0)
+  }
 }
