@@ -350,6 +350,45 @@ object SparkEntry {
         .orderBy(col("messy_id"), col("rank"))
     }),
 
+    // greedy predicate cover (T3) over a literal fixture — the choice is a
+    // pure function of the fixture, so the expected pick is a constant
+    // (VALUES oracle), regression-guarding the cover logic: both `token
+    // name` and `prefix4 name` cover all 3 dupe pairs; prefix wins on the
+    // lower pair volume (4 vs 5); nothing else adds marginal coverage
+    "q_predicate_cover" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Seq(
+        (1L, "acme corp", "11 main st"),
+        (2L, "acme corporation", "11 main street"),
+        (3L, "acme corp", "99 elm ave"),
+        (4L, "zenith ltd", "5 oak blvd"),
+        (5L, "zenith limited", "5 oak blvd"),
+        (6L, "other co", "77 pine rd")).toDF("id", "name", "addr")
+      val dupes = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("id1", "id2")
+      val candidates = Seq(
+        PredicateSpec("token", "name"),
+        PredicateSpec("token", "addr"),
+        PredicateSpec("prefix", "name", n = 4),
+        PredicateSpec("whole", "addr"))
+      val chosen = graft.score.Training.greedyPredicateCover(
+        recs, dupes, candidates, maxPredicates = 2)
+      chosen.zipWithIndex
+        .map { case (p, i) => ((i + 1).toLong, p.kind, p.field) }
+        .toDF("pick", "kind", "field")
+    }),
+
+    // connected components (G2) GREEN twin: thresholded JW edges over the
+    // blocked name pairs → large/small-star CC; the DuckDB oracle computes
+    // the same labels via a recursive-CTE transitive closure (component =
+    // min reachable id — exactly CC.run's label contract). This makes the
+    // core clustering operator hash-checked, not just rows-only.
+    "q_cc_components" -> ((s, dir) => {
+      val edges = scoredNamePairs(s, dir).filter(col("jw") >= 0.95)
+        .select(col("id1"), col("id2"))
+      graft.cluster.ConnectedComponents.run(edges).labels
+        .orderBy(col("id"))
+    }),
+
     // unicode tokenizer parity (round-2 verdict item 7): the REAL blocking
     // path (token predicate) over a non-ASCII literal fixture, green-
     // checked against DuckDB's RE2 on the same `[^\p{L}\p{N}]+` class —
@@ -493,6 +532,41 @@ object SparkEntry {
       graft.streaming.EventAgg.sessionize(
           s.read.parquet(s"$dir/events.parquet"), gapMinutes = 30)
         .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // IVF with FULL probe (nprobe = nlist): every inverted list is probed,
+    // so the candidate set is the whole corpus and the output must equal
+    // exact brute-force top-k — which DuckDB can express. Hash-checks the
+    // IVF plumbing (centroid assignment via max_by, probe ranking, rank
+    // window) end to end; the recall<1 partial-probe path stays rows-only
+    // in q_ann_ivf + unit-tested.
+    "q_ann_ivf_full" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.ann.Ann.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 16)
+        .select(col("query_id"), col("rank"), col("item_id"),
+          round(col("cos"), 5).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // the blocking-key zoo over a literal fixture: token, prefix, acronym,
+    // fingerprint and char-4-gram predicates all hash-checked against
+    // DuckDB list/regex twins (B-family was previously unit-only)
+    "q_blocking_keys" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Seq(
+        (1L, "acme corp intl"),
+        (2L, "beta data systems"),
+        (3L, "corp acme")).toDF("id", "name")
+      graft.block.Blocking.blockingMap(recs, Seq(
+          PredicateSpec("token", "name"),
+          PredicateSpec("prefix", "name", n = 3),
+          PredicateSpec("acronym", "name"),
+          PredicateSpec("fingerprint", "name"),
+          PredicateSpec("ngram", "name", n = 4)), "id")
+        .orderBy(col("id"), col("block_key"))
     }),
 
     // IVF-style ANN (scale path; centroids hash-sampled — rows-only)
@@ -654,6 +728,48 @@ object SparkEntry {
         |                           ORDER BY cos DESC, item_id) AS "rank" FROM s)
         |SELECT query_id, "rank", item_id, round(cos, 5) AS cos
         |FROM r WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+
+    // full probe ⇒ exact: the oracle is brute-force top-k (same as
+    // q_ann_topk) — any IVF plumbing bug that loses or double-counts a
+    // candidate breaks the hash
+    "q_ann_ivf_full" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+        |s AS (SELECT q.qid AS query_id, e.vec_id AS item_id,
+        |        list_cosine_similarity(e.v, q.qv) AS cos FROM e, q),
+        |r AS (SELECT query_id, item_id, cos,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY cos DESC, item_id) AS "rank" FROM s)
+        |SELECT query_id, "rank", item_id, round(cos, 5) AS cos
+        |FROM r WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+
+    "q_blocking_keys" ->
+      """WITH recs AS (
+        |  SELECT * FROM (VALUES
+        |    (CAST(1 AS BIGINT), 'acme corp intl'),
+        |    (2, 'beta data systems'),
+        |    (3, 'corp acme')) AS v(id, name)),
+        |toks AS (
+        |  SELECT id, regexp_split_to_array(name, '[^\p{L}\p{N}]+') AS ts
+        |  FROM recs),
+        |keys AS (
+        |  SELECT id, '0:' || t AS block_key
+        |  FROM toks, unnest(ts) AS u(t) WHERE length(t) > 0
+        |  UNION
+        |  SELECT id, '1:' || substr(name, 1, 3) FROM recs
+        |  UNION
+        |  SELECT id, '2:' || list_aggregate(
+        |    list_transform(list_sort(ts), x -> substr(x, 1, 1)), 'string_agg', '')
+        |  FROM toks
+        |  UNION
+        |  SELECT id, '3:' || list_aggregate(
+        |    list_sort(list_distinct(ts)), 'string_agg', '')
+        |  FROM toks
+        |  UNION
+        |  SELECT id, '4:' || substr(name, CAST(i AS INT), 4)
+        |  FROM recs, unnest(range(1, length(name) - 2)) AS r(i))
+        |SELECT id, block_key FROM keys ORDER BY id, block_key""".stripMargin,
 
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer c
@@ -852,6 +968,45 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, sess_num
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // constant-fixture oracle (see the query comment for the derivation:
+    // prefix4-on-name covers all dupes at the lowest volume, then no
+    // candidate adds marginal coverage, so greedy stops at one pick)
+    "q_predicate_cover" ->
+      """SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'prefix', 'name'))
+        |AS t(pick, kind, field)""".stripMargin,
+
+    // transitive closure via recursive CTE: reach(id,n) accumulates every
+    // reachable node; min over (self ∪ reachable) = CC's min-id label
+    "q_cc_components" ->
+      """WITH RECURSIVE recs AS (
+        |  SELECT p_partkey AS id,
+        |         lower(trim(regexp_replace(p_name, '\s+', ' ', 'g'))) AS name
+        |  FROM part),
+        |blocks AS (
+        |  SELECT id, tok AS block_key FROM recs,
+        |    unnest(regexp_split_to_array(name, '[^\p{L}\p{N}]+')) AS t(tok)
+        |  WHERE length(tok) > 0
+        |  GROUP BY id, tok),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2
+        |  FROM blocks a JOIN blocks b USING (block_key)
+        |  WHERE a.id < b.id),
+        |scored AS (
+        |  SELECT p.id1, p.id2
+        |  FROM pairs p
+        |  JOIN recs r1 ON p.id1 = r1.id
+        |  JOIN recs r2 ON p.id2 = r2.id
+        |  WHERE jaro_winkler_similarity(r1.name, r2.name) >= 0.95),
+        |edges AS (
+        |  SELECT id1 AS u, id2 AS v FROM scored
+        |  UNION SELECT id2, id1 FROM scored),
+        |reach(id, n) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.id, e.v FROM reach r JOIN edges e ON r.n = e.u)
+        |SELECT id, least(min(n), id) AS component
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     // the decode stub is a normalized 16-bin byte histogram over the
     // UTF-8 bytes of text; the corpus is ASCII (verified), so char counts
