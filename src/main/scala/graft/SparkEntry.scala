@@ -350,6 +350,40 @@ object SparkEntry {
         .orderBy(col("messy_id"), col("rank"))
     }),
 
+    // END-TO-END pipeline GREEN twin: exact pre-group (G1) → prepare (P1)
+    // → token blocking (B2) → pair-gen (J1-J3) → JW scoring + LR (C1/C10)
+    // → threshold → connected components (G2) → member expansion, as ONE
+    // hash-checked row. Output keys are xxhash-free (entity = min url of
+    // the cluster — invariant to rep choice and to CC's internal min-id
+    // labels) so DuckDB can reproduce the whole flow: blocking+closure via
+    // CTEs. Pages are built inline (ASCII boilerplate only: DuckDB's JW is
+    // byte-based, ours is char-based — they agree on ASCII exactly).
+    "q_dedupe_e2e" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 7 === 1)
+        .repartition(s.sparkContext.defaultParallelism)
+      def page(urlSuffix: String, text: org.apache.spark.sql.Column) = docs.select(
+        concat(lit("https://docs.example/"), col("doc_id"), lit(urlSuffix)).as("url"),
+        to_timestamp(lit("2017-07-14 02:40:00")).as("warc_ts"),
+        encode(col("text"), "UTF-8").as("html"),
+        text.as("text"), col("lang"))
+      val pages = page("", col("text"))
+        .unionByName(page("-v1", // near-dup: doubled first space + suffix
+          concat(regexp_replace(col("text"), "^(\\S+) ", "$1  "),
+            lit(" (c) example inc"))))
+        .unionByName(page("-v2", col("text"))) // exact duplicate (G1 path)
+      // threshold 0.96 ⇔ jw ≥ 0.9315: merges true near-dup variants
+      // (base↔v1 jw ≈ 0.99) but not the formulaic cross-doc similarity of
+      // the synthetic corpus (avg jw 0.68, tail to ~0.93)
+      val m = Model(bias = -8.0, weights = Map("jw_text_norm" -> 12.0),
+        threshold = 0.96, predicates = Seq(PredicateSpec("token", "text_norm")))
+      val r = Dedupe.run(s, pages, Dedupe.Config(m, collectMetrics = false))
+      val ents = r.entityMap.groupBy("component").agg(min("url").as("entity_url"))
+      r.entityMap.join(ents, "component")
+        .select(col("url"), col("entity_url"))
+        .orderBy(col("url"))
+    }),
+
     // greedy predicate cover (T3) over a literal fixture — the choice is a
     // pure function of the fixture, so the expected pick is a constant
     // (VALUES oracle), regression-guarding the cover logic: both `token
@@ -968,6 +1002,59 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, sess_num
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // the whole pipeline in SQL: exact-text groups pick one rep; blocking
+    // + plural/cap filter + distinct pairs mirror PairGen; the LR sigmoid
+    // + threshold mirror Scoring; the recursive closure mirrors CC; members
+    // re-join via raw-text equality; entity = min url per component
+    "q_dedupe_e2e" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 1),
+        |pages AS (
+        |  SELECT 'https://docs.example/' || doc_id AS url, text FROM docs
+        |  UNION ALL
+        |  SELECT 'https://docs.example/' || doc_id || '-v1',
+        |    regexp_replace(text, '^(\S+) ', '\1  ') || ' (c) example inc'
+        |  FROM docs
+        |  UNION ALL
+        |  SELECT 'https://docs.example/' || doc_id || '-v2', text FROM docs),
+        |rep_t AS (
+        |  SELECT text, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS tn
+        |  FROM (SELECT DISTINCT text FROM pages)),
+        |blocks AS (
+        |  SELECT text, tok AS bk FROM rep_t,
+        |    unnest(regexp_split_to_array(tn, '[^\p{L}\p{N}]+')) AS t(tok)
+        |  WHERE length(tok) > 0
+        |  GROUP BY text, tok),
+        |eligible AS (
+        |  SELECT bk FROM blocks GROUP BY bk HAVING count(*) BETWEEN 2 AND 200),
+        |pairs AS (
+        |  SELECT DISTINCT a.text AS t1, b.text AS t2
+        |  FROM blocks a JOIN blocks b ON a.bk = b.bk
+        |  JOIN eligible e ON a.bk = e.bk
+        |  WHERE a.text < b.text),
+        |scored AS (
+        |  SELECT p.t1, p.t2
+        |  FROM pairs p
+        |  JOIN rep_t r1 ON p.t1 = r1.text
+        |  JOIN rep_t r2 ON p.t2 = r2.text
+        |  WHERE 1.0/(1.0 + exp(-(-8.0
+        |    + 12.0*coalesce(jaro_winkler_similarity(r1.tn, r2.tn), 0.0)))) >= 0.96),
+        |edges AS (
+        |  SELECT t1 AS u, t2 AS v FROM scored
+        |  UNION SELECT t2, t1 FROM scored),
+        |reach(id, n) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.id, e.v FROM reach r JOIN edges e ON r.n = e.u),
+        |comp AS (
+        |  SELECT id AS text, least(min(n), id) AS c FROM reach GROUP BY id),
+        |labeled AS (
+        |  SELECT p.url, coalesce(c.c, p.text) AS c
+        |  FROM pages p LEFT JOIN comp c ON p.text = c.text),
+        |ents AS (SELECT c, min(url) AS entity_url FROM labeled GROUP BY c)
+        |SELECT l.url, e.entity_url FROM labeled l JOIN ents e USING (c)
+        |ORDER BY url""".stripMargin,
 
     // constant-fixture oracle (see the query comment for the derivation:
     // prefix4-on-name covers all dupes at the lowest volume, then no
