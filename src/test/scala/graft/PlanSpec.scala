@@ -69,6 +69,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("contract-wide sweep: no query plans a CartesianProduct") {
+    // every SparkEntry query at sf0.001 — a cartesian anywhere in the
+    // contract is a scale-killer regardless of how small it looks locally.
+    // (Broadcast nested-loop joins from crossJoin(broadcast(...)) are the
+    // deliberate ANN pattern: one corpus scan against a broadcast query
+    // side — those are fine; CartesianProductExec is not.)
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val p = plan(fn(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+    }
+  }
+
   test("candidate pair-gen plans no cartesian product") {
     val recs = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
       .select(col("p_partkey").as("id"), col("p_name").as("name"))
