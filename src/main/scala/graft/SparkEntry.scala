@@ -350,6 +350,39 @@ object SparkEntry {
         .orderBy(col("messy_id"), col("rank"))
     }),
 
+    // double-metaphone codes over a literal fixture (B12). DuckDB has no
+    // phonetic functions, so the oracle is the frozen expected code table —
+    // spot values match the published DoubleMetaphone behavior (smith→SM0,
+    // schmidt→XMT, thompson→TMSN, ...), making this a regression guard for
+    // the commons-codec integration rather than rows-only coverage
+    "q_metaphone_fixture" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Seq(
+        (1L, "smith johnson"),
+        (2L, "schmidt thompson"),
+        (3L, "wright knight"),
+        (4L, "garcia gonzalez")).toDF("id", "name")
+      graft.block.Blocking.blockingMap(
+          recs, Seq(PredicateSpec("metaphone", "name")), "id")
+        .orderBy(col("id"), col("block_key"))
+    }),
+
+    // normalized affine-gap distances over a literal fixture (optional C1
+    // comparator; no DuckDB twin exists, so the oracle freezes the Gotoh
+    // DP's expected values — identical strings anchor at 0.25 =
+    // (n·match)/(2n) with the affinegap library's published weights)
+    "q_affine_fixture" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = Seq(
+        (1L, "same string", "same string"),
+        (2L, "kitten", "sitting"),
+        (3L, "acme corp", "acme corporation"),
+        (4L, "abc", ""),
+        (5L, "prefix gap suffix", "prefix suffix")).toDF("id", "a", "b")
+      pairs.select(col("id"), round(affine_gap(col("a"), col("b")), 6).as("affine"))
+        .orderBy(col("id"))
+    }),
+
     // END-TO-END pipeline GREEN twin: exact pre-group (G1) → prepare (P1)
     // → token blocking (B2) → pair-gen (J1-J3) → JW scoring + LR (C1/C10)
     // → threshold → connected components (G2) → member expansion, as ONE
@@ -1002,6 +1035,27 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, sess_num
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // frozen expected codes (DuckDB has no phonetic fns); spot-checked
+    // against published DoubleMetaphone values (4-char cap: thompson→TMPS)
+    "q_metaphone_fixture" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), '0:JNSN'), (1, '0:SM0'),
+        |  (2, '0:TMPS'), (2, '0:XMT'),
+        |  (3, '0:NT'), (3, '0:RT'),
+        |  (4, '0:KNSL'), (4, '0:KRS')) AS t(id, block_key)
+        |ORDER BY id, block_key""".stripMargin,
+
+    // frozen Gotoh DP values; anchors hand-derived: identical strings →
+    // (n·0.5)/(2n) = 0.25; "abc" vs "" → (1.0 + 3·0.7)/3 = 1.033333
+    "q_affine_fixture" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(0.25 AS DOUBLE)),
+        |  (2, 0.453846),
+        |  (3, 0.416),
+        |  (4, 1.033333),
+        |  (5, 0.343333)) AS t(id, affine)
+        |ORDER BY id""".stripMargin,
 
     // the whole pipeline in SQL: exact-text groups pick one rep; blocking
     // + plural/cap filter + distinct pairs mirror PairGen; the LR sigmoid
