@@ -275,7 +275,7 @@ object Dedupe {
       "component", config.canonFields)
 
     val m = if (config.collectMetrics) Metrics(
-      records = prepared0.count(),
+      records = pagesPar.count(),
       exactGroups = repMap.count(),
       blockKeys = blockM.totalKeys,
       pluralKeys = blockM.pluralKeys,
@@ -285,6 +285,14 @@ object Dedupe {
       entities = allLabels.agg(countDistinct(col("component"))).collect()(0).getLong(0),
       ccIterations = cc.iterations)
     else Metrics(-1, -1, -1, -1, -1, -1, -1, -1, cc.iterations)
+
+    // scoring metrics persisted alongside the checkpoint (BASELINE.json:14
+    // "per-partition lineage AND scoring metrics"): one-row parquet with
+    // the stage counts, next to the lineage tables above
+    if (config.collectMetrics) config.checkpointDir.foreach { dir =>
+      import spark.implicits._
+      Seq(m).toDF().write.mode("overwrite").parquet(s"$dir/metrics/run")
+    }
 
     Result(entityMap, canon, scored, m)
   }

@@ -58,8 +58,13 @@ class ResumeSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_lineage").toString
     val (pages, _) = PagesGen.generate(spark, nBase = 30, seed = 5L)
     val config = Dedupe.Config(SparkEntry.demoModel,
-      checkpointDir = Some(dir), collectMetrics = false)
-    Dedupe.run(spark, pages.toDF(), config)
+      checkpointDir = Some(dir), collectMetrics = true)
+    val run = Dedupe.run(spark, pages.toDF(), config)
+    // scoring metrics persisted alongside (one-row stage-count table)
+    val runMetrics = spark.read.parquet(s"$dir/metrics/run").collect()
+    assert(runMetrics.length == 1)
+    assert(runMetrics(0).getAs[Long]("records") == run.metrics.records)
+    assert(runMetrics(0).getAs[Long]("candidatePairs") == run.metrics.candidatePairs)
     for (stage <- Seq("scored_pairs", "labels")) {
       val m = spark.read.parquet(s"$dir/metrics/$stage")
       assert(m.columns.toSet == Set("partition_id", "n_rows", "stage"))

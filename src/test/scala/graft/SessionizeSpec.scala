@@ -95,4 +95,31 @@ class SessionizeSpec extends SparkSpec {
     assert(got.forall(_.getTimestamp(0) == java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
     assert(got.map(_.getLong(2)).sum == fixture.length)
   }
+
+  test("windowedCounts: the SAME definition runs streaming and agrees " +
+      "with the batch result once the watermark closes the window") {
+    val batch = EventAgg.windowedCounts(fixture.toDF(), "1 hour")
+      .orderBy("ws", "event_type")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = EventAgg.windowedCounts(
+      mem.toDS().toDF().withWatermark("ts", "1 minute"), "1 hour")
+    val q = out.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(fixture: _*)
+      q.processAllAvailable()
+      // sentinel far in the future closes the 10:00 window
+      mem.addData(Event(99,
+        java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 999L, "sentinel", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("win_out")
+        .filter(col("event_type") =!= "sentinel")
+        .orderBy("ws", "event_type")
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSeq
+      assert(streamed == batch, s"\nstream: $streamed\nbatch: $batch")
+    } finally q.stop()
+  }
 }
