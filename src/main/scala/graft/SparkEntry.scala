@@ -449,8 +449,15 @@ object SparkEntry {
     // the same labels via a recursive-CTE transitive closure (component =
     // min reachable id — exactly CC.run's label contract). This makes the
     // core clustering operator hash-checked, not just rows-only.
+    // the (id1+id2)%17 sparsifier is deterministic and SQL-mirrored: part
+    // names are formulaic, so jw≥0.95 alone admits ~3.9M near-clique edges
+    // at sf0.1 — a giant-clique CC demo that q_dedupe_pipeline already
+    // covers; sparsified, the graph has longer chains (more CC iterations,
+    // a better algorithmic exercise) at bounded size
     "q_cc_components" -> ((s, dir) => {
-      val edges = scoredNamePairs(s, dir).filter(col("jw") >= 0.95)
+      val edges = scoredNamePairs(s, dir)
+        .filter(col("jw") >= 0.95 &&
+          pmod(col("id1") + col("id2"), lit(17L)) === 0)
         .select(col("id1"), col("id2"))
       graft.cluster.ConnectedComponents.run(edges).labels
         .orderBy(col("id"))
@@ -1138,7 +1145,8 @@ object SparkEntry {
         |  FROM pairs p
         |  JOIN recs r1 ON p.id1 = r1.id
         |  JOIN recs r2 ON p.id2 = r2.id
-        |  WHERE jaro_winkler_similarity(r1.name, r2.name) >= 0.95),
+        |  WHERE jaro_winkler_similarity(r1.name, r2.name) >= 0.95
+        |    AND (p.id1 + p.id2) % 17 = 0),
         |edges AS (
         |  SELECT id1 AS u, id2 AS v FROM scored
         |  UNION SELECT id2, id1 FROM scored),
