@@ -95,12 +95,14 @@ object PairGen {
   /** Metrics companion to [[candidatePairs]] (same first-pass aggregate). */
   def blockMetrics(blocks: DataFrame, maxBlockSize: Int = 200): BlockMetrics = {
     val sizes = blocks.groupBy("block_key").agg(count("*").as("block_size"))
+    // coalesce: sum/max over an EMPTY key set are null (an empty crawl
+    // shard is a legitimate input at scale) — getLong on null throws
     val row = sizes.agg(
       count("*").as("totalKeys"),
-      sum(when(col("block_size") >= 2, 1L).otherwise(0L)).as("pluralKeys"),
-      sum(when(col("block_size") > maxBlockSize, 1L).otherwise(0L)).as("cappedKeys"),
-      sum(when(col("block_size") > maxBlockSize, col("block_size")).otherwise(0L)).as("droppedRows"),
-      max(col("block_size")).as("maxBlockSize")
+      coalesce(sum(when(col("block_size") >= 2, 1L).otherwise(0L)), lit(0L)).as("pluralKeys"),
+      coalesce(sum(when(col("block_size") > maxBlockSize, 1L).otherwise(0L)), lit(0L)).as("cappedKeys"),
+      coalesce(sum(when(col("block_size") > maxBlockSize, col("block_size")).otherwise(0L)), lit(0L)).as("droppedRows"),
+      coalesce(max(col("block_size")), lit(0L)).as("maxBlockSize")
     ).collect()(0)
     BlockMetrics(row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
   }

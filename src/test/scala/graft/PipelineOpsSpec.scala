@@ -50,4 +50,30 @@ class PipelineOpsSpec extends SparkSpec {
     // degenerate: empty input → default
     assert(Threshold.select(Seq.empty[Double].toDF("score")) == 0.5)
   }
+
+  test("the full pipeline survives an empty input shard (metrics, CC, " +
+      "canon all defined on zero rows)") {
+    import graft.pipeline.Dedupe
+    val empty = spark.emptyDataset[graft.model.PageRow].toDF()
+    val r = Dedupe.run(spark, empty,
+      Dedupe.Config(SparkEntry.demoModel, collectMetrics = true))
+    assert(r.entityMap.count() == 0)
+    assert(r.canon.count() == 0)
+    assert(r.metrics.records == 0 && r.metrics.candidatePairs == 0 &&
+      r.metrics.entities == 0 && r.metrics.blockKeys == 0)
+  }
+
+  test("a single-page input yields one singleton entity with confidence 1") {
+    import graft.pipeline.Dedupe
+    val one = Seq(graft.model.PageRow(
+      url = "https://one.example/x",
+      warc_ts = java.sql.Timestamp.valueOf("2017-07-14 02:40:00"),
+      html = "<html/>".getBytes("UTF-8"),
+      text = "just one lonely page", lang = "en")).toDF()
+    val r = Dedupe.run(spark, one,
+      Dedupe.Config(SparkEntry.demoModel, collectMetrics = true))
+    val row = r.entityMap.collect()
+    assert(row.length == 1 && row(0).getAs[Double]("confidence") == 1.0)
+    assert(r.metrics.entities == 1)
+  }
 }
