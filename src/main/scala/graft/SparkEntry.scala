@@ -608,6 +608,40 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // blocking-key zoo part 2: the numeric (B10), set (B13), suffix/
+    // shingle/first-token, exists (B17) and compound (B16) predicate
+    // families over a literal fixture, each mirrored in the DuckDB twin —
+    // converts the remaining unit-only predicate rows to hash-checked
+    "q_blocking_keys2" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Seq(
+        (1L, "alpha beta 42 gamma 199", 250.0, Seq("x", "y", "x"), Option("p")),
+        (2L, "7 delta 100", 0.02, Seq("z"), None: Option[String]),
+        (3L, "omega", 0.0, Seq("a", "b", "c", "d"), Option("q")))
+        .toDF("id", "name", "num", "tags", "maybe_null")
+      graft.block.Blocking.blockingMap(recs, Seq(
+          PredicateSpec("first_token", "name"), // 0
+          PredicateSpec("shingle", "name", n = 2), // 1
+          PredicateSpec("suffix", "name", n = 3), // 2
+          PredicateSpec("integer", "name"), // 3
+          PredicateSpec("first_integer", "name"), // 4
+          PredicateSpec("near_integer", "name"), // 5
+          PredicateSpec("hundred_integer", "name"), // 6
+          PredicateSpec("alphanum", "name"), // 7
+          PredicateSpec("order_of_magnitude", "num"), // 8
+          PredicateSpec("exists", "maybe_null"), // 9
+          PredicateSpec("whole_set", "tags"), // 10
+          PredicateSpec("common_set", "tags"), // 11
+          PredicateSpec("first_set_element", "tags"), // 12
+          PredicateSpec("last_set_element", "tags"), // 13
+          PredicateSpec("common_set_2", "tags"), // 14
+          PredicateSpec("magnitude_cardinality", "tags"), // 15
+          PredicateSpec("compound", "name", sub = Seq( // 16
+            PredicateSpec("first_token", "name"),
+            PredicateSpec("exists", "maybe_null")))), "id")
+        .orderBy(col("id"), col("block_key"))
+    }),
+
     // IVF with FULL probe (nprobe = nlist): every inverted list is probed,
     // so the candidate set is the whole corpus and the output must equal
     // exact brute-force top-k — which DuckDB can express. Hash-checks the
@@ -802,6 +836,70 @@ object SparkEntry {
         |                           ORDER BY cos DESC, item_id) AS "rank" FROM s)
         |SELECT query_id, "rank", item_id, round(cos, 5) AS cos
         |FROM r WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+
+    // each predicate index gets its own UNION branch; suffix bound =
+    // min(len-2, 16) mirrors the kernel's (minLen 3, cap 16 longest-first)
+    "q_blocking_keys2" ->
+      """WITH recs AS (
+        |  SELECT * FROM (VALUES
+        |    (CAST(1 AS BIGINT), 'alpha beta 42 gamma 199',
+        |     CAST(250.0 AS DOUBLE), ['x','y','x'], 'p'),
+        |    (2, '7 delta 100', 0.02, ['z'], NULL),
+        |    (3, 'omega', 0.0, ['a','b','c','d'], 'q'))
+        |    AS v(id, name, num, tags, maybe_null)),
+        |toks AS (SELECT id, regexp_split_to_array(name, '[^\p{L}\p{N}]+') AS ts FROM recs),
+        |ints AS (SELECT id, CAST(x AS BIGINT) AS i
+        |         FROM recs, unnest(regexp_extract_all(name, '\d+')) AS u(x)),
+        |sset AS (SELECT id, list_sort(list_distinct(tags)) AS st FROM recs),
+        |keys AS (
+        |  SELECT id, '0:' || ts[1] AS k FROM toks
+        |  WHERE len(ts) >= 1 AND length(ts[1]) > 0
+        |  UNION
+        |  SELECT id, '1:' || ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]
+        |  FROM toks, unnest(range(1, len(ts))) AS r(i)
+        |  UNION
+        |  SELECT id, '2:' || substr(name, CAST(i AS INT))
+        |  FROM recs,
+        |    unnest(range(1, least(CAST(length(name) AS BIGINT) - 2, 16) + 1)) AS r(i)
+        |  UNION
+        |  SELECT id, '3:' || CAST(i AS VARCHAR) FROM ints
+        |  UNION
+        |  SELECT id, '4:' || regexp_extract(name, '^(\d+)', 1) FROM recs
+        |  WHERE length(regexp_extract(name, '^(\d+)', 1)) > 0
+        |  UNION
+        |  SELECT id, '5:' || CAST(i + d AS VARCHAR)
+        |  FROM ints, unnest([-1, 0, 1]) AS o(d)
+        |  UNION
+        |  SELECT id, '6:' || CAST(i - i % 100 AS VARCHAR) FROM ints
+        |  UNION
+        |  SELECT id, '7:' || x
+        |  FROM recs, unnest(regexp_extract_all(name, '[a-z0-9]+')) AS u(x)
+        |  UNION
+        |  SELECT id, '8:' || CAST(CAST(round(log10(abs(num))) AS BIGINT) AS VARCHAR)
+        |  FROM recs WHERE abs(num) > 0
+        |  UNION
+        |  SELECT id, '9:' || CASE WHEN maybe_null IS NULL THEN '0' ELSE '1' END
+        |  FROM recs
+        |  UNION
+        |  SELECT id, '10:' || list_aggregate(st, 'string_agg', ' ') FROM sset
+        |  UNION
+        |  SELECT id, '11:' || t FROM sset, unnest(st) AS u(t)
+        |  UNION
+        |  SELECT id, '12:' || st[1] FROM sset WHERE len(st) >= 1
+        |  UNION
+        |  SELECT id, '13:' || st[len(st)] FROM sset WHERE len(st) >= 1
+        |  UNION
+        |  SELECT s1.id, '14:' || a.t || ' ' || b.t
+        |  FROM sset s1, unnest(s1.st) AS a(t), unnest(s1.st) AS b(t)
+        |  WHERE a.t < b.t
+        |  UNION
+        |  SELECT id, '15:' || CAST(CAST(round(log10(len(tags))) AS BIGINT) AS VARCHAR)
+        |  FROM recs WHERE len(tags) > 0
+        |  UNION
+        |  SELECT t.id, '16:' || t.ts[1] || ':' ||
+        |    CASE WHEN r.maybe_null IS NULL THEN '0' ELSE '1' END
+        |  FROM toks t JOIN recs r USING (id) WHERE len(t.ts) >= 1)
+        |SELECT id, k AS block_key FROM keys ORDER BY id, block_key""".stripMargin,
 
     // full probe ⇒ exact: the oracle is brute-force top-k (same as
     // q_ann_topk) — any IVF plumbing bug that loses or double-counts a
