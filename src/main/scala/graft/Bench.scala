@@ -117,11 +117,19 @@ object Bench {
         val t = try timeSec(force(fn(s, sfDir))) catch { case _: Throwable => -1.0 }
         name -> t
       }
-    val round1 = runRound()
-    SparkEntry.clearSnapshotCaches()
-    val round2 = runRound()
-    val queryTimes = round1.zip(round2).map { case ((n, t1), (_, t2)) =>
-      n -> (if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2))
+    // THREE full rounds, per-query MIN (was two): a single steal burst can
+    // span one whole round; with three, two bursts must align to bias a
+    // query's minimum. Snapshot memos are flushed between rounds so every
+    // round pays the full pair-generation + snapshot build in its timings.
+    val rounds1 = (1 to 3).map { _ =>
+      val r = runRound()
+      SparkEntry.clearSnapshotCaches()
+      r
+    }
+    val queryTimes = rounds1.transpose.map { samples =>
+      val name = samples.head._1
+      val ok = samples.map(_._2).filter(_ >= 0)
+      name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     // materialize the pair snapshot for the scaling runs (not timed).
     // 512 files: one read split each → 16+ uniform task waves at BOTH
