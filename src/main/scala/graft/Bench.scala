@@ -99,11 +99,6 @@ object Bench {
 
     // part 1: per-query timings at the configured parallelism.
     // One untimed warm-up absorbs JIT + parquet-footer caching.
-    // TWO full rounds, per-query MIN: this host shows bursty hypervisor
-    // steal (identical queries measured 9s in isolation and 560s inside
-    // one bench run); a burst during one round is cleaned by the other.
-    // Snapshot memos are flushed between rounds so both rounds pay the
-    // full pair-generation + snapshot build inside their timings.
     // Two SQLConf scopes over ONE SparkContext: snapshot-reading queries
     // run under 4m read splits, everything else under the 128m default.
     val spark = session(cpus, smallSplits = false)

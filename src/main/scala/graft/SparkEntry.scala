@@ -230,6 +230,43 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // MinHash-LSH near-dup over a literal fixture, checked against an
+    // INDEPENDENT DuckDB oracle that computes exact shingle-set Jaccard
+    // over all pairs: on this fixture the banded LSH recalls every
+    // above-threshold pair (verified, deterministic — fixed strings, fixed
+    // seeds), so LSH-candidates ∩ verify == the exact answer
+    "q_minhash_fixture" -> ((s, dir) => {
+      import graft.textops.TextOps
+      import s.implicits._
+      val docs = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (2L, "the quick brown fox jumps over the lazy dog and runs away now"),
+        (3L, "completely different content about spark clusters and shuffles here today"),
+        (4L, "completely different content about spark clusters and shuffles here tomorrow"),
+        (5L, "unrelated third topic with nothing shared at all in common"))
+        .toDF("id", "text")
+      TextOps.minhashDupePairs(docs, "id", "text", jaccardThreshold = 0.5)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // SimHash banded near-dup over the same fixture — hamming verification
+    // runs on internal 64-bit hashes, so the oracle freezes the expected
+    // constant output (regression guard for simhash64 + banding)
+    "q_simhash_fixture" -> ((s, dir) => {
+      import graft.textops.TextOps
+      import s.implicits._
+      val docs = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (2L, "the quick brown fox jumps over the lazy dog and runs away now"),
+        (3L, "completely different content about spark clusters and shuffles here today"),
+        (4L, "completely different content about spark clusters and shuffles here tomorrow"),
+        (5L, "unrelated third topic with nothing shared at all in common"))
+        .toDF("id", "text")
+      TextOps.simhashDupePairs(docs, "id", "text", bands = 4, maxHamming = 16)
+        .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // gazetteer: variant pages (messy) matched against base pages (canon)
     "q_gazetteer" -> ((s, dir) => {
       val pages = PagesGen.fromDocuments(s, dir)
@@ -836,6 +873,44 @@ object SparkEntry {
         |                           ORDER BY cos DESC, item_id) AS "rank" FROM s)
         |SELECT query_id, "rank", item_id, round(cos, 5) AS cos
         |FROM r WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+
+    // INDEPENDENT oracle: exact 3-token-shingle Jaccard over all pairs —
+    // equals the LSH+verify output because banded recall is complete on
+    // this fixture (deterministic: fixed strings, fixed seeds)
+    "q_minhash_fixture" ->
+      """WITH docs AS (
+        |  SELECT * FROM (VALUES
+        |    (CAST(1 AS BIGINT), 'the quick brown fox jumps over the lazy dog and runs away fast'),
+        |    (2, 'the quick brown fox jumps over the lazy dog and runs away now'),
+        |    (3, 'completely different content about spark clusters and shuffles here today'),
+        |    (4, 'completely different content about spark clusters and shuffles here tomorrow'),
+        |    (5, 'unrelated third topic with nothing shared at all in common'))
+        |    AS v(id, text)),
+        |toks AS (
+        |  SELECT id, list_filter(
+        |    regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |    x -> length(x) > 0) AS ts
+        |  FROM docs),
+        |sh AS (
+        |  SELECT id, list_distinct(
+        |    [ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] || ' ' || ts[CAST(i AS INT) + 2]
+        |     FOR i IN range(1, len(ts) - 1)]) AS sg
+        |  FROM toks),
+        |p AS (
+        |  SELECT a.id AS id1, b.id AS id2,
+        |    CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+        |      / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS j
+        |  FROM sh a JOIN sh b ON a.id < b.id)
+        |SELECT id1, id2, round(j, 6) AS jaccard FROM p WHERE j >= 0.5
+        |ORDER BY id1, id2""".stripMargin,
+
+    // frozen constants (hamming runs on internal 64-bit simhashes, not
+    // SQL-reproducible): regression guard for simhash64 + band keys
+    "q_simhash_fixture" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(9 AS BIGINT)),
+        |  (3, 4, 8)) AS t(id1, id2, hamming)
+        |ORDER BY id1, id2""".stripMargin,
 
     // each predicate index gets its own UNION branch; suffix bound =
     // min(len-2, 16) mirrors the kernel's (minLen 3, cap 16 longest-first)
