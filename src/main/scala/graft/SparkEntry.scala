@@ -629,6 +629,31 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // second-stage dedupeCanon (G6) over a LITERAL canon table — cluster
+    // membership is invariant to the pipeline's internal xxhash ids and
+    // the remap keys are the fixture's own first-pass components, so the
+    // expected output is a hand-derivable constant: canon texts 1 and 2
+    // are near-dups (share every token, jw ≈ 0.99 ≥ the 0.85 needed at
+    // threshold 0.9) and merge to min(1,2)=1; texts 3 and 4 share no
+    // blocking token with anything, so components 3 and 4 survive
+    "q_canon_remap" -> ((s, dir) => {
+      import s.implicits._
+      val firstEntityMap = Seq((101L, 1L), (102L, 1L), (201L, 2L),
+        (301L, 3L), (401L, 4L)).toDF("id", "component")
+      val canon = Seq(
+        (1L, "the acme corporation homepage", "en"),
+        (2L, "the acme corporation home page", "en"),
+        (3L, "completely unrelated canon text", "en"),
+        (4L, "another totally distinct document", "en"))
+        .toDF("component", "text_norm", "lang")
+      val cfg = Dedupe.Config(
+        Model(bias = -8.0, weights = Map("jw_text_norm" -> 12.0),
+          threshold = 0.9, predicates = Seq(PredicateSpec("token", "text_norm"))),
+        collectMetrics = false)
+      graft.pipeline.Gazetteer.dedupeCanon(s, firstEntityMap, canon, cfg)
+        .orderBy(col("id"))
+    }),
+
     // tumbling-window event aggregation (§2.9; same code path runs
     // streaming once the caller adds a watermark)
     "q_event_windows" -> ((s, dir) => {
@@ -1194,6 +1219,13 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.id < b.id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
         |ORDER BY id1, id2""".stripMargin,
+
+    // constant fixture (derivation in the query comment): {1,2} merge → 1
+    "q_canon_remap" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(101 AS BIGINT), CAST(1 AS BIGINT)), (102, 1), (201, 1),
+        |  (301, 3), (401, 4)) AS t(id, component)
+        |ORDER BY id""".stripMargin,
 
     "q_event_windows" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
