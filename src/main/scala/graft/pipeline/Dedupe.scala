@@ -40,6 +40,13 @@ object Dedupe {
       canonFields: Seq[String] = Seq("url", "text_norm", "lang"),
       // metrics cost extra actions (counts); off for latency-sensitive runs
       collectMetrics: Boolean = true,
+      // materialize the prepared frame once (the reference's processed_{sid}
+      // Postgres table†): blocking, field-attach, exact-group maps, entity
+      // map and canon are INDEPENDENT actions — without the snapshot each
+      // re-executes the scan → normalize chain and the exact-group shuffle
+      // repeats. One write of ~input size buys 3-4 full re-scans back; turn
+      // off only when the input is already a cheap materialized view.
+      materializePrepared: Boolean = true,
       // G2 tail: components above this size are re-thresholded (None = off)
       capComponentSize: Option[Int] = None,
       // G3: optional per-component HAC refinement (reference's hierarchical
@@ -182,24 +189,46 @@ object Dedupe {
     val pagesPar =
       if (pages.rdd.getNumPartitions < width) pages.repartition(width) else pages
     val prepared0 = prepare(pagesPar)
+    // Exact-group rep (G1) is assigned INSIDE the prepared frame: the
+    // groupBy branch is column-pruned to (id, text_hash) — two xxhash64
+    // over the raw scan, no normalize — and map-side combine keeps a
+    // boilerplate text shared by millions of pages skew-safe (one partial
+    // row per key per mapper, unlike a window over text_hash which would
+    // buffer the whole family in one task). After the join, reps and the
+    // id→rep map are FILTERS/PROJECTIONS of one frame, not repeated
+    // groupBy+join chains.
+    val repMap = prepared0
+      .groupBy(col("text_hash"))
+      .agg(min(col("id")).as("rep"))
+    val withRep = prepared0.join(repMap, "text_hash")
+    // html is raw payload no operator consumes — keep it out of the
+    // snapshot unless the model/canon config references it explicitly
+    val htmlNeeded = config.canonFields.contains("html") ||
+      model.predicates.exists(_.field == "html") ||
+      requiredFields(model.featureNames).contains("html")
+    val prepared =
+      if (!config.materializePrepared) withRep
+      else ephemeralSnapshot(spark,
+        if (htmlNeeded) withRep else withRep.drop("html"), "prepared")
+
+    val idToRep = prepared.select(col("id"), col("rep"))
+    val reps0 = prepared.filter(col("id") === col("rep"))
     // EVERY distinct cosine_tfidf field gets its vector column (a model
     // with TF-IDF on two fields previously failed analysis — only the
-    // first field's <f>_tfidf column was built).
+    // first field's <f>_tfidf column was built). Corpus stats are computed
+    // over the deduped representatives — the frame that is scored — and
+    // the vectors are snapshotted when materialization is on, because
+    // withTfidfVectors shuffles (document-frequency agg) and reps feeds
+    // three independent consumers (blocking, attach, labels).
     val tfidfFields = model.featureNames
       .filter(_.startsWith("cosine_tfidf_"))
       .map(_.stripPrefix("cosine_tfidf_")).distinct
-    val prepared = tfidfFields.foldLeft(prepared0) { (df, f) =>
+    val repsTf = tfidfFields.foldLeft(reps0) { (df, f) =>
       Scoring.withTfidfVectors(df, f, "id", topK = config.tfidfTopK)
     }
-
-    val repMap = prepared
-      .groupBy(col("text_hash"))
-      .agg(min(col("id")).as("rep"))
-    val idToRep = prepared.select(col("id"), col("text_hash"))
-      .join(repMap, "text_hash")
-      .select(col("id"), col("rep"))
-    val reps = prepared.join(
-      repMap.select(col("rep").as("id")), Seq("id"), "left_semi")
+    val reps =
+      if (tfidfFields.isEmpty || !config.materializePrepared) repsTf
+      else ephemeralSnapshot(spark, repsTf, "reps_tfidf")
 
     // ---- stages 2+3 (skipped entirely on resume): blocking (narrow) +
     // pair-gen (the shuffle) + attach fields + score (one codegen span)
@@ -259,8 +288,14 @@ object Dedupe {
     val repLabels = repLabels2.select(col("id").as("rep"), col("component"))
 
     // ---- stage 5: expand exact groups, confidence, canon
-    val allLabels = idToRep.join(repLabels, "rep")
+    // narrow (id, component) snapshot: confidences, the entity map, canon
+    // and the entity count are independent actions — each would re-run the
+    // expand join (and the CC label union+distinct behind it) otherwise
+    val allLabels0 = idToRep.join(repLabels, "rep")
       .select(col("id"), col("component"))
+    val allLabels =
+      if (config.materializePrepared) ephemeralSnapshot(spark, allLabels0, "labels")
+      else allLabels0
     // S5: lineage of the clustering output too (CC iterations checkpoint
     // under $dir/cc; this records what the final labels looked like)
     config.checkpointDir.foreach(dir => writeLineage(dir, "labels", allLabels))
@@ -275,8 +310,8 @@ object Dedupe {
       "component", config.canonFields)
 
     val m = if (config.collectMetrics) Metrics(
-      records = pagesPar.count(),
-      exactGroups = repMap.count(),
+      records = prepared.count(), // same rows as the input; columnar when materialized
+      exactGroups = prepared.select(col("rep")).distinct().count(),
       blockKeys = blockM.totalKeys,
       pluralKeys = blockM.pluralKeys,
       cappedKeys = blockM.cappedKeys,
