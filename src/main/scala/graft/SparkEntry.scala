@@ -270,7 +270,11 @@ object SparkEntry {
     // gazetteer: variant pages (messy) matched against base pages (canon)
     "q_gazetteer" -> ((s, dir) => {
       val pages = PagesGen.fromDocuments(s, dir)
-      val prepared = Dedupe.prepare(pages)
+      // one materialized prepare: the canon block census, both block-join
+      // legs and the two field attaches are separate plan branches — each
+      // would re-run the scan → normalize chain otherwise
+      val prepared = Dedupe.ephemeralSnapshot(s,
+        Dedupe.prepare(pages).drop("html"), "gaz_prep")
       val canon = prepared.filter(!col("url").endsWith("-v1"))
       val messy = prepared.filter(col("url").endsWith("-v1"))
       graft.pipeline.Gazetteer.matchRecords(s, messy, canon,
