@@ -105,6 +105,19 @@ object SparkEntry {
         "scored", dir)
     })
 
+  /** Shared 5-doc near-dup fixture for the minhash/simhash fixture
+    * queries — ONE literal so the "same fixture" premise cannot drift. */
+  private def nearDupFixtureDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs away now"),
+      (3L, "completely different content about spark clusters and shuffles here today"),
+      (4L, "completely different content about spark clusters and shuffles here tomorrow"),
+      (5L, "unrelated third topic with nothing shared at all in common"))
+      .toDF("id", "text")
+  }
+
   /** Flagship: full dedupe pipeline (block → score → CC cluster → entity
     * map) over a pages table derived deterministically from sf0.001
     * documents with injected near-duplicate variants. rows > 0 smoke. */
@@ -238,13 +251,7 @@ object SparkEntry {
     "q_minhash_fixture" -> ((s, dir) => {
       import graft.textops.TextOps
       import s.implicits._
-      val docs = Seq(
-        (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
-        (2L, "the quick brown fox jumps over the lazy dog and runs away now"),
-        (3L, "completely different content about spark clusters and shuffles here today"),
-        (4L, "completely different content about spark clusters and shuffles here tomorrow"),
-        (5L, "unrelated third topic with nothing shared at all in common"))
-        .toDF("id", "text")
+      val docs = nearDupFixtureDocs(s)
       TextOps.minhashDupePairs(docs, "id", "text", jaccardThreshold = 0.5)
         .orderBy(col("id1"), col("id2"))
     }),
@@ -255,13 +262,7 @@ object SparkEntry {
     "q_simhash_fixture" -> ((s, dir) => {
       import graft.textops.TextOps
       import s.implicits._
-      val docs = Seq(
-        (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
-        (2L, "the quick brown fox jumps over the lazy dog and runs away now"),
-        (3L, "completely different content about spark clusters and shuffles here today"),
-        (4L, "completely different content about spark clusters and shuffles here tomorrow"),
-        (5L, "unrelated third topic with nothing shared at all in common"))
-        .toDF("id", "text")
+      val docs = nearDupFixtureDocs(s)
       TextOps.simhashDupePairs(docs, "id", "text", bands = 4, maxHamming = 16)
         .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("id1"), col("id2"))
@@ -394,7 +395,7 @@ object SparkEntry {
     // double-metaphone codes over a literal fixture (B12). DuckDB has no
     // phonetic functions, so the oracle is the frozen expected code table —
     // spot values match the published DoubleMetaphone behavior (smith→SM0,
-    // schmidt→XMT, thompson→TMSN, ...), making this a regression guard for
+    // schmidt→XMT, thompson→TMPS, ...), making this a regression guard for
     // the commons-codec integration rather than rows-only coverage
     "q_metaphone_fixture" -> ((s, dir) => {
       import s.implicits._

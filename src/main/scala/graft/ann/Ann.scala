@@ -112,17 +112,28 @@ object Ann {
     // the corpus (the previous global row_number() window serialized the
     // whole corpus through one task). `limit` then trims the sample to
     // exactly nlist rows (tiny input by then; deterministic via the sort).
-    val n = i.count()
     // hash sampling keeps ~nlist rows only in EXPECTATION — a skewed or
     // tiny corpus can come up short (extreme: zero centroids → no
-    // neighbors at all). Relax the modulus (halving) until enough rows
-    // survive; each retry is one cheap filtered count, and step=1 keeps
-    // everything, so termination with >= min(nlist, n) rows is guaranteed.
-    var step = math.max(1L, n / nlist)
+    // neighbors at all). ONE aggregate scan computes the corpus size and
+    // the survivor count at every power-of-two modulus; the driver then
+    // picks the coarsest modulus with >= min(nlist, n) survivors (modulus
+    // 1 keeps everything, so a valid pick always exists). No per-retry
+    // re-scans — the setup cost is exactly the one count the pre-fallback
+    // code already paid.
+    val maxJ = 40
+    val aggCols = count(lit(1)).cast("long").as("n") +: (1 to maxJ).map(j =>
+      sum(when(pmod(xxhash64(col("item_id")), lit(1L << j)) === 0, 1L)
+        .otherwise(0L)).as(s"s$j"))
+    val row = i.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    val n = row.getLong(0)
+    def surv(j: Int): Long =
+      if (j == 0) n else Option(row.get(j)).fold(0L)(_ => row.getLong(j))
+    val want = math.min(nlist.toLong, n)
+    var j = math.min(maxJ,
+      63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n / nlist)))
+    while (j > 0 && surv(j) < want) j -= 1
+    val step = 1L << j
     def sample(st: Long) = i.filter(pmod(xxhash64(col("item_id")), lit(st)) === 0)
-    while (step > 1L && sample(step).count() < math.min(nlist.toLong, n)) {
-      step = step / 2
-    }
     val cents = sample(step)
       .sort(col("item_id")).limit(nlist)
       .select(col("item_id").as("cent_id"), col("ivec").as("cvec"))

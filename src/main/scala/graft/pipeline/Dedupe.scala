@@ -83,8 +83,8 @@ object Dedupe {
       configured: Option[String]): String =
     configured.getOrElse {
       require(master.startsWith("local"),
-        s"master '$master' needs a shared-FS scratch: set Config.checkpointDir " +
-          "or spark.graft.scratchDir to an hdfs://-style URI")
+        s"master '$master' needs a shared-FS scratch: set spark.graft.scratchDir " +
+          "(or Config.checkpointDir for pipeline runs) to an hdfs://-style URI")
       "file:" + System.getProperty("java.io.tmpdir")
     }
 
@@ -98,10 +98,10 @@ object Dedupe {
    * deleteOnExit — works for remote FS schemes too).
    */
   private[graft] def ephemeralSnapshot(spark: SparkSession, df: DataFrame,
-      tag: String): DataFrame = {
+      tag: String, scratchBase: Option[String] = None): DataFrame = {
     val base = resolveScratchBase(spark.sparkContext.master,
-      spark.conf.getOption("spark.graft.scratchDir")
-        .filter(_.nonEmpty))
+      scratchBase.orElse(
+        spark.conf.getOption("spark.graft.scratchDir").filter(_.nonEmpty)))
     val path = new org.apache.hadoop.fs.Path(base,
       s"graft_${tag}_${java.util.UUID.randomUUID().toString.take(12)}")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -176,6 +176,11 @@ object Dedupe {
     val model = config.model
     config.checkpointDir.foreach(d =>
       spark.sparkContext.setCheckpointDir(s"$d/cc"))
+    // ephemeral snapshots land under the checkpoint dir when one is set —
+    // a cluster run with Config.checkpointDir needs no extra scratch conf
+    val scratch = config.checkpointDir.map(d => s"$d/scratch")
+    def snap(df: DataFrame, tag: String): DataFrame =
+      ephemeralSnapshot(spark, df, tag, scratch)
 
     // ---- stage 1: prepare + exact pre-group (G1)
     // Scan-parallelism floor: the per-row prepare/blocking work (NFKC,
@@ -203,13 +208,14 @@ object Dedupe {
     val withRep = prepared0.join(repMap, "text_hash")
     // html is raw payload no operator consumes — keep it out of the
     // snapshot unless the model/canon config references it explicitly
+    def predFields(ps: Seq[graft.model.PredicateSpec]): Seq[String] =
+      ps.flatMap(p => p.field +: predFields(p.sub)) // compound sub-predicates too
     val htmlNeeded = config.canonFields.contains("html") ||
-      model.predicates.exists(_.field == "html") ||
+      predFields(model.predicates).contains("html") ||
       requiredFields(model.featureNames).contains("html")
     val prepared =
       if (!config.materializePrepared) withRep
-      else ephemeralSnapshot(spark,
-        if (htmlNeeded) withRep else withRep.drop("html"), "prepared")
+      else snap(if (htmlNeeded) withRep else withRep.drop("html"), "prepared")
 
     val idToRep = prepared.select(col("id"), col("rep"))
     val reps0 = prepared.filter(col("id") === col("rep"))
@@ -228,7 +234,7 @@ object Dedupe {
     }
     val reps =
       if (tfidfFields.isEmpty || !config.materializePrepared) repsTf
-      else ephemeralSnapshot(spark, repsTf, "reps_tfidf")
+      else snap(repsTf, "reps_tfidf")
 
     // ---- stages 2+3 (skipped entirely on resume): blocking (narrow) +
     // pair-gen (the shuffle) + attach fields + score (one codegen span)
@@ -242,8 +248,7 @@ object Dedupe {
         // NFKC + tokenize + simhash over every record. The reference
         // materializes its block table the same way (Postgres block_{sid}
         // table†); here it's a scratch parquet of narrow (id, key) rows.
-        val blocks = ephemeralSnapshot(spark,
-          Blocking.blockingMap(reps, model.predicates, "id"), "blocks")
+        val blocks = snap(Blocking.blockingMap(reps, model.predicates, "id"), "blocks")
         if (config.collectMetrics)
           blockM = PairGen.blockMetrics(blocks, config.maxBlockSize)
         val pairs = PairGen.candidatePairs(blocks, config.maxBlockSize)
@@ -263,7 +268,7 @@ object Dedupe {
             // scored pairs feed TWO downstream consumers (CC edges +
             // per-record confidences); without a snapshot the whole
             // block+join+score DAG would re-execute per consumer.
-            ephemeralSnapshot(spark, scored0, "scored_snap")
+            snap(scored0, "scored_snap")
         }
     }
 
@@ -294,7 +299,7 @@ object Dedupe {
     val allLabels0 = idToRep.join(repLabels, "rep")
       .select(col("id"), col("component"))
     val allLabels =
-      if (config.materializePrepared) ephemeralSnapshot(spark, allLabels0, "labels")
+      if (config.materializePrepared) snap(allLabels0, "labels")
       else allLabels0
     // S5: lineage of the clustering output too (CC iterations checkpoint
     // under $dir/cc; this records what the final labels looked like)

@@ -120,12 +120,15 @@ object Gazetteer {
     // write, CC iterations' lineage, the final remap join) — without the
     // snapshot the entire first pass re-executed per consumer (measured:
     // the 185 s q_dedupe_canon anomaly, round-2 verdict item 4).
+    // scratch lands under the checkpoint dir when one is set, so a cluster
+    // run configured only with Config.checkpointDir works here too
     val canonPages = Dedupe.ephemeralSnapshot(spark, canon.select(
       concat(lit("canon://"), col("component")).as("url"),
       lit(null).cast("timestamp").as("warc_ts"),
       lit(null).cast("binary").as("html"),
       col("text_norm").as("text"),
-      col("lang")), "canon_pages")
+      col("lang")), "canon_pages",
+      config.checkpointDir.map(d => s"$d/scratch"))
     val second = Dedupe.run(spark, canonPages, config)
     val remap = second.entityMap.select(
       regexp_extract(col("url"), "canon://(-?\\d+)", 1).cast("long").as("first_component"),

@@ -69,17 +69,52 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("contract-wide sweep: no query plans a CartesianProduct") {
+  test("contract-wide sweep: no query plans or executes a CartesianProduct") {
     // every SparkEntry query at sf0.001 — a cartesian anywhere in the
     // contract is a scale-killer regardless of how small it looks locally.
     // (Broadcast nested-loop joins from crossJoin(broadcast(...)) are the
     // deliberate ANN pattern: one corpus scan against a broadcast query
     // side — those are fine; CartesianProductExec is not.)
-    val dir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val p = plan(fn(spark, dir))
-      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+    //
+    // Two nets: the returned frame's plan (the tail), AND a
+    // QueryExecutionListener capturing every plan EXECUTED during
+    // construction — queries that eagerly materialize via
+    // ephemeralSnapshot run their block/score/CC stages before returning,
+    // so the tail plan alone would never see a cartesian hidden in those
+    // interior stages.
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    @volatile var current = "init"
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        seen.add((current, qe.executedPlan.toString))
+      override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
     }
+    spark.listenerManager.register(listener)
+    try {
+      val dir = "/root/testdata/sf0.001"
+      SparkEntry.queries.foreach { case (name, fn) =>
+        current = name
+        val p = plan(fn(spark, dir))
+        assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      }
+      // the listener bus is async — wait for it to quiesce
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(200)
+        val n = seen.size()
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+      val offenders = seen.iterator()
+      while (offenders.hasNext) {
+        val (name, p) = offenders.next()
+        assert(!p.contains("CartesianProduct"),
+          s"$name executed a cartesian product in an interior (snapshot-build) stage")
+      }
+      info(s"listener checked ${seen.size()} executed plans across the contract")
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("candidate pair-gen plans no cartesian product") {
