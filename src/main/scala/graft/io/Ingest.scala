@@ -1,0 +1,68 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.gfunctions._
+
+/**
+ * Upload ingest — the reference's CSV session flow (`dedupe-api:api/utils/
+ * db_functions.py (fn writeRawTable / writeProcessedTable)†`, SURVEY.md
+ * §3.1): an uploaded CSV becomes `raw_{sid}` (one TEXT column per header +
+ * a synthetic record id) and `processed_{sid}` (every value preProcessed).
+ *
+ * Differences by design:
+ *  - the record id is `xxhash64` of the whole raw row (all columns, with a
+ *    per-duplicate-row sequence number mixed in), NOT a serial PK — serial
+ *    ids are driver-side state a distributed ingest cannot mint without a
+ *    global sort or a single task; a content hash is reproducible across
+ *    re-ingests of the same file and partition-parallel.
+ *  - processed values live in `<col>_norm` columns NEXT TO the raw values
+ *    (the raw/derived split honored per-column), not in a second table —
+ *    one columnar table with pruned reads replaces the reference's two
+ *    Postgres tables.
+ */
+object Ingest {
+
+  /** raw_{sid}: header-schema CSV → all-text columns + deterministic
+    * `record_id`. Exact duplicate ROWS each get a distinct id (the
+    * reference's serial PK also distinguishes them): the id hashes the row
+    * content plus the row's ordinal among its identical copies. */
+  def rawTable(spark: SparkSession, csvPath: String): DataFrame = {
+    val raw = spark.read
+      .option("header", "true")
+      // everything lands as text, like the reference's raw table — no
+      // inference surprises between uploads
+      .option("inferSchema", "false")
+      .csv(csvPath)
+    val cols = raw.columns.toSeq
+    // null-vs-empty must hash differently, and xxhash64 SKIPS null args
+    // (("a", null) and (null, "a") would collide) — substitute a sentinel
+    val contentHash = xxhash64(
+      cols.map(c => coalesce(col(c), lit("<graft:null>"))): _*)
+    // distinguish identical rows deterministically: ordinal within the
+    // content-hash group (ordered by the group's partition arrival is NOT
+    // deterministic — use row_number over a content-only ordering, which
+    // ties identical rows arbitrarily but then any assignment is
+    // equivalent by symmetry: the rows are byte-identical)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(contentHash).orderBy(contentHash)
+    raw.withColumn("_dup_seq", row_number().over(w).cast("long"))
+      .withColumn("record_id", xxhash64(contentHash, col("_dup_seq")))
+      .drop("_dup_seq")
+      .select(col("record_id") +: cols.map(col): _*)
+  }
+
+  /** processed: every string column gains a `<col>_norm` sibling with the
+    * reference's preProcess chain (NFKC-normalize, lower, collapse
+    * whitespace, empty→NULL — `normalize_text`); raw columns are carried
+    * through untouched (per-row invariant). */
+  def processedTable(raw: DataFrame, idCol: String = "record_id"): DataFrame =
+    raw.columns.filter(_ != idCol).foldLeft(raw) { (df, c) =>
+      df.withColumn(s"${c}_norm", normalize_text(col(c)))
+    }
+
+  /** One-call ingest: CSV → processed table ready for a Model whose
+    * predicates/features reference the `<col>_norm` columns. */
+  def ingestCsv(spark: SparkSession, csvPath: String): DataFrame =
+    processedTable(rawTable(spark, csvPath))
+}
