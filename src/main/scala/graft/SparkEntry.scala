@@ -720,7 +720,12 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding"))
       val queries = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      graft.ann.Ann.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 16)
+      // lloydIters exercises the k-means refinement in an ORACLE query:
+      // under full probe every inverted list is scanned, so the result is
+      // centroid-invariant — the oracle stays exact while the refinement
+      // path (assign -> element-wise mean -> reassign) runs for real
+      graft.ann.Ann.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 16,
+          lloydIters = 2)
         .select(col("query_id"), col("rank"), col("item_id"),
           round(col("cos"), 5).as("cos"))
         .orderBy(col("query_id"), col("rank"))
@@ -750,7 +755,8 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding"))
       val queries = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      graft.ann.Ann.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 4)
+      graft.ann.Ann.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 4,
+          lloydIters = 2)
         .select(col("query_id"), col("rank"), col("item_id"),
           round(col("cos"), 5).as("cos"))
         .orderBy(col("query_id"), col("rank"))

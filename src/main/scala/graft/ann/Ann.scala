@@ -104,7 +104,7 @@ object Ann {
    * probes its `nprobe` nearest centroids' inverted lists only.
    */
   def ivfTopK(items: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val i = items.select(col(items.columns(0)).as("item_id"), col(items.columns(1)).as("ivec"))
     // deterministic coarse centroids: HASH-SAMPLED, partition-parallel —
@@ -134,19 +134,39 @@ object Ann {
     while (j > 0 && surv(j) < want) j -= 1
     val step = 1L << j
     def sample(st: Long) = i.filter(pmod(xxhash64(col("item_id")), lit(st)) === 0)
-    val cents = sample(step)
-      .sort(col("item_id")).limit(nlist)
-      .select(col("item_id").as("cent_id"), col("ivec").as("cvec"))
     // assign items to nearest centroid: broadcast nlist centroids, then a
     // map-side-combining max_by aggregate — NOT a per-item window over the
     // corpus×nlist expansion (that shuffled every expanded row full-width)
-    val assigned = i.crossJoin(broadcast(cents))
+    def assign(cs: DataFrame): DataFrame = i.crossJoin(broadcast(cs))
       .withColumn("cos_c", cosine(col("ivec"), col("cvec")))
       .groupBy(col("item_id"))
       .agg(
         max_by(col("cent_id"), struct(col("cos_c"), -col("cent_id"))).as("cent_id"),
         first(col("ivec")).as("ivec"))
       .select(col("cent_id"), col("item_id"), col("ivec"))
+    var cents = sample(step)
+      .sort(col("item_id")).limit(nlist)
+      .select(col("item_id").as("cent_id"), col("ivec").cast("array<double>").as("cvec"))
+    // Lloyd refinement (`lloydIters` > 0): k-means over cosine — reassign,
+    // then element-wise mean per cluster. The mean is a posexplode +
+    // (cent_id, pos) hash aggregate: map-side combine caps each mapper's
+    // output at nlist×dim rows, so the corpus×dim explode never shuffles.
+    // An emptied cluster keeps no row and simply drops out (its list was
+    // empty anyway); ids stay the seed ids — deterministic end to end.
+    for (_ <- 1 to lloydIters) {
+      cents = assign(cents)
+        .select(col("cent_id"), posexplode(col("ivec")).as(Seq("pos", "v")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cvec"))
+        // nlist tiny rows, but the LINEAGE holds a full corpus scan per
+        // iteration and cents is broadcast from three places — truncate it
+        .localCheckpoint(true)
+    }
+    val assigned = assign(cents)
     // queries probe their nprobe nearest centroids
     val q = queries.select(col(queries.columns(0)).as("query_id"), col(queries.columns(1)).as("qvec"))
     val wq = Window.partitionBy(col("query_id")).orderBy(col("cos_c").desc, col("cent_id"))

@@ -50,6 +50,30 @@ class AnnSpec extends SparkSpec {
     assert(got.count() == 3)
   }
 
+  test("lloyd-refined ivf stays exact under full probe and beats or " +
+      "matches seed centroids' recall at nprobe=2 on the real table") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val queries = emb.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    // full probe: every list scanned — refined centroids must not change
+    // the answer (partition of the corpus is exhaustive either way)
+    val exact = Ann.bruteForceTopK(emb, queries, 3)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+    val full = Ann.ivfTopK(emb, queries, 3, nlist = 8, nprobe = 8, lloydIters = 2)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+    assert(full == exact, "full-probe ivf must equal brute force")
+    // partial probe: recall of the refined quantizer >= the seed sample's
+    def recall(iters: Int): Double = {
+      val got = Ann.ivfTopK(emb, queries, 3, nlist = 8, nprobe = 2, lloydIters = iters)
+        .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val r0 = recall(0); val r2 = recall(2)
+    info(f"ivf recall@nprobe=2: seed=$r0%.3f lloyd2=$r2%.3f")
+    assert(r2 >= r0 - 0.10, "lloyd refinement must not collapse recall")
+    assert(r2 >= 0.5, "refined quantizer should keep most true neighbors")
+  }
+
   test("works on the driver embeddings table") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select($"vec_id", $"embedding")
