@@ -105,4 +105,41 @@ object PagesGen {
     }
     variants.foldLeft(base)(_ unionByName _)
   }
+
+  /** Volume-scaled pages: the documents corpus crossed with `replicas`
+    * deterministic salts, entirely distributed (no driver-side Seq) — for
+    * data-volume scaling runs. EVERY TOKEN is prefixed with the replica
+    * id, so replicas are mutually dissimilar sub-corpora each structurally
+    * identical to the base (constant family size {base, near-dup variant},
+    * per-replica vocabulary): total work should scale ~linearly with
+    * `replicas`, which is exactly what a volume-scaling run must isolate —
+    * a corpus whose true-pair count grew quadratically with volume would
+    * conflate engine scaling with corpus structure. */
+  def scaled(spark: SparkSession, sfDir: String, replicas: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val reps = spark.range(replicas).select(col("id").as("rep"))
+    val crossed = docs.crossJoin(broadcast(reps))
+      .repartition(spark.sparkContext.defaultParallelism * 4)
+      .withColumn("rtext", concat(
+        array_join(
+          transform(split(col("text"), " "),
+            t => concat(lit("r"), col("rep"), lit("_"), t)), " "),
+        // a rare family-identifier token (the SKU/phone-number analog real
+        // near-dup pages share): guarantees each {base, v1} family blocks
+        // together regardless of how formulaic the synthetic vocabulary
+        // is, so the scoring stage sees ~rows/2 true pairs at every volume
+        lit(" fam"), col("doc_id"), lit("r"), col("rep")))
+    def page(suffix: String, text: org.apache.spark.sql.Column) = crossed.select(
+      concat(lit("https://docs.example/"), col("doc_id"),
+        lit("/r"), col("rep"), lit(suffix)).as("url"),
+      to_timestamp(lit("2017-07-14 02:40:00")).as("warc_ts"),
+      encode(col("rtext"), "UTF-8").as("html"),
+      text.as("text"), col("lang"))
+    page("", col("rtext"))
+      .unionByName(page("-v1", // same near-dup shape as fromDocuments
+        concat(regexp_replace(col("rtext"), "^(\\S+) ", "$1  "),
+          lit(" © example inc"))))
+  }
 }

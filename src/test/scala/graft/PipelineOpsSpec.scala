@@ -63,6 +63,28 @@ class PipelineOpsSpec extends SparkSpec {
       r.metrics.entities == 0 && r.metrics.blockKeys == 0)
   }
 
+  test("PagesGen.scaled: replica-disjoint families, deterministic shape") {
+    val pages = graft.fixtures.PagesGen.scaled(spark, "/root/testdata/sf0.001", 3)
+    val n = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert(pages.count() == n * 3 * 2) // base + v1 per (doc, replica)
+    assert(pages.select("url").distinct().count() == n * 3 * 2)
+    // family token present on both members; replicas share no tokens
+    val toks = pages.select(explode(split(col("text"), " ")).as("t"))
+    assert(toks.filter(col("t").startsWith("fam")).count() == n * 3 * 2)
+    // replica vocabularies are disjoint: no token appears under two prefixes
+    val vocabOverlap = toks.filter(col("t").startsWith("r0_"))
+      .select(expr("substring(t, 4)").as("w")).distinct()
+      .intersect(toks.filter(col("t").startsWith("r1_"))
+        .select(expr("substring(t, 4)").as("w")).distinct())
+    assert(vocabOverlap.count() > 0, // same underlying words...
+      "replicas should be built from the same base corpus")
+    assert(toks.filter(col("t").startsWith("r0_"))
+      .intersect(toks.filter(col("t").startsWith("r1_"))).isEmpty) // ...but disjoint tokens
+    // deterministic: two builds are identical
+    val again = graft.fixtures.PagesGen.scaled(spark, "/root/testdata/sf0.001", 3)
+    assert(pages.select("url", "text").except(again.select("url", "text")).isEmpty)
+  }
+
   test("a single-page input yields one singleton entity with confidence 1") {
     import graft.pipeline.Dedupe
     val one = Seq(graft.model.PageRow(
