@@ -268,6 +268,23 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // winnowing rolling-hash document fingerprints (Schleimer 2003) over
+    // the shared near-dup fixture: fingerprint-set sizes + all positive
+    // pairwise overlap similarities. xxhash64-based, so DuckDB cannot
+    // recompute it — the oracle freezes the expected constant table
+    // (regression guard, like q_metaphone_fixture)
+    "q_winnow_fingerprint" -> ((s, dir) => {
+      val fp = nearDupFixtureDocs(s)
+        .select(col("id"), graft.textops.TextOps.winnowFingerprints(col("text")).as("fp"))
+      val a = fp.select(col("id").as("id1"), col("fp").as("fp1"))
+      val b = fp.select(col("id").as("id2"), col("fp").as("fp2"))
+      a.crossJoin(b).filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          round(graft.textops.TextOps.winnowSimilarity(col("fp1"), col("fp2")), 6).as("sim"))
+        .filter(col("sim") > 0)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // gazetteer: variant pages (messy) matched against base pages (canon)
     "q_gazetteer" -> ((s, dir) => {
       val pages = PagesGen.fromDocuments(s, dir)
@@ -1261,6 +1278,16 @@ object SparkEntry {
 
     // frozen expected codes (DuckDB has no phonetic fns); spot-checked
     // against published DoubleMetaphone values (4-char cap: thompson→TMPS)
+    // frozen winnowing overlap similarities on the shared 5-doc fixture:
+    // exactly the two true near-dup pairs surface (xxhash64 fingerprints —
+    // DuckDB cannot recompute; the constant table regression-guards the
+    // winnow kernel end to end, like the metaphone fixture below)
+    "q_winnow_fingerprint" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(0.913043 AS DOUBLE)),
+        |  (3, 4, 0.96)) AS t(id1, id2, sim)
+        |ORDER BY id1, id2""".stripMargin,
+
     "q_metaphone_fixture" ->
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), '0:JNSN'), (1, '0:SM0'),

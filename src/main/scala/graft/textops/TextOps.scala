@@ -82,6 +82,36 @@ object TextOps {
       lit(0.2) * least(stopRatio * 4.0, lit(1.0)) + lit(0.2) * lenScore, 6)
   }
 
+  /**
+   * Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003, the
+   * MOSS scheme — public algorithm): hash every k-char gram, slide a
+   * window of `window` consecutive gram hashes, keep each window's
+   * minimum, dedupe. Guarantees any shared substring of length
+   * >= k + window - 1 contributes at least one shared fingerprint, so
+   * partial overlap (quotation, boilerplate reuse) is detectable from the
+   * fingerprint sets alone. Pure built-ins — scan-side codegen, no UDF.
+   */
+  def winnowFingerprints(text: Column, k: Int = 5, window: Int = 4): Column = {
+    val n = length(text)
+    // Column.substr takes Column positions (the substring() builtin needs
+    // literals, useless inside the positional transform)
+    val grams = when(n >= k,
+      transform(sequence(lit(1), n - k + 1), i => xxhash64(text.substr(i, lit(k)))))
+      .otherwise(array(xxhash64(text)))
+    val ng = size(grams)
+    val mins = when(ng >= window,
+      transform(sequence(lit(1), ng - window + 1),
+        i => array_min(slice(grams, i, lit(window)))))
+      .otherwise(array(array_min(grams)))
+    array_sort(array_distinct(mins))
+  }
+
+  /** Winnowing overlap similarity = |A ∩ B| / |A ∪ B| over fingerprint
+    * sets (set Jaccard via built-ins; robust to partial overlap). */
+  def winnowSimilarity(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
   // ---------- dedup family -------------------------------------------
 
   /** Exact dedup (hash-groupBy): per text-hash group pick min-id rep.

@@ -74,4 +74,32 @@ class TextOpsSpec extends SparkSpec {
     assert(got(0) == 1.0)
     assert(got(1) == 0.0)
   }
+
+  test("winnowing fingerprints: shared substrings guarantee shared prints; " +
+      "disjoint texts share none") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    val quoted = "completely new framing text then " + base + " and a new tail"
+    val far = "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo nnn mmm"
+    val df = Seq((1L, base), (2L, quoted), (3L, far)).toDF("id", "text")
+      .withColumn("fp", TextOps.winnowFingerprints(col("text")))
+    val fps = df.select("id", "fp").as[(Long, Seq[Long])].collect().toMap
+    // winnowing guarantee: a shared substring of length >= k+w-1 (here 8)
+    // yields >= 1 shared fingerprint — the 63-char quote shares many
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).size > 5)
+    assert(fps(1L).toSet.intersect(fps(3L).toSet).isEmpty)
+    // deterministic + self-similarity 1.0, and similarity is symmetric
+    val sim = df.as("a").crossJoin(df.as("b"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        TextOps.winnowSimilarity(col("a.fp"), col("b.fp")).as("s"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (i, j, s) => (i, j) -> s }.toMap
+    assert(sim((1L, 1L)) == 1.0)
+    assert(sim((1L, 2L)) == sim((2L, 1L)))
+    assert(sim((1L, 2L)) > 0.3 && sim((1L, 3L)) == 0.0)
+    // short-text edge: below k chars still fingerprints (whole-text hash)
+    val short = Seq((9L, "ab")).toDF("id", "text")
+      .select(TextOps.winnowFingerprints(col("text")).as("fp"))
+      .as[Seq[Long]].collect()
+    assert(short(0).length == 1)
+  }
 }
