@@ -60,6 +60,23 @@ object Gazetteer {
     CanonIndex(blocks, fields, config)
   }
 
+  /**
+   * Extend a prebuilt index with newly-founded canonical records (the
+   * incremental-dedupe path): the increment's block map and field table
+   * are built (and persisted) on their own and UNIONed in — the existing
+   * cached frames are untouched, so per-batch extension costs only the
+   * increment. Known approximation, documented: the oversize-block filter
+   * runs per increment, so a key could creep past maxCanonBlockSize
+   * across many increments — run a periodic compaction (rebuild the index
+   * from the accumulated canon table) to restore the exact bound.
+   */
+  def extendIndex(index: CanonIndex, newCanon: DataFrame,
+      persist: Boolean = true): CanonIndex = {
+    val inc = buildCanonIndex(newCanon, index.config, persist)
+    CanonIndex(index.blocks.union(inc.blocks),
+      index.fields.union(inc.fields), index.config)
+  }
+
   /** Match messy records against a prebuilt canon index. */
   def matchAgainst(messy: DataFrame, index: CanonIndex): DataFrame = {
     val config = index.config

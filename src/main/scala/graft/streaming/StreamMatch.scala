@@ -38,4 +38,57 @@ object StreamMatch {
       }
       .start()
   }
+
+  /**
+   * Incremental entity resolution: each micro-batch is matched against a
+   * GROWING canonical index — unmatched pages found a new entity (their
+   * own id) and extend the index for every later batch. The stream thus
+   * maintains the same entity map a batch `Dedupe.run` would produce,
+   * one arrival at a time.
+   *
+   * Semantics, documented:
+   *  - exact duplicates WITHIN a batch collapse first (G1 pre-group), so
+   *    one entity is founded per distinct text;
+   *  - two distinct-but-near-dup NEW pages arriving in the SAME batch
+   *    found two entities (no within-batch pairwise matching — the batch
+   *    boundary is the resolution boundary; a periodic
+   *    `Gazetteer.dedupeCanon` compaction merges such splits, exactly the
+   *    second-stage pass the batch pipeline already ships);
+   *  - per-batch sink rows: (id, url, entity, is_new) for EVERY page of
+   *    the batch, members of exact-dup groups included.
+   */
+  def startIncrementalDedupe(spark: SparkSession, pagesStream: DataFrame,
+      initialCanon: DataFrame, config: Gazetteer.Config, queryName: String)
+      (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    var index = Gazetteer.buildCanonIndex(initialCanon, config)
+    pagesStream.writeStream
+      .queryName(queryName)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batch-sized frames; localCheckpoint so the multi-consumer plan
+        // below (match + anti-join + index extension) runs the prepare
+        // chain once and the index mutation cannot re-observe the stream
+        val prepared = Dedupe.prepare(batch).localCheckpoint(true)
+        val repMap = prepared.groupBy(col("text_hash")).agg(min(col("id")).as("rep"))
+        val idToRep = prepared.select(col("id"), col("url"), col("text_hash"))
+          .join(repMap, "text_hash").select(col("id"), col("url"), col("rep"))
+        val reps = prepared.join(
+          repMap.select(col("rep").as("id")), Seq("id"), "left_semi")
+        val best = Gazetteer.matchAgainst(reps, index)
+          .filter(col("rank") === 1)
+          .select(col("messy_id").as("rep"), col("canon_id"))
+        val assignment = idToRep.join(best, Seq("rep"), "left")
+          .select(col("id"), col("url"),
+            coalesce(col("canon_id"), col("rep")).as("entity"),
+            col("canon_id").isNull.as("is_new"))
+          .localCheckpoint(true)
+        sink(assignment, batchId)
+        val newbies = reps.join(
+          assignment.filter(col("is_new")).select(col("id")), Seq("id"), "left_semi")
+        if (!newbies.isEmpty) // founded entities join the index for batch N+1
+          index = Gazetteer.extendIndex(index, newbies)
+      }
+      .start()
+  }
 }

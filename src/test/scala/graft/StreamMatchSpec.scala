@@ -54,6 +54,67 @@ class StreamMatchSpec extends SparkSpec {
     assert(results.toSet == Set((m1, c1)))
   }
 
+  test("incremental dedupe: unmatched pages found entities that later " +
+      "batches match against") {
+    val model = Model(
+      bias = -13.0,
+      weights = Map("jw_text_norm" -> 6.0, "lev_text_norm" -> 9.0, "exact_lang" -> 0.4),
+      threshold = 0.5,
+      predicates = Seq(PredicateSpec("token", "text_norm")))
+    val canon = Dedupe.prepare(Seq(
+      ("https://c/1", "alpha beta gamma delta epsilon zeta eta theta", "en"))
+      .toDF("url", "text", "lang")
+      .withColumn("warc_ts", lit(null).cast("timestamp"))
+      .withColumn("html", lit(null).cast("binary")))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_incdd").toString
+    val schema = StructType(Seq(
+      StructField("url", StringType), StructField("warc_ts", TimestampType),
+      StructField("html", BinaryType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    def pages(rows: (String, String, String)*) = rows.toSeq
+      .toDF("url", "text", "lang")
+      .withColumn("warc_ts", lit(null).cast("timestamp"))
+      .withColumn("html", lit(null).cast("binary"))
+      .select("url", "warc_ts", "html", "text", "lang")
+    // batch 1: one match for the initial canon, one brand-new page,
+    // and an exact duplicate of the new page (must collapse to ONE entity)
+    val newText = "completely fresh subject matter here nine ten eleven"
+    pages(
+      ("https://m/1", "alpha beta gamma delta epsilon zeta eta  theta", "en"),
+      ("https://m/2", newText, "en"),
+      ("https://m/2dup", newText, "en"))
+      .write.mode("overwrite").parquet(s"$dir/in")
+
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Boolean)]
+    val q = graft.streaming.StreamMatch.startIncrementalDedupe(
+      spark, stream, canon, Gazetteer.Config(model, nMatches = 1),
+      "graft_incdd_test") { (batch, _) =>
+        got ++= batch.select("url", "entity", "is_new")
+          .as[(String, Long, Boolean)].collect()
+      }
+    try {
+      q.processAllAvailable()
+      // batch 2: a near-dup of batch 1's NEW page — must match the entity
+      // that batch founded, proving the index actually grew
+      pages(("https://m/3", newText + " tail", "en"))
+        .write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val byUrl = got.map(r => r._1 -> r).toMap
+    val c1 = canon.filter($"url" === "https://c/1").select("id").as[Long].first()
+    assert(byUrl("https://m/1")._2 == c1 && !byUrl("https://m/1")._3)
+    // the new page founded an entity; its exact dup shares it
+    val founded = byUrl("https://m/2")._2
+    assert(byUrl("https://m/2")._3 && byUrl("https://m/2dup")._2 == founded)
+    assert(Set(byUrl("https://m/2")._2, byUrl("https://m/2dup")._2).size == 1)
+    assert(founded != c1)
+    // batch-2 near-dup resolved to the founded entity, not a fresh one
+    assert(byUrl("https://m/3")._2 == founded && !byUrl("https://m/3")._3)
+  }
+
   test("canon index is built once, persisted, and reused across batches") {
     val model = Model(
       bias = -13.0,
