@@ -120,26 +120,32 @@ object PagesGen {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
     val reps = spark.range(replicas).select(col("id").as("rep"))
+    // prefix EVERY token — including the v1 boilerplate suffix: an
+    // unprefixed shared token ('©', 'inc') would sit on all ~rows/2 v1
+    // pages corpus-wide, a token block growing linearly with volume, and
+    // the linear-pairs-by-construction claim would silently lean on the
+    // pipeline's oversize-block drop instead of holding by construction
+    def prefixed(c: org.apache.spark.sql.Column) = concat(
+      array_join(
+        transform(split(c, " "),
+          t => concat(lit("r"), col("rep"), lit("_"), t)), " "),
+      // a rare family-identifier token (the SKU/phone-number analog real
+      // near-dup pages share): guarantees each {base, v1} family blocks
+      // together regardless of how formulaic the synthetic vocabulary
+      // is, so the scoring stage sees ~rows/2 true pairs at every volume
+      lit(" fam"), col("doc_id"), lit("r"), col("rep"))
     val crossed = docs.crossJoin(broadcast(reps))
       .repartition(spark.sparkContext.defaultParallelism * 4)
-      .withColumn("rtext", concat(
-        array_join(
-          transform(split(col("text"), " "),
-            t => concat(lit("r"), col("rep"), lit("_"), t)), " "),
-        // a rare family-identifier token (the SKU/phone-number analog real
-        // near-dup pages share): guarantees each {base, v1} family blocks
-        // together regardless of how formulaic the synthetic vocabulary
-        // is, so the scoring stage sees ~rows/2 true pairs at every volume
-        lit(" fam"), col("doc_id"), lit("r"), col("rep")))
+      .withColumn("rtext", prefixed(col("text")))
+      .withColumn("rtext_v1", // near-dup: doubled space + (prefixed) boilerplate
+        regexp_replace(prefixed(concat(col("text"), lit(" © example inc"))),
+          "^(\\S+) ", "$1  "))
     def page(suffix: String, text: org.apache.spark.sql.Column) = crossed.select(
       concat(lit("https://docs.example/"), col("doc_id"),
         lit("/r"), col("rep"), lit(suffix)).as("url"),
       to_timestamp(lit("2017-07-14 02:40:00")).as("warc_ts"),
       encode(col("rtext"), "UTF-8").as("html"),
       text.as("text"), col("lang"))
-    page("", col("rtext"))
-      .unionByName(page("-v1", // same near-dup shape as fromDocuments
-        concat(regexp_replace(col("rtext"), "^(\\S+) ", "$1  "),
-          lit(" © example inc"))))
+    page("", col("rtext")).unionByName(page("-v1", col("rtext_v1")))
   }
 }

@@ -35,10 +35,14 @@ object Ingest {
       .option("inferSchema", "false")
       .csv(csvPath)
     val cols = raw.columns.toSeq
-    // null-vs-empty must hash differently, and xxhash64 SKIPS null args
-    // (("a", null) and (null, "a") would collide) — substitute a sentinel
+    // unambiguous null encoding: xxhash64 SKIPS null args (("a", null) and
+    // (null, "a") would collide), and any in-band sentinel string could be
+    // a legitimate cell value — so hash each cell as (is-null flag, value)
+    // pairs, which no cell content can imitate
     val contentHash = xxhash64(
-      cols.map(c => coalesce(col(c), lit("<graft:null>"))): _*)
+      cols.flatMap(c => Seq(
+        when(col(c).isNull, lit("0")).otherwise(lit("1")),
+        coalesce(col(c), lit("")))): _*)
     // distinguish identical rows deterministically: ordinal within the
     // content-hash group (ordered by the group's partition arrival is NOT
     // deterministic — use row_number over a content-only ordering, which
@@ -56,10 +60,14 @@ object Ingest {
     * reference's preProcess chain (NFKC-normalize, lower, collapse
     * whitespace, empty→NULL — `normalize_text`); raw columns are carried
     * through untouched (per-row invariant). */
-  def processedTable(raw: DataFrame, idCol: String = "record_id"): DataFrame =
-    raw.columns.filter(_ != idCol).foldLeft(raw) { (df, c) =>
-      df.withColumn(s"${c}_norm", normalize_text(col(c)))
-    }
+  def processedTable(raw: DataFrame, idCol: String = "record_id"): DataFrame = {
+    // ONE projection, not a withColumn chain: Catalyst re-analyzes the
+    // growing plan per withColumn, O(cols^2) for the wide CSVs the
+    // reference flow accepts
+    val normCols = raw.columns.filter(_ != idCol)
+      .map(c => normalize_text(col(c)).as(s"${c}_norm"))
+    raw.select(raw.columns.map(col) ++ normCols: _*)
+  }
 
   /** One-call ingest: CSV → processed table ready for a Model whose
     * predicates/features reference the `<col>_norm` columns. */

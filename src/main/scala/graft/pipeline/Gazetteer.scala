@@ -72,7 +72,14 @@ object Gazetteer {
    */
   def extendIndex(index: CanonIndex, newCanon: DataFrame,
       persist: Boolean = true): CanonIndex = {
-    val inc = buildCanonIndex(newCanon, index.config, persist)
+    // id-dedupe against the existing index: a re-crawled url whose text
+    // changed re-arrives with the SAME id (xxhash64(url)) but different
+    // blocks/fields — adding it again would give one canon_id two
+    // conflicting field rows (duplicate scored rows per pair, rank-list
+    // crowding). First write wins; a compaction rebuild refreshes fields.
+    val fresh = newCanon.join(
+      index.fields.select(col("id2").as("id")), Seq("id"), "left_anti")
+    val inc = buildCanonIndex(fresh, index.config, persist)
     CanonIndex(index.blocks.union(inc.blocks),
       index.fields.union(inc.fields), index.config)
   }

@@ -55,10 +55,18 @@ object StreamMatch {
    *    `Gazetteer.dedupeCanon` compaction merges such splits, exactly the
    *    second-stage pass the batch pipeline already ships);
    *  - per-batch sink rows: (id, url, entity, is_new) for EVERY page of
-   *    the batch, members of exact-dup groups included.
+   *    the batch, members of exact-dup groups included;
+   *  - the growing index is driver-side state, NOT covered by the stream
+   *    checkpoint. Pass `foundedCanonDir` to journal every founded
+   *    representative to parquet as it is admitted; on restart, rebuild
+   *    the index from `initialCanon ∪ spark.read.parquet(foundedCanonDir)`
+   *    or already-sunk assignments contradict post-restart resolution.
+   *    Index memory grows with founded entities by design — the bound is
+   *    the periodic compaction above (rebuild + unpersist), not eviction.
    */
   def startIncrementalDedupe(spark: SparkSession, pagesStream: DataFrame,
-      initialCanon: DataFrame, config: Gazetteer.Config, queryName: String)
+      initialCanon: DataFrame, config: Gazetteer.Config, queryName: String,
+      foundedCanonDir: Option[String] = None)
       (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     import org.apache.spark.sql.functions._
     var index = Gazetteer.buildCanonIndex(initialCanon, config)
@@ -68,8 +76,10 @@ object StreamMatch {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // batch-sized frames; localCheckpoint so the multi-consumer plan
         // below (match + anti-join + index extension) runs the prepare
-        // chain once and the index mutation cannot re-observe the stream
-        val prepared = Dedupe.prepare(batch).localCheckpoint(true)
+        // chain once and the index mutation cannot re-observe the stream.
+        // html is dropped first: no operator reads it and checkpointing
+        // raw payload per batch would grow the block store for nothing
+        val prepared = Dedupe.prepare(batch).drop("html").localCheckpoint(true)
         val repMap = prepared.groupBy(col("text_hash")).agg(min(col("id")).as("rep"))
         val idToRep = prepared.select(col("id"), col("url"), col("text_hash"))
           .join(repMap, "text_hash").select(col("id"), col("url"), col("rep"))
@@ -86,8 +96,11 @@ object StreamMatch {
         sink(assignment, batchId)
         val newbies = reps.join(
           assignment.filter(col("is_new")).select(col("id")), Seq("id"), "left_semi")
-        if (!newbies.isEmpty) // founded entities join the index for batch N+1
+        if (!newbies.isEmpty) { // founded entities join the index for batch N+1
+          foundedCanonDir.foreach(d => // restart-recovery journal
+            newbies.write.mode("append").parquet(d))
           index = Gazetteer.extendIndex(index, newbies)
+        }
       }
       .start()
   }

@@ -78,8 +78,13 @@ class PipelineOpsSpec extends SparkSpec {
         .select(expr("substring(t, 4)").as("w")).distinct())
     assert(vocabOverlap.count() > 0, // same underlying words...
       "replicas should be built from the same base corpus")
-    assert(toks.filter(col("t").startsWith("r0_"))
-      .intersect(toks.filter(col("t").startsWith("r1_"))).isEmpty) // ...but disjoint tokens
+    // ...and EVERY token is replica-scoped or a family id — one unprefixed
+    // shared token (e.g. boilerplate) would be a corpus-wide block growing
+    // linearly with volume, breaking the linear-pairs construction
+    val unscoped = toks.filter(col("t") =!= "" && // split on doubled space
+      !col("t").rlike("^r[0-9]+_") && !col("t").startsWith("fam"))
+    assert(unscoped.isEmpty,
+      s"unscoped tokens leak across replicas: ${unscoped.limit(5).collect().mkString(",")}")
     // deterministic: two builds are identical
     val again = graft.fixtures.PagesGen.scaled(spark, "/root/testdata/sf0.001", 3)
     assert(pages.select("url", "text").except(again.select("url", "text")).isEmpty)
