@@ -48,6 +48,47 @@ class CCSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 99L -> 99L))
   }
 
+  test("property: CC labels equal a union-find reference on 40 seeded " +
+      "random graphs (varied density, self-loops, duplicates, skew)") {
+    // driver-side union-find with path compression — an independent
+    // implementation of the same contract (component = min member id)
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      def union(a: Long, b: Long): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // CC.run's contract: self-loops are dropped, so a node appearing
+      // ONLY in self-loops gets no label (callers left-join singletons) —
+      // mirror that here
+      val real = edges.filter(e => e._1 != e._2)
+      real.foreach { case (a, b) => union(a, b) }
+      val nodes = real.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.map(v => v -> find(v)).toMap
+    }
+    val rnd = new scala.util.Random(2026)
+    for (trial <- 1 to 40) {
+      val n = 2 + rnd.nextInt(60)
+      val m = rnd.nextInt(3 * n)
+      val skewed = rnd.nextBoolean() // hub-heavy vs uniform degree
+      val edges = Seq.fill(m) {
+        val a = if (skewed && rnd.nextBoolean()) 0L else rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        (a, b) // self-loops + duplicates allowed on purpose
+      }.filter(e => e._1 != e._2 || rnd.nextBoolean()) // keep some self-loops
+      if (edges.nonEmpty) {
+        val expected = unionFind(n, edges)
+        val got = components(edges)
+        assert(got == expected,
+          s"trial $trial (n=$n m=${edges.size} skewed=$skewed): CC diverged from union-find")
+      }
+    }
+  }
+
   test("giant-component cap re-thresholds oversized components (F7)") {
     // hub chain: 1-2-3-4-5 all linked through weak 0.55 edges, plus one
     // strong pair (1,2)=0.95. cap=2 forces re-threshold at 0.5+0.1 → only

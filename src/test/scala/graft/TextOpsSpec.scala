@@ -102,4 +102,24 @@ class TextOpsSpec extends SparkSpec {
       .as[Seq[Long]].collect()
     assert(short(0).length == 1)
   }
+
+  test("property: winnowing guarantee on 30 random pairs with a planted " +
+      "shared substring of length >= k+w-1") {
+    val rnd = new scala.util.Random(77)
+    def randText(len: Int): String =
+      Seq.fill(len)(('a' + rnd.nextInt(26)).toChar).mkString
+    val cases = (1 to 30).map { i =>
+      val shared = randText(8 + rnd.nextInt(30)) // >= k+w-1 = 8
+      (i.toLong, randText(rnd.nextInt(40)) + shared + randText(rnd.nextInt(40)),
+        randText(rnd.nextInt(40)) + shared + randText(rnd.nextInt(40)))
+    }
+    val got = cases.toDF("i", "a", "b")
+      .select(col("i"), size(array_intersect(
+        TextOps.winnowFingerprints(col("a")),
+        TextOps.winnowFingerprints(col("b")))).as("common"))
+      .as[(Long, Int)].collect()
+    val misses = got.filter(_._2 < 1)
+    assert(misses.isEmpty,
+      s"winnowing guarantee violated for cases: ${misses.map(_._1).mkString(",")}")
+  }
 }
