@@ -115,6 +115,64 @@ class StreamMatchSpec extends SparkSpec {
     assert(byUrl("https://m/3")._2 == founded && !byUrl("https://m/3")._3)
   }
 
+  test("incremental dedupe restart: rebuilding from the founded-canon " +
+      "journal preserves entity identity across the restart") {
+    val model = Model(
+      bias = -13.0,
+      weights = Map("jw_text_norm" -> 6.0, "lev_text_norm" -> 9.0, "exact_lang" -> 0.4),
+      threshold = 0.5,
+      predicates = Seq(PredicateSpec("token", "text_norm")))
+    val canon = Dedupe.prepare(Seq(
+      ("https://c/1", "alpha beta gamma delta epsilon zeta eta theta", "en"))
+      .toDF("url", "text", "lang")
+      .withColumn("warc_ts", lit(null).cast("timestamp"))
+      .withColumn("html", lit(null).cast("binary")))
+    val base = java.nio.file.Files.createTempDirectory("graft_incdd_rs").toString
+    val journal = s"$base/founded"
+    val schema = StructType(Seq(
+      StructField("url", StringType), StructField("warc_ts", TimestampType),
+      StructField("html", BinaryType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    def pages(rows: (String, String, String)*) = rows.toSeq
+      .toDF("url", "text", "lang")
+      .withColumn("warc_ts", lit(null).cast("timestamp"))
+      .withColumn("html", lit(null).cast("binary"))
+      .select("url", "warc_ts", "html", "text", "lang")
+    val newText = "brand new content twelve thirteen fourteen fifteen sixteen"
+
+    // run 1: founds an entity, journals it, stops
+    pages(("https://m/1", newText, "en")).write.mode("overwrite").parquet(s"$base/in")
+    val got1 = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Boolean)]
+    val q1 = graft.streaming.StreamMatch.startIncrementalDedupe(
+      spark, spark.readStream.schema(schema).parquet(s"$base/in"),
+      canon, Gazetteer.Config(model, nMatches = 1), "graft_incdd_rs1",
+      foundedCanonDir = Some(journal)) { (b, _) =>
+        got1 ++= b.select("url", "entity", "is_new").as[(String, Long, Boolean)].collect()
+      }
+    try q1.processAllAvailable() finally q1.stop()
+    val founded = got1.find(_._1 == "https://m/1").get._2
+
+    // restart: initial canon = original ∪ journal (the documented recipe);
+    // a near-dup of the pre-restart founded entity must resolve to it
+    val recovered = canon.drop("html").unionByName(
+      spark.read.parquet(journal).select(canon.drop("html").columns.map(col): _*))
+    pages(("https://m/2", newText + " tail", "en"))
+      .write.mode("append").parquet(s"$base/in")
+    val got2 = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Boolean)]
+    val q2 = graft.streaming.StreamMatch.startIncrementalDedupe(
+      spark, spark.readStream.schema(schema).parquet(s"$base/in"),
+      recovered, Gazetteer.Config(model, nMatches = 1), "graft_incdd_rs2",
+      foundedCanonDir = Some(journal)) { (b, _) =>
+        got2 ++= b.select("url", "entity", "is_new").as[(String, Long, Boolean)].collect()
+      }
+    try q2.processAllAvailable() finally q2.stop()
+    // the fresh stream (no stream checkpoint) replays m/1 too: it must
+    // NOT re-found — its id IS the journaled canon id; and m/2 matches it
+    val byUrl = got2.map(r => r._1 -> r).toMap
+    assert(byUrl("https://m/2")._2 == founded && !byUrl("https://m/2")._3,
+      "post-restart near-dup must resolve to the pre-restart entity")
+  }
+
   test("canon index is built once, persisted, and reused across batches") {
     val model = Model(
       bias = -13.0,
