@@ -104,4 +104,34 @@ object StreamMatch {
       }
       .start()
   }
+
+  /**
+   * Periodic compaction for the incremental path — the documented fix for
+   * its two approximations: (a) near-dup entities founded in the SAME
+   * batch (no within-batch pairwise matching) and (b) oversize-filter
+   * drift across index increments. Runs the second-stage pipeline
+   * (`Gazetteer.dedupeCanon`) over the accumulated canon records to merge
+   * split entities, then rebuilds a fresh exact-bounded index over the
+   * merged representatives.
+   *
+   * @param accumulated every canonical record admitted so far — the
+   *   initial canon unioned with the founded-canon journal (prepared
+   *   shape: id + scoring/predicate fields)
+   * @return (remap, index): remap = (id, component) mapping every old
+   *   entity id to its merged entity (apply to already-sunk assignments);
+   *   index = the compacted index to continue matching against
+   */
+  def compactIncremental(spark: SparkSession, accumulated: DataFrame,
+      gazConfig: Gazetteer.Config, dedupeConfig: Dedupe.Config)
+      : (DataFrame, Gazetteer.CanonIndex) = {
+    import org.apache.spark.sql.functions._
+    val firstMap = accumulated.select(col("id"), col("id").as("component"))
+    val canonTbl = accumulated.select(
+      col("id").as("component"), col("text_norm"), col("lang"))
+    val remap = Gazetteer.dedupeCanon(spark, firstMap, canonTbl, dedupeConfig)
+    val reps = accumulated.join(
+      remap.filter(col("id") === col("component")).select("id"),
+      Seq("id"), "left_semi")
+    (remap, Gazetteer.buildCanonIndex(reps, gazConfig))
+  }
 }

@@ -173,6 +173,35 @@ class StreamMatchSpec extends SparkSpec {
       "post-restart near-dup must resolve to the pre-restart entity")
   }
 
+  test("compaction merges entities that the batch boundary split") {
+    val model = Model(
+      bias = -13.0,
+      weights = Map("jw_text_norm" -> 6.0, "lev_text_norm" -> 9.0, "exact_lang" -> 0.4),
+      threshold = 0.5,
+      predicates = Seq(PredicateSpec("token", "text_norm")))
+    // two near-dup pages that arrived in ONE batch and so founded two
+    // entities (the documented within-batch split), plus an unrelated one
+    val accumulated = Dedupe.prepare(Seq(
+      ("https://m/a", "shared subject matter one two three four five", "en"),
+      ("https://m/b", "shared subject matter one two three four  five", "en"),
+      ("https://m/c", "totally different content nine ten eleven twelve", "en"))
+      .toDF("url", "text", "lang")
+      .withColumn("warc_ts", lit(null).cast("timestamp"))
+      .withColumn("html", lit(null).cast("binary"))).drop("html")
+    val (remap, index) = graft.streaming.StreamMatch.compactIncremental(
+      spark, accumulated, Gazetteer.Config(model, nMatches = 1),
+      Dedupe.Config(model, collectMetrics = false))
+    val ids = accumulated.select("url", "id").as[(String, Long)].collect().toMap
+    val m = remap.as[(Long, Long)].collect().toMap
+    assert(m(ids("https://m/a")) == m(ids("https://m/b")),
+      "split near-dup entities must merge under compaction")
+    assert(m(ids("https://m/c")) != m(ids("https://m/a")))
+    // the compacted index holds exactly the merged representatives
+    val nReps = index.fields.select("id2").distinct().count()
+    assert(nReps == 2)
+    index.blocks.unpersist(); index.fields.unpersist()
+  }
+
   test("canon index is built once, persisted, and reused across batches") {
     val model = Model(
       bias = -13.0,
