@@ -74,6 +74,41 @@ object Media {
       }
   }
 
+  /** DETERMINISTIC FAKE RESIZER (same honesty contract as decodeStub):
+    * stride-sample the payload down to w*h "pixels" (bytes). Real
+    * plumbing, fake pixels — a codec-backed bilinear resample replaces
+    * ONE function in production. */
+  private[graft] def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val target = math.max(1, w * h)
+    if (bytes == null || bytes.isEmpty) return Array.emptyByteArray
+    if (bytes.length <= target) return bytes
+    val out = new Array[Byte](target)
+    var i = 0
+    while (i < target) {
+      out(i) = bytes(((bytes.length.toLong * i) / target).toInt)
+      i += 1
+    }
+    out
+  }
+
+  /** Resize over the media table: batched binary→binary transform that
+    * preserves the table schema and rewrites the dimension metadata —
+    * the same per-partition shape as extractFeatures. */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    implicit val enc = Encoders.row(schema)
+    media.select(col("media_id"), col("kind"), col("bytes"), col("meta"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val meta = r.getStruct(3)
+          Row(r.getLong(0), r.getString(1),
+            resizeStub(r.getAs[Array[Byte]](2), w, h),
+            Row(w, h,
+              if (meta == null || meta.isNullAt(2)) null else meta.getInt(2),
+              if (meta == null || meta.isNullAt(3)) null else meta.getInt(3)))
+        }
+      }
+  }
+
   /** Frame sampling as a 1→N generator-shaped op:
     * (media_id, frame_idx, frame_bytes). */
   def sampleFramesTable(media: DataFrame, nFrames: Int): DataFrame = {

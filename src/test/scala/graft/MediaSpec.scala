@@ -24,6 +24,21 @@ class MediaSpec extends SparkSpec {
     assert(feats == again)
   }
 
+  test("resize: schema preserved, payload bounded by w*h, metadata rewritten") {
+    val m = Media.fakeMediaFromDocuments(spark, "/root/testdata/sf0.001")
+    val r = Media.resize(m, 8, 4)
+    assert(r.schema == Media.schema)
+    val rows = r.select(length(col("bytes")).as("len"),
+      col("meta.width"), col("meta.height"), col("meta.sample_rate")).collect()
+    assert(rows.forall(x => x.getInt(0) <= 32 && x.getInt(0) >= 1))
+    assert(rows.forall(x => x.getInt(1) == 8 && x.getInt(2) == 4))
+    assert(rows.forall(x => x.getInt(3) == 16000), "untouched meta carried through")
+    // deterministic + short-payload passthrough
+    assert(Media.resizeStub(Array[Byte](1, 2, 3), 8, 4).toSeq == Seq[Byte](1, 2, 3))
+    val big = Array.tabulate(1000)(i => (i % 127).toByte)
+    assert(Media.resizeStub(big, 8, 4).toSeq == Media.resizeStub(big, 8, 4).toSeq)
+  }
+
   test("frame sampling: n frames, in order, deterministic offsets") {
     val m = Media.fakeMediaFromDocuments(spark, "/root/testdata/sf0.001").limit(5)
     val frames = Media.sampleFramesTable(m, 4)
