@@ -79,12 +79,12 @@ object Media {
     * plumbing, fake pixels — a codec-backed bilinear resample replaces
     * ONE function in production. */
   private[graft] def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val target = math.max(1, w * h)
+    val target = math.max(1L, w.toLong * h.toLong) // Long: 65536² overflows Int
     if (bytes == null || bytes.isEmpty) return Array.emptyByteArray
     if (bytes.length <= target) return bytes
-    val out = new Array[Byte](target)
+    val out = new Array[Byte](target.toInt) // < bytes.length here, Int-safe
     var i = 0
-    while (i < target) {
+    while (i < out.length) {
       out(i) = bytes(((bytes.length.toLong * i) / target).toInt)
       i += 1
     }
@@ -92,19 +92,26 @@ object Media {
   }
 
   /** Resize over the media table: batched binary→binary transform that
-    * preserves the table schema and rewrites the dimension metadata —
-    * the same per-partition shape as extractFeatures. */
+    * preserves the table schema — the same per-partition shape as
+    * extractFeatures. The dimension metadata is rewritten ONLY when the
+    * payload actually reached w×h; a short/empty payload passes through
+    * with its original meta, so the metadata never contradicts the bytes
+    * (and audio rows keep their null dims). */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    require(w > 0 && h > 0, s"resize dims must be positive: ${w}x$h")
     implicit val enc = Encoders.row(schema)
     media.select(col("media_id"), col("kind"), col("bytes"), col("meta"))
       .mapPartitions { it =>
         it.map { r =>
           val meta = r.getStruct(3)
-          Row(r.getLong(0), r.getString(1),
-            resizeStub(r.getAs[Array[Byte]](2), w, h),
-            Row(w, h,
-              if (meta == null || meta.isNullAt(2)) null else meta.getInt(2),
-              if (meta == null || meta.isNullAt(3)) null else meta.getInt(3)))
+          val in = r.getAs[Array[Byte]](2)
+          val out = resizeStub(in, w, h)
+          val resized = out.length.toLong == w.toLong * h.toLong
+          def keep(i: Int): Any =
+            if (meta == null || meta.isNullAt(i)) null else meta.getInt(i)
+          Row(r.getLong(0), r.getString(1), out,
+            Row(if (resized) w else keep(0), if (resized) h else keep(1),
+              keep(2), keep(3)))
         }
       }
   }

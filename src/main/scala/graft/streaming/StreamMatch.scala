@@ -66,10 +66,16 @@ object StreamMatch {
    */
   def startIncrementalDedupe(spark: SparkSession, pagesStream: DataFrame,
       initialCanon: DataFrame, config: Gazetteer.Config, queryName: String,
-      foundedCanonDir: Option[String] = None)
+      foundedCanonDir: Option[String] = None,
+      // resume matching against a prebuilt index (the one
+      // compactIncremental returns) instead of rebuilding from
+      // initialCanon — without this the compacted index could never be
+      // adopted and would rebuild from scratch on restart
+      initialIndex: Option[Gazetteer.CanonIndex] = None)
       (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     import org.apache.spark.sql.functions._
-    var index = Gazetteer.buildCanonIndex(initialCanon, config)
+    var index = initialIndex.getOrElse(
+      Gazetteer.buildCanonIndex(initialCanon, config))
     pagesStream.writeStream
       .queryName(queryName)
       .trigger(Trigger.ProcessingTime("1 second"))
@@ -125,11 +131,23 @@ object StreamMatch {
       gazConfig: Gazetteer.Config, dedupeConfig: Dedupe.Config)
       : (DataFrame, Gazetteer.CanonIndex) = {
     import org.apache.spark.sql.functions._
-    val firstMap = accumulated.select(col("id"), col("id").as("component"))
-    val canonTbl = accumulated.select(
+    // the journal (and the restart recipe's canon ∪ journal union) can
+    // carry one id twice (re-crawled url, changed text) — deterministic
+    // per-id pick, or the remap fans out and the index gets conflicting
+    // field rows for one canon_id
+    import org.apache.spark.sql.expressions.Window
+    val one = accumulated.withColumn("_rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("text_hash"))))
+      .filter(col("_rk") === 1).drop("_rk")
+    val firstMap = one.select(col("id"), col("id").as("component"))
+    val canonTbl = one.select(
       col("id").as("component"), col("text_norm"), col("lang"))
+    // remap feeds TWO consumers (the caller's assignment rewrite + the
+    // reps semi-join below) — truncate so the second-stage pipeline
+    // doesn't re-execute per action; the frame is entity-count-sized
     val remap = Gazetteer.dedupeCanon(spark, firstMap, canonTbl, dedupeConfig)
-    val reps = accumulated.join(
+      .localCheckpoint(true)
+    val reps = one.join(
       remap.filter(col("id") === col("component")).select("id"),
       Seq("id"), "left_semi")
     (remap, Gazetteer.buildCanonIndex(reps, gazConfig))

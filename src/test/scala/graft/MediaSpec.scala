@@ -30,13 +30,24 @@ class MediaSpec extends SparkSpec {
     assert(r.schema == Media.schema)
     val rows = r.select(length(col("bytes")).as("len"),
       col("meta.width"), col("meta.height"), col("meta.sample_rate")).collect()
-    assert(rows.forall(x => x.getInt(0) <= 32 && x.getInt(0) >= 1))
+    // all fake payloads exceed 8x4, so every row is genuinely resized
+    assert(rows.forall(x => x.getInt(0) == 32))
     assert(rows.forall(x => x.getInt(1) == 8 && x.getInt(2) == 4))
     assert(rows.forall(x => x.getInt(3) == 16000), "untouched meta carried through")
-    // deterministic + short-payload passthrough
-    assert(Media.resizeStub(Array[Byte](1, 2, 3), 8, 4).toSeq == Seq[Byte](1, 2, 3))
+    // short payload passes through AND keeps its original dims — the
+    // metadata must never contradict the bytes
+    import spark.implicits._
+    val tiny = Seq((1L, "image", Array[Byte](1, 2, 3)))
+      .toDF("media_id", "kind", "bytes")
+      .withColumn("meta", struct(lit(3).as("width"), lit(1).as("height"),
+        lit(null).cast("int").as("sample_rate"), lit(null).cast("int").as("n_frames")))
+    val t = Media.resize(tiny, 8, 4)
+      .select(length(col("bytes")), col("meta.width"), col("meta.height")).collect()(0)
+    assert(t.getInt(0) == 3 && t.getInt(1) == 3 && t.getInt(2) == 1)
+    // deterministic; Int-overflow-safe dims
     val big = Array.tabulate(1000)(i => (i % 127).toByte)
     assert(Media.resizeStub(big, 8, 4).toSeq == Media.resizeStub(big, 8, 4).toSeq)
+    assert(Media.resizeStub(big, 65536, 65536).length == 1000, "w*h must not overflow Int")
   }
 
   test("frame sampling: n frames, in order, deterministic offsets") {

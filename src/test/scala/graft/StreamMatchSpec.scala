@@ -180,10 +180,13 @@ class StreamMatchSpec extends SparkSpec {
       threshold = 0.5,
       predicates = Seq(PredicateSpec("token", "text_norm")))
     // two near-dup pages that arrived in ONE batch and so founded two
-    // entities (the documented within-batch split), plus an unrelated one
+    // entities (the documented within-batch split), plus an unrelated one.
+    // The near-dups differ by a REAL extra token (a doubled space would
+    // collapse under normalize_text and only exercise the exact pre-group
+    // path, not the scoring/CC merge this test exists to guard)
     val accumulated = Dedupe.prepare(Seq(
       ("https://m/a", "shared subject matter one two three four five", "en"),
-      ("https://m/b", "shared subject matter one two three four  five", "en"),
+      ("https://m/b", "shared subject matter one two three four five tail", "en"),
       ("https://m/c", "totally different content nine ten eleven twelve", "en"))
       .toDF("url", "text", "lang")
       .withColumn("warc_ts", lit(null).cast("timestamp"))
