@@ -82,13 +82,34 @@ class PlanSpec extends SparkSpec {
     // ephemeralSnapshot run their block/score/CC stages before returning,
     // so the tail plan alone would never see a cartesian hidden in those
     // interior stages.
-    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.util.QueryExecutionListener
-    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    // walk the final physical tree INCLUDING AQE-wrapped subtrees (plain
+    // TreeNode.collect stops at AdaptiveSparkPlanExec/QueryStageExec)
+    def walk(p: SparkPlan)(f: SparkPlan => Unit): Unit = {
+      f(p)
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case other => other.children
+      }
+      kids.foreach(walk(_)(f))
+    }
+    // (name, hadCartesian, globalWindows) per executed plan
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, Boolean, Int)]()
     @volatile var current = "init"
     val listener = new QueryExecutionListener {
-      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-        seen.add((current, qe.executedPlan.toString))
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+        var cart = false; var gwin = 0
+        walk(qe.executedPlan) {
+          case w: WindowExec if w.partitionSpec.isEmpty => gwin += 1
+          case p if p.nodeName.contains("CartesianProduct") => cart = true
+          case _ =>
+        }
+        seen.add((current, cart, gwin))
+      }
       override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
     }
     spark.listenerManager.register(listener)
@@ -107,11 +128,17 @@ class PlanSpec extends SparkSpec {
         val n = seen.size()
         if (n == last) stable += 1 else { stable = 0; last = n }
       }
+      // q_review_queue's global window ranks the ≤n survivors of a
+      // TakeOrdered limit — bounded by construction and documented at
+      // Review.nextClusters; everything else must partition its windows
+      val globalWindowOk = Set("q_review_queue")
       val offenders = seen.iterator()
       while (offenders.hasNext) {
-        val (name, p) = offenders.next()
-        assert(!p.contains("CartesianProduct"),
+        val (name, cart, gwin) = offenders.next()
+        assert(!cart,
           s"$name executed a cartesian product in an interior (snapshot-build) stage")
+        assert(gwin == 0 || globalWindowOk(name),
+          s"$name executed a partition-less window over unbounded input")
       }
       info(s"listener checked ${seen.size()} executed plans across the contract")
     } finally spark.listenerManager.unregister(listener)
