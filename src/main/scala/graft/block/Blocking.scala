@@ -33,7 +33,7 @@ object Blocking {
         array(array_join(transform(array_sort(tokens(col0)), t => substring(t, 1, 1)), ""))
       case "fingerprint" =>
         array(array_join(array_sort(array_distinct(tokens(col0))), ""))
-      case "integer" => expr(s"regexp_extract_all(${p.field}, '\\\\d+', 0)")
+      case "integer" => regexp_extract_all(col0, lit("\\d+"), lit(0))
       // ---- B10 numeric predicate family (dedupe:predicates†) ----
       case "first_integer" =>
         // integer prefix of the field (dedupe: re.match(r'\d+')† — start
@@ -43,7 +43,7 @@ object Blocking {
         // each integer i → keys {i-1, i, i+1}: two records sharing any
         // integer within ±1 collide
         array_distinct(flatten(transform(
-          expr(s"regexp_extract_all(${p.field}, '\\\\d+', 0)"),
+          regexp_extract_all(col0, lit("\\d+"), lit(0)),
           s => {
             val i = s.cast("long")
             array((i - 1).cast("string"), i.cast("string"), (i + 1).cast("string"))
@@ -51,7 +51,7 @@ object Blocking {
       case "hundred_integer" =>
         // each integer floored to its hundred (i - i % 100)
         array_distinct(transform(
-          expr(s"regexp_extract_all(${p.field}, '\\\\d+', 0)"),
+          regexp_extract_all(col0, lit("\\d+"), lit(0)),
           s => {
             val i = s.cast("long")
             (i - pmod(i, lit(100L))).cast("string")
@@ -76,7 +76,7 @@ object Blocking {
               "\\.?0+$", "")
           }).otherwise(when(col0.cast("double") === 0.0, lit("0")))),
           k => k.isNotNull)
-      case "alphanum" => expr(s"regexp_extract_all(${p.field}, '[a-z0-9]+', 0)")
+      case "alphanum" => regexp_extract_all(col0, lit("[a-z0-9]+"), lit(0))
       // ---- B13 set predicates over array columns (dedupe:predicates†) ----
       case "whole_set" =>
         // the whole (distinct, sorted) set as one key
@@ -115,15 +115,18 @@ object Blocking {
         val h = simhash64(tokens(col0))
         val cols = (0 until bands).map { b =>
           concat(lit(s"$b#"), conv(
-            hex(shiftrightunsigned(h, b * width).bitwiseAND(lit((1L << width) - 1))),
+            hex(shiftrightunsigned(h, b * width).bitwiseAND(
+              // JVM shifts are mod 64: bands=1 -> width=64 -> (1L<<64)-1
+              // would be 0, masking EVERY hash to one degenerate key
+              lit(if (width >= 64) -1L else (1L << width) - 1))),
             16, 16))
         }
         array(cols: _*)
       case "compound" =>
         // cross-product of two sub-predicates' keys (B16)
         require(p.sub.size == 2, "compound predicate needs exactly 2 subs")
-        val a = predicateKeys(p.sub.head)
-        val b = predicateKeys(p.sub(1))
+        val a = coalesce(predicateKeys(p.sub.head), array())
+        val b = coalesce(predicateKeys(p.sub(1)), array())
         flatten(transform(a, ka => transform(b, kb => concat(ka, lit(":"), kb))))
       case other => throw new IllegalArgumentException(s"unknown predicate kind: $other")
     }
@@ -133,11 +136,21 @@ object Blocking {
   def allKeys(preds: Seq[PredicateSpec]): Column = {
     val perPred = preds.zipWithIndex.map { case (p, i) =>
       // array_distinct BEFORE the union: a predicate emitting the same key
-      // twice for one record must not double-pair it.
-      transform(array_distinct(predicateKeys(p)), k => concat(lit(s"$i:"), k))
+      // twice for one record must not double-pair it. COALESCE to empty:
+      // flatten() returns NULL if ANY element array is NULL (verified on
+      // Spark 4.1.2), so one predicate null-propagating over a null field
+      // (token of an empty text_norm, regexp over null, ...) would
+      // otherwise silently erase the record's keys from EVERY predicate —
+      // its duplicates become unfindable with no error.
+      coalesce(
+        transform(array_distinct(predicateKeys(p)), k => concat(lit(s"$i:"), k)),
+        array())
     }
     if (perPred.isEmpty) array()
-    else array_distinct(flatten(array(perPred: _*)))
+    // drop null ELEMENTS too (a null key inside one predicate's array,
+    // e.g. whole-field over null): they explode into null block_key rows
+    // that never equi-join but inflate the blocking map
+    else filter(array_distinct(flatten(array(perPred: _*))), k => k.isNotNull)
   }
 
   /**

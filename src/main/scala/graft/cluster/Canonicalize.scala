@@ -49,28 +49,86 @@ object Canonicalize {
     vs(bestIdx)
   }
 
+  /** Weighted medoid over (value, multiplicity) pairs, values pre-sorted
+    * ascending and pre-capped: cost(i) = Σ_j cnt_j · (1 − JW(v_i, v_j)) —
+    * duplicate copies of a value weight its pull on every OTHER candidate
+    * (its own copies contribute distance 0), matching the row-level medoid
+    * over the expanded multiset. Tie → first index = lexicographic min. */
+  private[cluster] def medoidWeighted(vals: Seq[(String, Long)],
+      maxCompareLen: Int = 256): String = {
+    if (vals.isEmpty) return null
+    if (vals.length == 1) return vals.head._1
+    val cs = vals.map { case (v, _) =>
+      if (v.length > maxCompareLen) v.substring(0, maxCompareLen) else v
+    }
+    var bestIdx = 0
+    var bestCost = Double.MaxValue
+    var i = 0
+    while (i < cs.length) {
+      var cost = 0.0
+      var j = 0
+      while (j < cs.length) {
+        if (i != j) cost += vals(j)._2 * (1.0 - Sim.jaroWinkler(cs(i), cs(j)))
+        j += 1
+      }
+      if (cost < bestCost) { bestCost = cost; bestIdx = i }
+      i += 1
+    }
+    vals(bestIdx)._1
+  }
+
   /**
    * One canonical row per entity.
+   *
+   * Scale shape: the per-entity value lists are BOUNDED BEFORE any
+   * per-group collect — per (entity, field), a map-combined count
+   * aggregate (exact-dup members collapse to one (value, cnt) row per
+   * mapper) then a window cap keeps the `maxValues` lexicographically
+   * smallest distinct values. A boilerplate cluster of millions of pages
+   * reaches the medoid kernel as at most maxValues weighted values per
+   * field — the previous rows.toArray per group buffered the entire
+   * cluster in one task's heap (review finding).
+   *
    * @param labeled records with an entity column + the fields to canonicalize
    * @return (entity, <field>... medoid values, cluster_size)
    */
   def canonTable(labeled: DataFrame, entityCol: String, fields: Seq[String],
       maxValues: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val schema = StructType(
       StructField(entityCol, LongType) +:
       fields.map(f => StructField(f, StringType)) :+
       StructField("cluster_size", LongType))
     val input = labeled.select(
-      col(entityCol).cast("long") +: fields.map(f => col(f).cast("string")): _*)
+      col(entityCol).cast("long").as(entityCol) +:
+        fields.map(f => col(f).cast("string").as(f)): _*)
+    val sizes = input.groupBy(col(entityCol))
+      .agg(count(lit(1)).as("cluster_size"))
+    val joined = fields.zipWithIndex.foldLeft(sizes) { case (acc, (f, fi)) =>
+      val w = Window.partitionBy(col(entityCol)).orderBy(col(f))
+      val capped = input.select(col(entityCol), col(f))
+        .filter(col(f).isNotNull && length(col(f)) > 0)
+        .groupBy(col(entityCol), col(f)).agg(count(lit(1)).as("_cnt"))
+        .withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") <= maxValues)
+        .groupBy(col(entityCol))
+        .agg(array_sort(collect_list(struct(col(f).as("v"), col("_cnt").as("c"))))
+          .as(s"_vals_$fi"))
+      acc.join(capped, Seq(entityCol), "left")
+    }
     implicit val enc = Encoders.row(schema)
-    input.groupByKey(_.getLong(0))(Encoders.scalaLong)
-      .mapGroups { (entity, rows) =>
-        val mat = rows.toArray
+    joined.mapPartitions { it =>
+      it.map { r =>
+        val entity = r.getLong(0)
+        val size = r.getLong(1)
         val vals = fields.indices.map { fi =>
-          medoid(mat.map(r => r.getString(fi + 1)).toSeq, maxValues)
+          val arr = if (r.isNullAt(2 + fi)) Seq.empty[(String, Long)]
+            else r.getSeq[Row](2 + fi).map(s => (s.getString(0), s.getLong(1)))
+          medoidWeighted(arr)
         }
-        Row.fromSeq(entity +: vals :+ mat.length.toLong)
+        Row.fromSeq(entity +: vals :+ size)
       }
+    }
   }
 
   /**

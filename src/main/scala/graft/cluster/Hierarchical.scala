@@ -103,9 +103,19 @@ object Hierarchical {
     // component are kept — they carry the observed HAC distances.
     val l1 = labels.select(col("id").as("id1"), col("component"))
     val l2 = labels.select(col("id").as("id2"), col("component").as("component2"))
-    val edges = scoredPairs.join(l1, "id1").join(l2, "id2")
+    val edges0 = scoredPairs.join(l1, "id1").join(l2, "id2")
       .filter(col("component") === col("component2"))
       .select(col("component"), col("id1"), col("id2"), col("score"))
+    // oversized components are excluded DATAFRAME-side: the in-group
+    // size guard below only fires AFTER rows.toArray has buffered the
+    // whole component's edge list in one task — a giant component (the
+    // exact case the cap exists for) must never reach the kernel at all;
+    // its members keep their CC label via the final left-join coalesce
+    val smallComps = labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("_csize"))
+      .filter(col("_csize") <= maxComponentSize)
+      .select(col("component"))
+    val edges = edges0.join(smallComps, "component")
     // group all of a component's edges + members; edges already imply
     // membership of both endpoints (CC labels come from the same edges)
     val out = StructType(Seq(

@@ -160,8 +160,21 @@ object Dedupe {
         Seq(n.stripPrefix("cosine_tfidf_") + "_tfidf")
       case n if n.startsWith("haversine_") =>
         val f = n.stripPrefix("haversine_"); Seq(s"${f}_lat", s"${f}_lon")
-      case n if n.startsWith("inter_") => // C7: union of both sub-features
-        requiredFields(n.stripPrefix("inter_").split("__", 2).toSeq)
+      case n if n.startsWith("inter_") =>
+        // C7: union of both sub-features. A sub-name can itself contain
+        // "__" (cat_ dummies), so pick the first "__" split where both
+        // sides carry a known feature prefix (mirrors Scoring's resolver)
+        val body = n.stripPrefix("inter_")
+        val idxs = "__".r.findAllMatchIn(body).map(_.start).toSeq
+        val prefixes = Seq("jw_", "lev_", "cosine_tfidf_", "exact_",
+          "missing_", "dt_", "logratio_", "hamming_", "affine_",
+          "haversine_", "inter_", "cat_")
+        val at = idxs.find { i =>
+          prefixes.exists(body.substring(0, i).startsWith) &&
+            prefixes.exists(body.substring(i + 2).startsWith)
+        }.getOrElse(idxs.headOption.getOrElse(
+          throw new IllegalArgumentException(s"interaction needs two features: $n")))
+        requiredFields(Seq(body.substring(0, at), body.substring(at + 2)))
       case n if n.startsWith("cat_") => // C6: cat_<field>__<x>__<y>
         Seq(n.stripPrefix("cat_").split("__", 3)(0))
       case n =>

@@ -63,10 +63,19 @@ object Scoring {
       case n if n.startsWith("inter_") =>
         // C7: interaction term — product of two named features (dedupe's
         // Interaction variable†). Sub-features are full registry names,
-        // joined by "__": e.g. inter_jw_name__exact_lang.
-        val parts = n.stripPrefix("inter_").split("__", 2)
-        require(parts.length == 2, s"interaction needs two features: $n")
-        featureColumn(parts(0)) * featureColumn(parts(1))
+        // joined by "__": e.g. inter_jw_name__exact_lang. A sub-feature
+        // name may ITSELF contain "__" (cat_ dummies), so a fixed
+        // left-split is ambiguous: try each "__" split point left to
+        // right and take the first where BOTH sides resolve.
+        val body = n.stripPrefix("inter_")
+        val splits = "__".r.findAllMatchIn(body).map(_.start).toSeq
+        require(splits.nonEmpty, s"interaction needs two features: $n")
+        val resolved = splits.iterator.map { at =>
+          val (a, b) = (body.substring(0, at), body.substring(at + 2))
+          scala.util.Try(featureColumn(a) * featureColumn(b))
+        }.collectFirst { case scala.util.Success(c) => c }
+        resolved.getOrElse(throw new IllegalArgumentException(
+          s"interaction sub-features do not resolve at any __ split: $n"))
       case n if n.startsWith("cat_") =>
         // C6: categorical pair dummy (dedupe's Categorical variable's
         // fixed-width one-hot over unordered value pairs†):

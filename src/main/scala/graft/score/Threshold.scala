@@ -44,8 +44,11 @@ object Threshold {
       val theta = bin.toDouble / bins
       val precision = massAbove / nAbove
       val recall = massAbove / totalMass
-      val f = (1 + recallWeight) * precision * recall /
-        (recallWeight * precision + recall)
+      // F-beta with beta = recallWeight, matching dedupe's recall_weight
+      // semantics†: (1+β²)·P·R / (β²·P + R) — β, not β², was used here
+      // before, silently re-parameterizing the knob for any weight ≠ 1
+      val b2 = recallWeight * recallWeight
+      val f = (1 + b2) * precision * recall / (b2 * precision + recall)
       if (f > bestScore) { bestScore = f; bestTheta = theta }
     }
     bestTheta

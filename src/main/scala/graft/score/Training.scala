@@ -32,7 +32,12 @@ object Training {
       val n = blockedPairs.count().toDouble
       if (n == 0) 0.0 else math.min(1.0, nBlocked * 1.2 / n)
     }
+    // orderBy before limit: a bare limit() keeps whichever rows arrive
+    // first under the physical plan, so the labeled sample (and the model
+    // fitted on it) changed with partition count — the seeded hash order
+    // makes the pick a pure function of (data, seed)
     val fromBlocks = blockedPairs.sample(withReplacement = false, blockedFrac, seed)
+      .orderBy(xxhash64(col("id1"), col("id2"), lit(seed)))
       .limit(nBlocked)
     val ids = records.select(col("id"))
     val r1 = ids.sample(withReplacement = false, math.min(1.0, 4.0 * nRandom / math.max(1, records.count())), seed + 1)
@@ -42,6 +47,7 @@ object Training {
       .join(r2, col("rnd") < col("rnd2")) // deterministic half-pairing
       .select(least(col("id1"), col("id2")).as("id1"),
         greatest(col("id1"), col("id2")).as("id2"))
+      .orderBy(xxhash64(col("id1"), col("id2"), lit(seed + 2)))
       .limit(nRandom)
     fromBlocks.select("id1", "id2").unionByName(random).dropDuplicates("id1", "id2")
   }

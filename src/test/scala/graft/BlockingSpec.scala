@@ -84,6 +84,33 @@ class BlockingSpec extends SparkSpec {
     assert(keys == Set("0:x", "1:x"))
   }
 
+  test("a null field nulls ONE predicate's keys, never the whole record") {
+    // flatten() returns NULL when any element array is NULL — without the
+    // per-predicate coalesce, a page with null text_norm lost its url
+    // keys too and its duplicates became unfindable (review finding)
+    import spark.implicits._
+    val recs = Seq(
+      (1L, null.asInstanceOf[String], "https://a/x"),
+      (2L, null.asInstanceOf[String], "https://a/x"),
+      (3L, "real text here", "https://b/y")).toDF("id", "text_norm", "url")
+    val preds = Seq(PredicateSpec("token", "text_norm"), PredicateSpec("whole", "url"))
+    val keys = Blocking.blockingMap(recs, preds, "id")
+    // null-text records still carry their url key and still pair up
+    assert(keys.filter(col("id") === 1).count() == 1)
+    assert(keys.filter(col("block_key").isNull).count() == 0)
+    val pairs = PairGen.candidatePairs(keys, 100)
+    assert(pairs.select("id1", "id2").as[(Long, Long)].collect().toSet == Set((1L, 2L)))
+  }
+
+  test("simhash bands=1 keeps the full 64-bit key (shift-mod-64 mask guard)") {
+    import spark.implicits._
+    val recs = Seq((1L, "alpha beta gamma"), (2L, "totally different words here"))
+      .toDF("id", "t")
+    val keys = Blocking.blockingMap(recs, Seq(PredicateSpec("simhash", "t", bands = 1)), "id")
+    // two unrelated texts must NOT share the single degenerate key 0
+    assert(keys.select("block_key").distinct().count() == 2)
+  }
+
   test("pair-gen: plural filter, ordering, dedup, cap") {
     val blocks = Seq(
       (1L, "a"), (2L, "a"), (3L, "a"), // block of 3 → 3 pairs

@@ -37,6 +37,20 @@ class FeatureSpec extends SparkSpec {
     assert(got.map(_._5).toSeq == Seq(0.0, 0.0, 0.0, 1.0))
   }
 
+  test("interaction whose sub-feature name contains __ resolves (cat_ in inter_)") {
+    // inter_cat_seg__BUILDING__AUTOMOBILE__missing_bal: a fixed left-split
+    // at the first __ mis-parsed this; the resolver must find the split
+    // point where both sides are valid features
+    val got = pairs.select(col("id1"), col("id2"),
+      Scoring.featureColumn("cat_seg__BUILDING__AUTOMOBILE").as("c"),
+      Scoring.featureColumn("missing_bal").as("m"),
+      Scoring.featureColumn("inter_cat_seg__BUILDING__AUTOMOBILE__missing_bal").as("i"))
+      .orderBy("id1", "id2")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    got.foreach { r => assert(r._5 == r._3 * r._4, s"row $r") }
+    assert(got.map(_._5).toSeq == Seq(0.0, 1.0, 1.0, 0.0))
+  }
+
   test("requiredFields resolves interaction + categorical kinds") {
     assert(Dedupe.requiredFields(Seq("inter_jw_name__exact_lang")).toSet ==
       Set("name", "lang"))
