@@ -124,11 +124,18 @@ object PagesGen {
     // unprefixed shared token ('©', 'inc') would sit on all ~rows/2 v1
     // pages corpus-wide, a token block growing linearly with volume, and
     // the linear-pairs-by-construction claim would silently lean on the
-    // pipeline's oversize-block drop instead of holding by construction
+    // pipeline's oversize-block drop instead of holding by construction.
+    // The source is split with the SAME separator class the blocking
+    // tokenizer uses and the prefix joiner is alphanumeric ('x', not '_'
+    // — underscore is a separator under [^\p{L}\p{N}]+), so every emitted
+    // token re-tokenizes as exactly one per-replica token; a '_' joiner
+    // would shed the bare suffix token back into a corpus-wide shared
+    // vocabulary and void the per-replica disjointness this run relies on
     def prefixed(c: org.apache.spark.sql.Column) = concat(
       array_join(
-        transform(split(c, " "),
-          t => concat(lit("r"), col("rep"), lit("_"), t)), " "),
+        transform(
+          filter(split(c, "[^\\p{L}\\p{N}]+"), t => length(t) > 0),
+          t => concat(lit("r"), col("rep"), lit("x"), t)), " "),
       // a rare family-identifier token (the SKU/phone-number analog real
       // near-dup pages share): guarantees each {base, v1} family blocks
       // together regardless of how formulaic the synthetic vocabulary

@@ -57,7 +57,11 @@ object Dedupe {
       entityMap: DataFrame, // (id, url, component, confidence)
       canon: DataFrame, // one canonical row per entity
       scoredPairs: DataFrame, // (id1, id2, <features>, score)
-      metrics: Metrics)
+      metrics: Metrics,
+      // the run's ephemeral scratch dir, when snapshots were taken — the
+      // output frames read from it lazily; reclaim with cleanupScratch
+      // AFTER persisting/consuming them
+      scratchDir: Option[String] = None)
 
   case class Metrics(
       records: Long,
@@ -98,7 +102,8 @@ object Dedupe {
    * deleteOnExit — works for remote FS schemes too).
    */
   private[graft] def ephemeralSnapshot(spark: SparkSession, df: DataFrame,
-      tag: String, scratchBase: Option[String] = None): DataFrame = {
+      tag: String, scratchBase: Option[String] = None,
+      registerDeleteOnExit: Boolean = true): DataFrame = {
     val base = resolveScratchBase(spark.sparkContext.master,
       scratchBase.orElse(
         spark.conf.getOption("spark.graft.scratchDir").filter(_.nonEmpty)))
@@ -106,9 +111,38 @@ object Dedupe {
       s"graft_${tag}_${java.util.UUID.randomUUID().toString.take(12)}")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     df.write.mode("overwrite").parquet(path.toString)
-    fs.deleteOnExit(path)
+    // callers that group several snapshots under one per-run dir register
+    // THAT dir instead (one registry entry per run, not per snapshot)
+    if (registerDeleteOnExit) fs.deleteOnExit(path)
     spark.read.parquet(path.toString)
   }
+
+  /** ephemeralSnapshot when a scratch base is resolvable, the input
+    * unchanged otherwise — for library transformations (the TextOps dupe-
+    * pair builders) where a missing scratch conf on a non-local master
+    * must degrade to recompute-per-consumer, not throw at plan-build time. */
+  private[graft] def snapshotIfResolvable(spark: SparkSession, df: DataFrame,
+      tag: String): DataFrame =
+    scala.util.Try(resolveScratchBase(spark.sparkContext.master,
+        spark.conf.getOption("spark.graft.scratchDir").filter(_.nonEmpty)))
+      .toOption
+      .map(base => ephemeralSnapshot(spark, df, tag, Some(base)))
+      .getOrElse(df)
+
+  /**
+   * Delete a run's ephemeral scratch directory (`Result.scratchDir`).
+   * The Result's DataFrames read FROM this directory lazily, so call it
+   * only after the outputs are persisted or fully consumed. Long-lived
+   * drivers (services, streaming jobs invoking `run` repeatedly) need
+   * this — the deleteOnExit fallback only reclaims space at JVM exit.
+   */
+  def cleanupScratch(spark: SparkSession, result: Result): Unit =
+    result.scratchDir.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      ()
+    }
 
   /**
    * Per-partition lineage metrics (S5; BASELINE.json:14 "per-partition
@@ -166,9 +200,7 @@ object Dedupe {
         // sides carry a known feature prefix (mirrors Scoring's resolver)
         val body = n.stripPrefix("inter_")
         val idxs = "__".r.findAllMatchIn(body).map(_.start).toSeq
-        val prefixes = Seq("jw_", "lev_", "cosine_tfidf_", "exact_",
-          "missing_", "dt_", "logratio_", "hamming_", "affine_",
-          "haversine_", "inter_", "cat_")
+        val prefixes = graft.score.Scoring.featurePrefixes
         val at = idxs.find { i =>
           prefixes.exists(body.substring(0, i).startsWith) &&
             prefixes.exists(body.substring(i + 2).startsWith)
@@ -190,10 +222,27 @@ object Dedupe {
     config.checkpointDir.foreach(d =>
       spark.sparkContext.setCheckpointDir(s"$d/cc"))
     // ephemeral snapshots land under the checkpoint dir when one is set —
-    // a cluster run with Config.checkpointDir needs no extra scratch conf
-    val scratch = config.checkpointDir.map(d => s"$d/scratch")
+    // a cluster run with Config.checkpointDir needs no extra scratch conf.
+    // All of a run's snapshots share ONE per-run directory: one
+    // deleteOnExit registration (not one per snapshot), and the caller can
+    // reclaim it early via cleanupScratch(Result.scratchDir) — a service
+    // or streaming driver calling run() per request would otherwise
+    // accumulate input-sized scratch for the JVM's lifetime. Resolved
+    // lazily: a run that takes no snapshot must not demand a scratch conf.
+    var scratchUsed: Option[String] = None
+    lazy val runScratch: String = {
+      val base = resolveScratchBase(spark.sparkContext.master,
+        config.checkpointDir.map(d => s"$d/scratch").orElse(
+          spark.conf.getOption("spark.graft.scratchDir").filter(_.nonEmpty)))
+      val p = new org.apache.hadoop.fs.Path(base,
+        s"graft_run_${java.util.UUID.randomUUID().toString.take(12)}")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
+      scratchUsed = Some(p.toString)
+      p.toString
+    }
     def snap(df: DataFrame, tag: String): DataFrame =
-      ephemeralSnapshot(spark, df, tag, scratch)
+      ephemeralSnapshot(spark, df, tag, Some(runScratch),
+        registerDeleteOnExit = false)
 
     // ---- stage 1: prepare + exact pre-group (G1)
     // Scan-parallelism floor: the per-row prepare/blocking work (NFKC,
@@ -347,6 +396,6 @@ object Dedupe {
       Seq(m).toDF().write.mode("overwrite").parquet(s"$dir/metrics/run")
     }
 
-    Result(entityMap, canon, scored, m)
+    Result(entityMap, canon, scored, m, scratchUsed)
   }
 }

@@ -29,6 +29,14 @@ import graft.model.Model
  */
 object Scoring {
 
+  /** Every known feature-name prefix — the single source of truth for the
+    * `inter_` sub-feature split test here and in Dedupe.requiredFields
+    * (the two resolvers MUST agree or field attachment and scoring pick
+    * different interaction sub-features). */
+  private[graft] val featurePrefixes = Seq("jw_", "lev_", "cosine_tfidf_",
+    "exact_", "missing_", "dt_", "logratio_", "hamming_", "affine_",
+    "haversine_", "inter_", "cat_")
+
   /** Feature column for one named feature over an attached-pairs frame
     * (columns `<field>_1`, `<field>_2` present; see PairGen.attachFields). */
   def featureColumn(name: String): Column = {
@@ -70,10 +78,21 @@ object Scoring {
         val body = n.stripPrefix("inter_")
         val splits = "__".r.findAllMatchIn(body).map(_.start).toSeq
         require(splits.nonEmpty, s"interaction needs two features: $n")
-        val resolved = splits.iterator.map { at =>
-          val (a, b) = (body.substring(0, at), body.substring(at + 2))
-          scala.util.Try(featureColumn(a) * featureColumn(b))
-        }.collectFirst { case scala.util.Success(c) => c }
+        // a split is eligible only when BOTH sides carry a known feature
+        // prefix — the same test Dedupe.requiredFields applies, so column
+        // attachment and scoring always agree on the pick. (Try alone is
+        // too permissive: most branches build Columns lazily without
+        // validating the field, so a bogus split would "resolve" here and
+        // fail later at analysis with a confusing missing-column error.)
+        val resolved = splits.iterator
+          .filter { at =>
+            featurePrefixes.exists(body.substring(0, at).startsWith(_)) &&
+              featurePrefixes.exists(body.substring(at + 2).startsWith(_))
+          }
+          .map { at =>
+            val (a, b) = (body.substring(0, at), body.substring(at + 2))
+            scala.util.Try(featureColumn(a) * featureColumn(b))
+          }.collectFirst { case scala.util.Success(c) => c }
         resolved.getOrElse(throw new IllegalArgumentException(
           s"interaction sub-features do not resolve at any __ split: $n"))
       case n if n.startsWith("cat_") =>

@@ -54,12 +54,16 @@ object StreamMatch {
    *    boundary is the resolution boundary; a periodic
    *    `Gazetteer.dedupeCanon` compaction merges such splits, exactly the
    *    second-stage pass the batch pipeline already ships);
-   *  - per-batch sink rows: (id, url, entity, is_new) for EVERY page of
-   *    the batch, members of exact-dup groups included;
+   *  - per-batch sink rows: (id, url, entity, is_new) for every distinct
+   *    page id of the batch, members of exact-dup groups included; a url
+   *    re-crawled within one batch (same id, changed text) collapses to
+   *    its latest crawl — one sink row, one index entry;
    *  - the growing index is driver-side state, NOT covered by the stream
    *    checkpoint. Pass `foundedCanonDir` to journal every founded
    *    representative to parquet as it is admitted; on restart, rebuild
-   *    the index from `initialCanon ∪ spark.read.parquet(foundedCanonDir)`
+   *    the index with `rebuildIndex(spark, initialCanon, journalDir,
+   *    config)` (union + per-id dedup — the journal can carry an id twice
+   *    when a re-crawl with changed text re-founds across batches)
    *    or already-sunk assignments contradict post-restart resolution.
    *    Index memory grows with founded entities by design — the bound is
    *    the periodic compaction above (rebuild + unpersist), not eviction.
@@ -84,8 +88,20 @@ object StreamMatch {
         // below (match + anti-join + index extension) runs the prepare
         // chain once and the index mutation cannot re-observe the stream.
         // html is dropped first: no operator reads it and checkpointing
-        // raw payload per batch would grow the block store for nothing
-        val prepared = Dedupe.prepare(batch).drop("html").localCheckpoint(true)
+        // raw payload per batch would grow the block store for nothing.
+        // Same-id rows (a url re-crawled WITHIN one batch with changed
+        // text) collapse to the latest crawl first: two same-id rows have
+        // distinct text_hash, so both would survive the exact pre-group
+        // below, both carry rep == their shared id, and an unmatched pair
+        // would journal + extendIndex the same canon_id twice with
+        // conflicting fields (duplicate scored rows on every later match)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id"))
+          .orderBy(col("warc_ts").desc_nulls_last, col("text_hash"))
+        val prepared = Dedupe.prepare(batch).drop("html")
+          .withColumn("_rk", row_number().over(w))
+          .filter(col("_rk") === 1).drop("_rk")
+          .localCheckpoint(true)
         val repMap = prepared.groupBy(col("text_hash")).agg(min(col("id")).as("rep"))
         val idToRep = prepared.select(col("id"), col("url"), col("text_hash"))
           .join(repMap, "text_hash").select(col("id"), col("url"), col("rep"))
@@ -109,6 +125,30 @@ object StreamMatch {
         }
       }
       .start()
+  }
+
+  /**
+   * Restart recovery for the incremental path: rebuild the canon index
+   * from the initial canon table unioned with the founded-canon journal.
+   * Owns the per-id dedup the raw union needs — extendIndex's first-write-
+   * wins guard is in-memory only, so a url re-crawled with changed text in
+   * a later batch can be journaled twice (it re-founds when its changed
+   * text no longer matches its own entity); a naive union would hand
+   * buildCanonIndex two conflicting field rows for one canon_id. Parquet
+   * append order is not recoverable, so the pick is the same deterministic
+   * text_hash-ordered one compactIncremental uses.
+   */
+  def rebuildIndex(spark: SparkSession, initialCanon: DataFrame,
+      foundedCanonDir: String, config: Gazetteer.Config): Gazetteer.CanonIndex = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val journal = spark.read.parquet(foundedCanonDir)
+      .select(initialCanon.columns.map(col).toIndexedSeq: _*)
+    val union = initialCanon.unionByName(journal)
+    val one = union.withColumn("_rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("text_hash"))))
+      .filter(col("_rk") === 1).drop("_rk")
+    Gazetteer.buildCanonIndex(one, config)
   }
 
   /**

@@ -133,19 +133,25 @@ object TextOps {
    */
   def minhashDupePairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 64, bands: Int = 16, jaccardThreshold: Double = 0.7,
-      maxBucketSize: Int = 200): DataFrame = {
+      maxBucketSize: Int = 200,
+      // materialize the signature frame eagerly (a scratch parquet write
+      // AT CALL TIME): it feeds the block census, both legs of the grid
+      // self-join and the verify attach — without it the CPU-heavy
+      // signature computation re-executes per consumer (~4×). Degrades to
+      // the lazy recompute plan when no scratch base is resolvable
+      // (non-local master without spark.graft.scratchDir) or when false.
+      materializeSignatures: Boolean = true): DataFrame = {
     val rows = bands
     require(k % bands == 0, "k must divide into bands")
     val width = k / bands
-    // snapshot: the shingle+minhash frame feeds the block census, both
-    // legs of the grid self-join AND the verify attach — without it the
-    // CPU-heavy signature computation re-executes per consumer (~4×)
-    val shingled = graft.pipeline.Dedupe.ephemeralSnapshot(df.sparkSession,
-      df.select(
+    val sigs = df.select(
         col(idCol).as("id"),
         token_shingles(tokens(lower(col(textCol))), 3).as("shingles"))
-        .withColumn("sig", minhash(col("shingles"), k)),
-      "minhash_sigs")
+      .withColumn("sig", minhash(col("shingles"), k))
+    val shingled =
+      if (materializeSignatures)
+        graft.pipeline.Dedupe.snapshotIfResolvable(df.sparkSession, sigs, "minhash_sigs")
+      else sigs
     val bucketKeys = (0 until rows).map { b =>
       concat(lit(s"$b#"), xxhash64(slice(col("sig"), b * width + 1, width)))
     }
@@ -181,17 +187,24 @@ object TextOps {
    * — recall is structural, not probabilistic, for d < bands.
    */
   def simhashDupePairs(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+      bands: Int = 4, maxHamming: Int = 3, maxBucketSize: Int = 1000,
+      // same eager-materialization contract as minhashDupePairs —
+      // simhash over full text is the dominant per-row cost here
+      materializeSignatures: Boolean = true): DataFrame = {
     val width = 64 / bands
-    // snapshot for the same multi-consumer reason as minhashDupePairs —
-    // simhash over full text is the dominant per-row cost here
-    val withHash = graft.pipeline.Dedupe.ephemeralSnapshot(df.sparkSession,
-      df.select(col(idCol).as("id"),
-        simhash64(tokens(lower(col(textCol)))).as("sh")),
-      "simhash_sigs")
+    val sigs = df.select(col(idCol).as("id"),
+      simhash64(tokens(lower(col(textCol)))).as("sh"))
+    val withHash =
+      if (materializeSignatures)
+        graft.pipeline.Dedupe.snapshotIfResolvable(df.sparkSession, sigs, "simhash_sigs")
+      else sigs
     val bandCols = (0 until bands).map { b =>
       concat(lit(s"$b#"),
-        shiftrightunsigned(col("sh"), b * width).bitwiseAND(lit((1L << width) - 1)))
+        shiftrightunsigned(col("sh"), b * width).bitwiseAND(
+          // JVM shifts are mod 64: bands=1 -> width=64 -> (1L<<64)-1 would
+          // be 0, masking every hash to one degenerate bucket (same guard
+          // as Blocking's simhash predicate)
+          lit(if (width >= 64) -1L else (1L << width) - 1)))
     }
     val blocks = withHash.select(col("id"), explode(array(bandCols: _*)).as("block_key"))
     val pairs = PairGen.candidatePairs(blocks, maxBucketSize)

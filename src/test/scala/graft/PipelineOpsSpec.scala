@@ -68,21 +68,26 @@ class PipelineOpsSpec extends SparkSpec {
     val n = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
     assert(pages.count() == n * 3 * 2) // base + v1 per (doc, replica)
     assert(pages.select("url").distinct().count() == n * 3 * 2)
-    // family token present on both members; replicas share no tokens
-    val toks = pages.select(explode(split(col("text"), " ")).as("t"))
+    // family token present on both members; replicas share no tokens.
+    // CRITICAL: tokenize with the PIPELINE's tokenizer, not a whitespace
+    // split — the invariant must hold for the vocabulary blocking actually
+    // sees. (An '_' prefix joiner once passed the space-split version of
+    // this test while blocking saw '_' as a separator and every bare word
+    // leaked back into a corpus-wide shared vocabulary.)
+    val toks = pages.select(explode(graft.gfunctions.tokens(col("text"))).as("t"))
     assert(toks.filter(col("t").startsWith("fam")).count() == n * 3 * 2)
     // replica vocabularies are disjoint: no token appears under two prefixes
-    val vocabOverlap = toks.filter(col("t").startsWith("r0_"))
+    val vocabOverlap = toks.filter(col("t").startsWith("r0x"))
       .select(expr("substring(t, 4)").as("w")).distinct()
-      .intersect(toks.filter(col("t").startsWith("r1_"))
+      .intersect(toks.filter(col("t").startsWith("r1x"))
         .select(expr("substring(t, 4)").as("w")).distinct())
     assert(vocabOverlap.count() > 0, // same underlying words...
       "replicas should be built from the same base corpus")
     // ...and EVERY token is replica-scoped or a family id — one unprefixed
     // shared token (e.g. boilerplate) would be a corpus-wide block growing
     // linearly with volume, breaking the linear-pairs construction
-    val unscoped = toks.filter(col("t") =!= "" && // split on doubled space
-      !col("t").rlike("^r[0-9]+_") && !col("t").startsWith("fam"))
+    val unscoped = toks.filter(
+      !col("t").rlike("^r[0-9]+x") && !col("t").startsWith("fam"))
     assert(unscoped.isEmpty,
       s"unscoped tokens leak across replicas: ${unscoped.limit(5).collect().mkString(",")}")
     // deterministic: two builds are identical
@@ -102,5 +107,25 @@ class PipelineOpsSpec extends SparkSpec {
     val row = r.entityMap.collect()
     assert(row.length == 1 && row(0).getAs[Double]("confidence") == 1.0)
     assert(r.metrics.entities == 1)
+  }
+
+  test("run-scoped scratch: snapshots share one per-run dir, reclaimed by " +
+      "cleanupScratch once outputs are consumed") {
+    import graft.pipeline.Dedupe
+    val pages = graft.fixtures.PagesGen.fromDocuments(spark, "/root/testdata/sf0.001")
+    val r = Dedupe.run(spark, pages,
+      Dedupe.Config(SparkEntry.demoModel, collectMetrics = false))
+    assert(r.scratchDir.isDefined,
+      "a materializePrepared run must report its scratch dir")
+    val p = new org.apache.hadoop.fs.Path(r.scratchDir.get)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(p), "scratch dir should exist while outputs are live")
+    // all snapshots of the run live UNDER the one run dir (one
+    // deleteOnExit registration, one delete reclaims everything)
+    assert(fs.listStatus(p).nonEmpty)
+    // consume outputs, then reclaim
+    assert(r.entityMap.count() > 0 && r.canon.count() > 0)
+    Dedupe.cleanupScratch(spark, r)
+    assert(!fs.exists(p), "cleanupScratch must remove the run dir")
   }
 }

@@ -152,17 +152,25 @@ class StreamMatchSpec extends SparkSpec {
     try q1.processAllAvailable() finally q1.stop()
     val founded = got1.find(_._1 == "https://m/1").get._2
 
-    // restart: initial canon = original ∪ journal (the documented recipe);
-    // a near-dup of the pre-restart founded entity must resolve to it
-    val recovered = canon.drop("html").unionByName(
-      spark.read.parquet(journal).select(canon.drop("html").columns.map(col): _*))
+    // restart: rebuildIndex(initial canon, journal) — the documented
+    // recipe, which also owns the per-id dedup a twice-journaled id needs;
+    // a near-dup of the pre-restart founded entity must resolve to it.
+    // The journal deliberately gets a second copy of the founded row
+    // (simulating a cross-batch re-found) to prove the rebuild dedupes.
+    spark.read.parquet(journal).write.mode("append").parquet(journal + "_dup")
+    spark.read.parquet(journal).write.mode("append").parquet(journal + "_dup")
+    val idx = graft.streaming.StreamMatch.rebuildIndex(
+      spark, canon.drop("html"), journal + "_dup",
+      Gazetteer.Config(model, nMatches = 1))
+    assert(idx.fields.groupBy("id2").count().filter($"count" > 1).isEmpty,
+      "rebuilt index must hold one field row per canon id")
     pages(("https://m/2", newText + " tail", "en"))
       .write.mode("append").parquet(s"$base/in")
     val got2 = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Boolean)]
     val q2 = graft.streaming.StreamMatch.startIncrementalDedupe(
       spark, spark.readStream.schema(schema).parquet(s"$base/in"),
-      recovered, Gazetteer.Config(model, nMatches = 1), "graft_incdd_rs2",
-      foundedCanonDir = Some(journal)) { (b, _) =>
+      canon.drop("html"), Gazetteer.Config(model, nMatches = 1), "graft_incdd_rs2",
+      foundedCanonDir = Some(journal), initialIndex = Some(idx)) { (b, _) =>
         got2 ++= b.select("url", "entity", "is_new").as[(String, Long, Boolean)].collect()
       }
     try q2.processAllAvailable() finally q2.stop()
@@ -171,6 +179,63 @@ class StreamMatchSpec extends SparkSpec {
     val byUrl = got2.map(r => r._1 -> r).toMap
     assert(byUrl("https://m/2")._2 == founded && !byUrl("https://m/2")._3,
       "post-restart near-dup must resolve to the pre-restart entity")
+  }
+
+  test("incremental dedupe: a url re-crawled within one batch (same id, " +
+      "changed text) collapses to its latest crawl — one sink row, one " +
+      "index entry") {
+    val model = Model(
+      bias = -13.0,
+      weights = Map("jw_text_norm" -> 6.0, "lev_text_norm" -> 9.0, "exact_lang" -> 0.4),
+      threshold = 0.5,
+      predicates = Seq(PredicateSpec("token", "text_norm")))
+    val canon = Dedupe.prepare(Seq(
+      ("https://c/1", "alpha beta gamma delta epsilon zeta eta theta", "en"))
+      .toDF("url", "text", "lang")
+      .withColumn("warc_ts", lit(null).cast("timestamp"))
+      .withColumn("html", lit(null).cast("binary")))
+    val base = java.nio.file.Files.createTempDirectory("graft_incdd_rc").toString
+    val schema = StructType(Seq(
+      StructField("url", StringType), StructField("warc_ts", TimestampType),
+      StructField("html", BinaryType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val oldText = "crawl version one seventeen eighteen nineteen twenty"
+    val newText = "completely different later crawl twenty one two three"
+    // same url twice in ONE batch: older and newer crawl
+    Seq(("https://m/x", java.sql.Timestamp.valueOf("2017-07-14 02:40:00"), oldText),
+        ("https://m/x", java.sql.Timestamp.valueOf("2017-07-15 02:40:00"), newText))
+      .toDF("url", "warc_ts", "text")
+      .withColumn("html", lit(null).cast("binary"))
+      .withColumn("lang", lit("en"))
+      .select("url", "warc_ts", "html", "text", "lang")
+      .write.mode("overwrite").parquet(s"$base/in")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Boolean)]
+    val q = graft.streaming.StreamMatch.startIncrementalDedupe(
+      spark, spark.readStream.schema(schema).parquet(s"$base/in"),
+      canon, Gazetteer.Config(model, nMatches = 1), "graft_incdd_rc",
+      foundedCanonDir = None) { (b, _) =>
+        got ++= b.select("url", "entity", "is_new").as[(String, Long, Boolean)].collect()
+      }
+    try {
+      q.processAllAvailable()
+      assert(got.count(_._1 == "https://m/x") == 1,
+        s"one sink row per distinct id expected, got $got")
+      // batch 2: a near-dup of the LATEST text must match the entity —
+      // exactly once (one field row in the index, not two conflicting)
+      Seq(("https://m/y", java.sql.Timestamp.valueOf("2017-07-16 02:40:00"),
+          newText + " tail"))
+        .toDF("url", "warc_ts", "text")
+        .withColumn("html", lit(null).cast("binary"))
+        .withColumn("lang", lit("en"))
+        .select("url", "warc_ts", "html", "text", "lang")
+        .write.mode("append").parquet(s"$base/in")
+      q.processAllAvailable()
+    } finally q.stop()
+    val x = got.find(_._1 == "https://m/x").get
+    val y = got.find(_._1 == "https://m/y").get
+    assert(x._3, "re-crawled url founds one new entity")
+    assert(y._2 == x._2 && !y._3,
+      "near-dup of the latest crawl resolves to the collapsed entity")
   }
 
   test("compaction merges entities that the batch boundary split") {

@@ -68,6 +68,22 @@ class TextOpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("simhash dedup bands=1 (width 64): exact duplicates still pair " +
+      "(mod-64 shift must not degenerate the band mask to 0)") {
+    // a zero band mask (the (1L<<64)-1 == 0 bug) keys EVERY doc to one
+    // bucket; with more docs than maxBucketSize that bucket is dropped and
+    // even byte-identical duplicates silently vanish. With the full-width
+    // mask the dup pair shares its own 2-row bucket and must survive.
+    val dup = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val fars = (1 to 8).map(d => ((10 + d).toLong,
+      (100 to 160).map(i => s"w${d}q$i").mkString(" ")))
+    val df = (Seq((1L, dup), (2L, dup)) ++ fars).toDF("id", "text")
+    val pairs = TextOps.simhashDupePairs(df, "id", "text",
+      bands = 1, maxHamming = 0, maxBucketSize = 5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("ngram jaccard spot values") {
     val df = Seq(("abcd", "abcd"), ("abcd", "wxyz")).toDF("a", "b")
     val got = df.select(TextOps.ngramJaccard($"a", $"b", 3)).as[Double].collect()
