@@ -122,6 +122,25 @@ object Blocking {
             16, 16))
         }
         array(cols: _*)
+      case "simhash_combo" =>
+        // Manku et al. (WWW '07)†-style block-combination banding — the
+        // crawl-scale replacement for plain banding. Plain `simhash` with
+        // 4 bands keys on 16 bits: chance collisions add O(n²/2^16)
+        // candidate pairs, a component that saturates the candidate set at
+        // megadoc corpora (measured: +10% superlinear pairs at 400k docs
+        // on the volume-scaling corpus). Splitting the hash into b blocks
+        // and keying on every (b-k)-subset keeps the same structural
+        // recall guarantee — k bit errors corrupt at most k blocks, so
+        // some (b-k)-subset is clean on both sides (pigeonhole) — while
+        // widening keys to >=31 bits (b=6, k=3): collisions drop to
+        // O(n²/2^31) for C(6,3)=20 keys per doc instead of 4.
+        // p.bands = b (blocks; must exceed k to widen keys — when it
+        // doesn't, e.g. the case-class default 4 with k=3, blocks default
+        // to 2k, the b=2k Manku sweet spot), p.n = k (max guaranteed
+        // hamming distance).
+        val k = if (p.n <= 0) 3 else p.n
+        val b = if (p.bands > k) p.bands else 2 * k
+        array(simhashComboKeys(simhash64(tokens(col0)), b, k): _*)
       case "compound" =>
         // cross-product of two sub-predicates' keys (B16)
         require(p.sub.size == 2, "compound predicate needs exactly 2 subs")
@@ -133,6 +152,30 @@ object Blocking {
   }
 
   /** All predicates, prefixed and concatenated into one array<string>. */
+  /** Block-combination simhash keys over a precomputed 64-bit hash column
+    * (the `simhash_combo` predicate's kernel, factored out so the
+    * pigeonhole guarantee is testable on raw hashes): the hash is split
+    * into `blocks` contiguous blocks (widths differ by at most one bit
+    * when 64 % blocks != 0) and one key is emitted per (blocks-k)-subset,
+    * `<subsetIndex>#<blockValue>-<blockValue>-...`. Any two hashes within
+    * hamming distance k share at least one key. */
+  private[graft] def simhashComboKeys(h: Column, blocks: Int, k: Int): Seq[Column] = {
+    require(blocks > k && k >= 1, s"need blocks > k >= 1, got blocks=$blocks k=$k")
+    require(blocks <= 64, s"at most 64 blocks, got $blocks")
+    val base = 64 / blocks
+    val rem = 64 % blocks // first `rem` blocks are one bit wider
+    val widths = (0 until blocks).map(i => if (i < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    def block(i: Int): Column =
+      shiftrightunsigned(h, offsets(i)).bitwiseAND(
+        lit(if (widths(i) >= 64) -1L else (1L << widths(i)) - 1))
+    (0 until blocks).combinations(blocks - k).toSeq.zipWithIndex.map {
+      case (subset, si) =>
+        concat(lit(s"$si#"),
+          concat_ws("-", subset.map(i => block(i).cast("string")): _*))
+    }
+  }
+
   def allKeys(preds: Seq[PredicateSpec]): Column = {
     val perPred = preds.zipWithIndex.map { case (p, i) =>
       // array_distinct BEFORE the union: a predicate emitting the same key

@@ -16,7 +16,8 @@ case class PageRow(
 /** One blocking predicate to apply (mirrors the reference's learned
   * predicate list stored in the pickled settings†, SURVEY.md §1.1).
   * kind ∈ {whole, token, first_token, shingle, ngram, prefix, suffix,
-  *         acronym, fingerprint, simhash, exists, compound, metaphone,
+  *         acronym, fingerprint, simhash, simhash_combo, exists,
+  *         compound, metaphone,
   *         integer, first_integer, near_integer, hundred_integer,
   *         order_of_magnitude, round_to_1, alphanum,           — B10
   *         whole_set, common_set, first_set_element, last_set_element,

@@ -23,11 +23,23 @@ object ScaleRun {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_SCALE_MODEL=combo swaps the flagship model's plain
+    // 4×16-bit simhash banding for block-combination banding (b=6, k=3,
+    // 20 keys of >=31 bits): the demoModel curve carries an O(n²/2^16)
+    // chance-collision pair component that turns superlinear at megadoc
+    // volume; the combo curve shows the same pipeline with that component
+    // suppressed — the configuration a crawl-scale deployment would run.
+    val model =
+      if (sys.env.get("SPARK_GRAFT_SCALE_MODEL").contains("combo"))
+        graft.SparkEntry.demoModel.copy(predicates = Seq(
+          graft.model.PredicateSpec("token", "text_norm"),
+          graft.model.PredicateSpec("simhash_combo", "text", n = 3, bands = 6)))
+      else graft.SparkEntry.demoModel
     replicaPoints.foreach { r =>
       val pages = PagesGen.scaled(spark, sfDir, r)
       val t0 = System.nanoTime()
       val res = Dedupe.run(spark, pages, Dedupe.Config(
-        graft.SparkEntry.demoModel, collectMetrics = true))
+        model, collectMetrics = true))
       // force the full result surface (entity map + canon), like a real run
       res.entityMap.write.format("noop").mode("overwrite").save()
       res.canon.write.format("noop").mode("overwrite").save()
@@ -35,6 +47,11 @@ object ScaleRun {
       val m = res.metrics
       println(f"""SCALE {"replicas":$r,"rows":${m.records},"pairs":${m.candidatePairs},""" +
         f""""entities":${m.entities},"secs":$secs%.1f,"rows_per_sec":${(m.records / secs).toLong}}""")
+      // reclaim this point's run-scoped scratch before the next one — four
+      // volume points in one JVM would otherwise stack ~input-sized
+      // snapshots until the disk fills (deleteOnExit is JVM-exit only;
+      // the 2M point died on ENOSPC exactly this way)
+      Dedupe.cleanupScratch(spark, res)
     }
     spark.stop()
   }

@@ -111,6 +111,33 @@ class BlockingSpec extends SparkSpec {
     assert(keys.select("block_key").distinct().count() == 2)
   }
 
+  test("simhash_combo: pigeonhole guarantee — hashes within hamming k " +
+      "share a key; random hashes share none (fuzz)") {
+    val rnd = new scala.util.Random(7)
+    // planted: flip <= 3 random bits
+    val near = (1 to 200).map { _ =>
+      val h = rnd.nextLong()
+      val flips = rnd.shuffle((0 until 64).toList).take(1 + rnd.nextInt(3))
+      (h, flips.foldLeft(h)((x, b) => x ^ (1L << b)))
+    }
+    // far: independent random hashes (expected hamming 32)
+    val far = (1 to 200).map(_ => (rnd.nextLong(), rnd.nextLong()))
+    def sharing(pairs: Seq[(Long, Long)]): Long =
+      pairs.toDF("h1", "h2").select(
+        arrays_overlap(
+          array(Blocking.simhashComboKeys(col("h1"), 6, 3): _*),
+          array(Blocking.simhashComboKeys(col("h2"), 6, 3): _*)).as("s"))
+        .filter(col("s")).count()
+    assert(sharing(near) == 200L,
+      "every pair within hamming 3 must share a combo key (pigeonhole)")
+    assert(sharing(far) == 0L,
+      ">=31-bit keys: random hashes must essentially never collide")
+    // C(6,3)=20 keys per hash, subset-prefixed
+    val ks = keysFor(PredicateSpec("simhash_combo", "f", n = 3, bands = 6),
+      "some web page text about spark")
+    assert(ks.size == 20 && ks.map(_.takeWhile(_ != '#')).size == 20)
+  }
+
   test("pair-gen: plural filter, ordering, dedup, cap") {
     val blocks = Seq(
       (1L, "a"), (2L, "a"), (3L, "a"), // block of 3 → 3 pairs
