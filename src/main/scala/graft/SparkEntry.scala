@@ -268,6 +268,32 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // block-combination simhash banding (the simhash_combo predicate's
+    // kernel) over the shared fixture + one exact duplicate: combo keys
+    // structurally guarantee any pair within hamming 3 shares a key (the
+    // exact dup, hamming 0). Beyond-k pairs collide only when ALL their
+    // differing bits concentrate in <= k blocks: the fixture's hamming-9
+    // pair (1,2) does (one shared key), the hamming-8 pair (3,4) does not
+    // — under plain 16-bit banding BOTH paired, via exactly the chance
+    // collisions the combo kind suppresses at crawl scale.
+    // xxhash64-based, so the oracle freezes the expected constant table.
+    "q_simhash_combo_fixture" -> ((s, dir) => {
+      import s.implicits._
+      val docs = nearDupFixtureDocs(s).unionByName(
+        Seq((6L, "unrelated third topic with nothing shared at all in common"))
+          .toDF("id", "text"))
+      val hashed = docs.select(col("id"),
+        simhash64(tokens(lower(col("text")))).as("sh"))
+      val blocks = hashed.select(col("id"),
+        explode(array(
+          graft.block.Blocking.simhashComboKeys(col("sh"), 6, 3): _*)).as("block_key"))
+      val pairs = graft.pairs.PairGen.candidatePairs(blocks, 1000)
+      graft.pairs.PairGen.attachFields(pairs, hashed, "id", Seq("sh"))
+        .select(col("id1"), col("id2"),
+          hamming64(col("sh_1"), col("sh_2")).cast("long").as("hamming"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // winnowing rolling-hash document fingerprints (Schleimer 2003) over
     // the shared near-dup fixture: fingerprint-set sizes + all positive
     // pairwise overlap similarities. xxhash64-based, so DuckDB cannot
@@ -963,6 +989,14 @@ object SparkEntry {
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(9 AS BIGINT)),
         |  (3, 4, 8)) AS t(id1, id2, hamming)
+        |ORDER BY id1, id2""".stripMargin,
+
+    // frozen observed table (see the query's comment for why (1,2)
+    // collides at hamming 9 but (3,4) does not at hamming 8)
+    "q_simhash_combo_fixture" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(9 AS BIGINT)),
+        |  (5, 6, 0)) AS t(id1, id2, hamming)
         |ORDER BY id1, id2""".stripMargin,
 
     // each predicate index gets its own UNION branch; suffix bound =
