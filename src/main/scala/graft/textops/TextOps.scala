@@ -190,7 +190,17 @@ object TextOps {
       bands: Int = 4, maxHamming: Int = 3, maxBucketSize: Int = 1000,
       // same eager-materialization contract as minhashDupePairs —
       // simhash over full text is the dominant per-row cost here
-      materializeSignatures: Boolean = true): DataFrame = {
+      materializeSignatures: Boolean = true,
+      // combo banding (Manku WWW '07†, see Blocking.simhashComboKeys):
+      // key on every (comboBlocks - maxHamming)-subset of comboBlocks hash
+      // blocks instead of plain bands — same structural recall for
+      // hamming <= maxHamming, but >=31-bit keys kill the O(n²/2^16)
+      // chance-collision candidate component plain 16-bit bands carry.
+      // THE CRAWL-SCALE CONFIGURATION (measured: plain banding's collision
+      // pairs turn superlinear at megadoc corpora — BASELINE.md volume
+      // curves). 0 = plain banding; a value > maxHamming enables combo
+      // (2×maxHamming is the usual sweet spot). `bands` is ignored when on.
+      comboBlocks: Int = 0): DataFrame = {
     val width = 64 / bands
     val sigs = df.select(col(idCol).as("id"),
       simhash64(tokens(lower(col(textCol)))).as("sh"))
@@ -198,7 +208,9 @@ object TextOps {
       if (materializeSignatures)
         graft.pipeline.Dedupe.snapshotIfResolvable(df.sparkSession, sigs, "simhash_sigs")
       else sigs
-    val bandCols = (0 until bands).map { b =>
+    val bandCols = if (comboBlocks > 0)
+      graft.block.Blocking.simhashComboKeys(col("sh"), comboBlocks, maxHamming)
+    else (0 until bands).map { b =>
       concat(lit(s"$b#"),
         shiftrightunsigned(col("sh"), b * width).bitwiseAND(
           // JVM shifts are mod 64: bands=1 -> width=64 -> (1L<<64)-1 would

@@ -84,6 +84,17 @@ class TextOpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("simhash dedup with combo banding: exact dup found, hamming verify " +
+      "still bounds the output") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val far = (100 to 160).map(i => s"qq$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, far)).toDF("id", "text")
+    val pairs = TextOps.simhashDupePairs(df, "id", "text",
+      maxHamming = 3, comboBlocks = 6)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("ngram jaccard spot values") {
     val df = Seq(("abcd", "abcd"), ("abcd", "wxyz")).toDF("a", "b")
     val got = df.select(TextOps.ngramJaccard($"a", $"b", 3)).as[Double].collect()
