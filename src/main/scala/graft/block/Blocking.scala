@@ -134,12 +134,15 @@ object Blocking {
         // some (b-k)-subset is clean on both sides (pigeonhole) — while
         // widening keys to >=31 bits (b=6, k=3): collisions drop to
         // O(n²/2^31) for C(6,3)=20 keys per doc instead of 4.
-        // p.bands = b (blocks; must exceed k to widen keys — when it
-        // doesn't, e.g. the case-class default 4 with k=3, blocks default
-        // to 2k, the b=2k Manku sweet spot), p.n = k (max guaranteed
-        // hamming distance).
+        // p.n = k (max guaranteed hamming distance). p.bands = b (blocks)
+        // only when it exceeds 2k — any smaller value (including the
+        // case-class default 4) floors to the b=2k Manku sweet spot,
+        // because b <= 2k shrinks subsets below k blocks (<32 bits of
+        // key): b=4,k=3 would emit four SINGLE 16-bit blocks — plain
+        // banding with the exact collision profile this kind exists to
+        // suppress.
         val k = if (p.n <= 0) 3 else p.n
-        val b = if (p.bands > k) p.bands else 2 * k
+        val b = if (p.bands > 2 * k) p.bands else 2 * k
         array(simhashComboKeys(simhash64(tokens(col0)), b, k): _*)
       case "compound" =>
         // cross-product of two sub-predicates' keys (B16)
@@ -151,14 +154,17 @@ object Blocking {
     }
   }
 
-  /** All predicates, prefixed and concatenated into one array<string>. */
   /** Block-combination simhash keys over a precomputed 64-bit hash column
     * (the `simhash_combo` predicate's kernel, factored out so the
     * pigeonhole guarantee is testable on raw hashes): the hash is split
     * into `blocks` contiguous blocks (widths differ by at most one bit
     * when 64 % blocks != 0) and one key is emitted per (blocks-k)-subset,
     * `<subsetIndex>#<blockValue>-<blockValue>-...`. Any two hashes within
-    * hamming distance k share at least one key. */
+    * hamming distance k share at least one key. A null hash yields null
+    * keys (NOT keys of empty joined values — concat_ws skips nulls, which
+    * would herd every null-field record into the same 20 degenerate
+    * buckets); null keys are dropped by allKeys' element filter and never
+    * survive candidatePairs' equi-join. */
   private[graft] def simhashComboKeys(h: Column, blocks: Int, k: Int): Seq[Column] = {
     require(blocks > k && k >= 1, s"need blocks > k >= 1, got blocks=$blocks k=$k")
     require(blocks <= 64, s"at most 64 blocks, got $blocks")
@@ -171,11 +177,12 @@ object Blocking {
         lit(if (widths(i) >= 64) -1L else (1L << widths(i)) - 1))
     (0 until blocks).combinations(blocks - k).toSeq.zipWithIndex.map {
       case (subset, si) =>
-        concat(lit(s"$si#"),
-          concat_ws("-", subset.map(i => block(i).cast("string")): _*))
+        when(h.isNotNull, concat(lit(s"$si#"),
+          concat_ws("-", subset.map(i => block(i).cast("string")): _*)))
     }
   }
 
+  /** All predicates, prefixed and concatenated into one array<string>. */
   def allKeys(preds: Seq[PredicateSpec]): Column = {
     val perPred = preds.zipWithIndex.map { case (p, i) =>
       // array_distinct BEFORE the union: a predicate emitting the same key

@@ -103,7 +103,14 @@ object Dedupe {
    */
   private[graft] def ephemeralSnapshot(spark: SparkSession, df: DataFrame,
       tag: String, scratchBase: Option[String] = None,
-      registerDeleteOnExit: Boolean = true): DataFrame = {
+      registerDeleteOnExit: Boolean = true): DataFrame =
+    ephemeralSnapshotWithPath(spark, df, tag, scratchBase, registerDeleteOnExit)._1
+
+  /** [[ephemeralSnapshot]] that also returns the written path, for callers
+    * that reclaim the snapshot themselves once consumers are done. */
+  private[graft] def ephemeralSnapshotWithPath(spark: SparkSession, df: DataFrame,
+      tag: String, scratchBase: Option[String] = None,
+      registerDeleteOnExit: Boolean = true): (DataFrame, String) = {
     val base = resolveScratchBase(spark.sparkContext.master,
       scratchBase.orElse(
         spark.conf.getOption("spark.graft.scratchDir").filter(_.nonEmpty)))
@@ -114,7 +121,14 @@ object Dedupe {
     // callers that group several snapshots under one per-run dir register
     // THAT dir instead (one registry entry per run, not per snapshot)
     if (registerDeleteOnExit) fs.deleteOnExit(path)
-    spark.read.parquet(path.toString)
+    (spark.read.parquet(path.toString), path.toString)
+  }
+
+  /** Delete one scratch path (see [[cleanupScratch]] for the Result form). */
+  private[graft] def deleteScratchPath(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
   }
 
   /** ephemeralSnapshot when a scratch base is resolvable, the input
@@ -137,12 +151,7 @@ object Dedupe {
    * this — the deleteOnExit fallback only reclaims space at JVM exit.
    */
   def cleanupScratch(spark: SparkSession, result: Result): Unit =
-    result.scratchDir.foreach { d =>
-      val p = new org.apache.hadoop.fs.Path(d)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(p, true)
-      ()
-    }
+    result.scratchDir.foreach(deleteScratchPath(spark, _))
 
   /**
    * Per-partition lineage metrics (S5; BASELINE.json:14 "per-partition
@@ -179,8 +188,13 @@ object Dedupe {
   }
 
   /** Derived columns over the north-rule pages schema
-    * (url, warc_ts, html, text, lang — BASELINE.json:15). */
+    * (url, warc_ts, html, text, lang — BASELINE.json:15). Null-url rows
+    * are dropped: the record identity is id = xxhash64(url), and Spark's
+    * xxhash64 maps every null input to the same seed value, so distinct
+    * malformed rows would silently collide into one record (observed on
+    * the incremental-streaming collapse, which keeps one row per id). */
   def prepare(pages: DataFrame): DataFrame = pages
+    .filter(col("url").isNotNull)
     .withColumn("id", xxhash64(col("url")))
     .withColumn("text_norm", normalize_text(col("text")))
     .withColumn("norm_url_path",

@@ -135,7 +135,14 @@ object Gazetteer {
    *         component per merged group — stable, deterministic)
    */
   def dedupeCanon(spark: SparkSession, firstEntityMap: DataFrame,
-      canon: DataFrame, config: Dedupe.Config): DataFrame = {
+      canon: DataFrame, config: Dedupe.Config,
+      // reclaim the inner pipeline run's scratch before returning: the
+      // result is eagerly truncated (localCheckpoint) first, so it no
+      // longer reads from scratch. Long-lived drivers (the streaming
+      // compaction path) must pass true or each compaction leaks an
+      // input-sized scratch dir until JVM exit; one-shot callers keep the
+      // default and let deleteOnExit reclaim at exit.
+      reclaimScratch: Boolean = false): DataFrame = {
     // canon rows re-enter the pipeline in pages shape; the synthetic url
     // encodes the first-pass component for the remap join afterwards.
     // SNAPSHOT the canon frame first: it is the output of the first pass's
@@ -146,12 +153,13 @@ object Gazetteer {
     // the 185 s q_dedupe_canon anomaly, round-2 verdict item 4).
     // scratch lands under the checkpoint dir when one is set, so a cluster
     // run configured only with Config.checkpointDir works here too
-    val canonPages = Dedupe.ephemeralSnapshot(spark, canon.select(
-      concat(lit("canon://"), col("component")).as("url"),
-      lit(null).cast("timestamp").as("warc_ts"),
-      lit(null).cast("binary").as("html"),
-      col("text_norm").as("text"),
-      col("lang")), "canon_pages",
+    val (canonPages, canonPagesPath) = Dedupe.ephemeralSnapshotWithPath(
+      spark, canon.select(
+        concat(lit("canon://"), col("component")).as("url"),
+        lit(null).cast("timestamp").as("warc_ts"),
+        lit(null).cast("binary").as("html"),
+        col("text_norm").as("text"),
+        col("lang")), "canon_pages",
       config.checkpointDir.map(d => s"$d/scratch"))
     val second = Dedupe.run(spark, canonPages, config)
     val remap = second.entityMap.select(
@@ -161,9 +169,18 @@ object Gazetteer {
       .agg(min("first_component").as("merged"))
     val mapTbl = remap.join(merged, "second_component")
       .select(col("first_component"), col("merged"))
-    firstEntityMap.join(broadcast(mapTbl),
+    val out = firstEntityMap.join(broadcast(mapTbl),
         firstEntityMap("component") === mapTbl("first_component"), "left")
       .select(firstEntityMap("id"),
         coalesce(col("merged"), firstEntityMap("component")).as("component"))
+    if (!reclaimScratch) out
+    else {
+      // entity-count-sized frame; eager truncation so nothing below reads
+      // from the scratch we are about to delete
+      val truncated = out.localCheckpoint(true)
+      Dedupe.cleanupScratch(spark, second)
+      Dedupe.deleteScratchPath(spark, canonPagesPath)
+      truncated
+    }
   }
 }

@@ -15,6 +15,24 @@ import graft.pipeline.{Dedupe, Gazetteer}
  */
 object StreamMatch {
 
+  /** Deterministic one-row-per-id pick shared by the within-batch
+    * collapse, the journal rebuild and compaction: latest crawl first
+    * (warc_ts desc) when the frame carries it, text_hash as the
+    * tiebreak/fallback. All sites MUST pick identically — a restart
+    * rebuild that picked differently from compaction would flip entity
+    * field rows across the restart. */
+  private def onePerId(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ord =
+      if (df.columns.contains("warc_ts"))
+        Seq(col("warc_ts").desc_nulls_last, col("text_hash"))
+      else Seq(col("text_hash"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(ord: _*)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1).drop("_rk")
+  }
+
   /**
    * @param pagesStream streaming DataFrame in pages shape
    * @param canonPrepared STATIC prepared canonical records (Dedupe.prepare)
@@ -95,12 +113,7 @@ object StreamMatch {
         // below, both carry rep == their shared id, and an unmatched pair
         // would journal + extendIndex the same canon_id twice with
         // conflicting fields (duplicate scored rows on every later match)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("id"))
-          .orderBy(col("warc_ts").desc_nulls_last, col("text_hash"))
-        val prepared = Dedupe.prepare(batch).drop("html")
-          .withColumn("_rk", row_number().over(w))
-          .filter(col("_rk") === 1).drop("_rk")
+        val prepared = onePerId(Dedupe.prepare(batch).drop("html"))
           .localCheckpoint(true)
         val repMap = prepared.groupBy(col("text_hash")).agg(min(col("id")).as("rep"))
         val idToRep = prepared.select(col("id"), col("url"), col("text_hash"))
@@ -141,14 +154,17 @@ object StreamMatch {
   def rebuildIndex(spark: SparkSession, initialCanon: DataFrame,
       foundedCanonDir: String, config: Gazetteer.Config): Gazetteer.CanonIndex = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.expressions.Window
-    val journal = spark.read.parquet(foundedCanonDir)
-      .select(initialCanon.columns.map(col).toIndexedSeq: _*)
-    val union = initialCanon.unionByName(journal)
-    val one = union.withColumn("_rk", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("text_hash"))))
-      .filter(col("_rk") === 1).drop("_rk")
-    Gazetteer.buildCanonIndex(one, config)
+    // the journal is written from html-dropped batch frames, so union on
+    // the COMMON columns — an initialCanon still carrying html (accepted
+    // by buildCanonIndex, which selects only what the model needs) must
+    // not make the documented recovery path throw UNRESOLVED_COLUMN
+    val journalRaw = spark.read.parquet(foundedCanonDir)
+    val common = initialCanon.columns.filter(journalRaw.columns.toSet)
+    require(common.contains("id") && common.contains("text_hash"),
+      s"journal and canon share no usable identity columns: ${common.mkString(",")}")
+    val union = initialCanon.select(common.map(col).toIndexedSeq: _*)
+      .unionByName(journalRaw.select(common.map(col).toIndexedSeq: _*))
+    Gazetteer.buildCanonIndex(onePerId(union), config)
   }
 
   /**
@@ -173,20 +189,21 @@ object StreamMatch {
     import org.apache.spark.sql.functions._
     // the journal (and the restart recipe's canon ∪ journal union) can
     // carry one id twice (re-crawled url, changed text) — deterministic
-    // per-id pick, or the remap fans out and the index gets conflicting
-    // field rows for one canon_id
-    import org.apache.spark.sql.expressions.Window
-    val one = accumulated.withColumn("_rk", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("text_hash"))))
-      .filter(col("_rk") === 1).drop("_rk")
+    // per-id pick (shared with rebuildIndex/the batch collapse), or the
+    // remap fans out and the index gets conflicting field rows for one
+    // canon_id
+    val one = onePerId(accumulated)
     val firstMap = one.select(col("id"), col("id").as("component"))
     val canonTbl = one.select(
       col("id").as("component"), col("text_norm"), col("lang"))
     // remap feeds TWO consumers (the caller's assignment rewrite + the
-    // reps semi-join below) — truncate so the second-stage pipeline
-    // doesn't re-execute per action; the frame is entity-count-sized
-    val remap = Gazetteer.dedupeCanon(spark, firstMap, canonTbl, dedupeConfig)
-      .localCheckpoint(true)
+    // reps semi-join below); reclaimScratch both truncates it (so the
+    // second-stage pipeline doesn't re-execute per action — the frame is
+    // entity-count-sized) AND deletes the inner run's scratch — a
+    // long-lived streaming driver compacting periodically must not stack
+    // input-sized scratch dirs until JVM exit
+    val remap = Gazetteer.dedupeCanon(spark, firstMap, canonTbl, dedupeConfig,
+      reclaimScratch = true)
     val reps = one.join(
       remap.filter(col("id") === col("component")).select("id"),
       Seq("id"), "left_semi")

@@ -198,8 +198,11 @@ object TextOps {
       // chance-collision candidate component plain 16-bit bands carry.
       // THE CRAWL-SCALE CONFIGURATION (measured: plain banding's collision
       // pairs turn superlinear at megadoc corpora — BASELINE.md volume
-      // curves). 0 = plain banding; a value > maxHamming enables combo
-      // (2×maxHamming is the usual sweet spot). `bands` is ignored when on.
+      // curves). 0 = plain banding; a value > max(1, maxHamming) enables
+      // combo with k = max(1, maxHamming) (maxHamming = 0 still needs
+      // k >= 1 blocks of guarantee; the hamming filter keeps the output
+      // exact). Values <= that floor fall back to plain banding.
+      // `bands` is ignored when combo is on; 2k blocks is the sweet spot.
       comboBlocks: Int = 0): DataFrame = {
     val width = 64 / bands
     val sigs = df.select(col(idCol).as("id"),
@@ -208,8 +211,9 @@ object TextOps {
       if (materializeSignatures)
         graft.pipeline.Dedupe.snapshotIfResolvable(df.sparkSession, sigs, "simhash_sigs")
       else sigs
-    val bandCols = if (comboBlocks > 0)
-      graft.block.Blocking.simhashComboKeys(col("sh"), comboBlocks, maxHamming)
+    val comboK = math.max(1, maxHamming)
+    val bandCols = if (comboBlocks > comboK)
+      graft.block.Blocking.simhashComboKeys(col("sh"), comboBlocks, comboK)
     else (0 until bands).map { b =>
       concat(lit(s"$b#"),
         shiftrightunsigned(col("sh"), b * width).bitwiseAND(

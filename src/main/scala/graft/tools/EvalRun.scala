@@ -61,8 +61,12 @@ object EvalRun {
         scored.select("id1", "id2"),
         result.entityMap.select(col("id"), col("component")), idTruth)
       val rows = pages.count()
+      // ALL candidate pairs are judged (truth covers every page): tp+fp+fn
+      // alone would omit the correctly-rejected true negatives
+      val judged = scored.count()
+      val tn = judged - prf.tp - prf.fp - prf.fn
       println(
-        f"""EVAL {"n_base":$nBase,"rows":$rows,"labeled_pairs":${prf.tp + prf.fp + prf.fn},""" +
+        f"""EVAL {"n_base":$nBase,"rows":$rows,"pairs_judged":$judged,"tn":$tn,""" +
         f""""pairwise":{"precision":${prf.precision}%.6f,"recall":${prf.recall}%.6f,"f1":${prf.f1}%.6f,""" +
         f""""tp":${prf.tp},"fp":${prf.fp},"fn":${prf.fn}},""" +
         f""""clustering":{"precision":${cprf.precision}%.6f,"recall":${cprf.recall}%.6f,"f1":${cprf.f1}%.6f,""" +

@@ -136,6 +136,20 @@ class BlockingSpec extends SparkSpec {
     val ks = keysFor(PredicateSpec("simhash_combo", "f", n = 3, bands = 6),
       "some web page text about spark")
     assert(ks.size == 20 && ks.map(_.takeWhile(_ != '#')).size == 20)
+    // the case-class default bands=4 must floor to 2k=6 blocks — b=4,k=3
+    // would degenerate to four single 16-bit blocks (plain banding)
+    val ksDefault = keysFor(PredicateSpec("simhash_combo", "f"),
+      "some web page text about spark")
+    assert(ksDefault == ks,
+      "default spec must use the 2k-block combo construction, not plain bands")
+    // null field → null keys, never degenerate shared buckets: a batch of
+    // null-field records must emit ZERO non-null combo keys
+    val nullKeys = Seq((1L, Option.empty[String]), (2L, None)).toDF("id", "f")
+      .select(explode(Blocking.predicateKeys(
+        PredicateSpec("simhash_combo", "f", n = 3, bands = 6))).as("k"))
+      .filter(col("k").isNotNull)
+    assert(nullKeys.isEmpty,
+      "null-field records must not share combo blocking keys")
   }
 
   test("pair-gen: plural filter, ordering, dedup, cap") {

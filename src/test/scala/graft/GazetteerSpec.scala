@@ -59,5 +59,13 @@ class GazetteerSpec extends SparkSpec {
     assert(got(10L) == 100L, "merged id should be the min first-pass component")
     assert(got(30L) == 300L, "unrelated entity untouched")
     assert(got(10L) == got(11L))
+
+    // reclaimScratch variant must return the same mapping (truncated
+    // eagerly, inner run's scratch deleted) — the streaming-compaction
+    // configuration
+    val merged2 = Gazetteer.dedupeCanon(spark, entityMap, canon,
+      Dedupe.Config(model, collectMetrics = false), reclaimScratch = true)
+    val got2 = merged2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == got, "reclaimScratch must not change the remap")
   }
 }
