@@ -159,8 +159,11 @@ class StreamMatchSpec extends SparkSpec {
     // (simulating a cross-batch re-found) to prove the rebuild dedupes.
     spark.read.parquet(journal).write.mode("append").parquet(journal + "_dup")
     spark.read.parquet(journal).write.mode("append").parquet(journal + "_dup")
+    // initial canon deliberately KEEPS html: the journal is written
+    // html-dropped, and the rebuild must union on the common columns
+    // rather than throw UNRESOLVED_COLUMN on the documented recovery path
     val idx = graft.streaming.StreamMatch.rebuildIndex(
-      spark, canon.drop("html"), journal + "_dup",
+      spark, canon, journal + "_dup",
       Gazetteer.Config(model, nMatches = 1))
     assert(idx.fields.groupBy("id2").count().filter($"count" > 1).isEmpty,
       "rebuilt index must hold one field row per canon id")
