@@ -118,13 +118,26 @@ object SparkEntry {
       .toDF("id", "text")
   }
 
+  /** Run the pipeline, derive the query's output frame, truncate it
+    * eagerly and reclaim the run's scratch. Contract queries execute
+    * repeatedly (Bench runs each three rounds) and deleteOnExit-only
+    * reclamation stacks input-sized scratch dirs for the JVM's lifetime —
+    * the ENOSPC class ScaleRun hit before its per-point cleanup. */
+  private def runReclaimed(s: SparkSession, pages: DataFrame,
+      config: Dedupe.Config)(f: Dedupe.Result => DataFrame): DataFrame = {
+    val r = Dedupe.run(s, pages, config)
+    val out = f(r).localCheckpoint(true)
+    Dedupe.cleanupScratch(s, r)
+    out
+  }
+
   /** Flagship: full dedupe pipeline (block → score → CC cluster → entity
     * map) over a pages table derived deterministically from sf0.001
     * documents with injected near-duplicate variants. rows > 0 smoke. */
   def entry(spark: SparkSession): DataFrame = {
     val pages = PagesGen.fromDocuments(spark, "/root/testdata/sf0.001")
-    val result = Dedupe.run(spark, pages, Dedupe.Config(demoModel, collectMetrics = false))
-    result.entityMap
+    runReclaimed(spark, pages, Dedupe.Config(demoModel, collectMetrics = false))(
+      _.entityMap)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -175,8 +188,9 @@ object SparkEntry {
     // flagship pipeline as a query (rows-only check: CC not SQL-expressible)
     "q_dedupe_pipeline" -> ((s, dir) => {
       val pages = PagesGen.fromDocuments(s, dir)
-      Dedupe.run(s, pages, Dedupe.Config(demoModel, collectMetrics = false)).entityMap
-        .select(col("url"), col("component"), round(col("confidence"), 6).as("confidence"))
+      runReclaimed(s, pages, Dedupe.Config(demoModel, collectMetrics = false))(
+        _.entityMap
+          .select(col("url"), col("component"), round(col("confidence"), 6).as("confidence")))
         .orderBy(col("url"))
     }),
 
@@ -495,11 +509,11 @@ object SparkEntry {
       // the synthetic corpus (avg jw 0.68, tail to ~0.93)
       val m = Model(bias = -8.0, weights = Map("jw_text_norm" -> 12.0),
         threshold = 0.96, predicates = Seq(PredicateSpec("token", "text_norm")))
-      val r = Dedupe.run(s, pages, Dedupe.Config(m, collectMetrics = false))
-      val ents = r.entityMap.groupBy("component").agg(min("url").as("entity_url"))
-      r.entityMap.join(ents, "component")
-        .select(col("url"), col("entity_url"))
-        .orderBy(col("url"))
+      runReclaimed(s, pages, Dedupe.Config(m, collectMetrics = false)) { r =>
+        val ents = r.entityMap.groupBy("component").agg(min("url").as("entity_url"))
+        r.entityMap.join(ents, "component")
+          .select(col("url"), col("entity_url"))
+      }.orderBy(col("url"))
     }),
 
     // greedy predicate cover (T3) over a literal fixture — the choice is a
@@ -672,9 +686,15 @@ object SparkEntry {
         .filter(pmod(xxhash64(col("url")), lit(5L)) === 0)
       val cfg = Dedupe.Config(demoModel, collectMetrics = false)
       val r = Dedupe.run(s, pages, cfg)
-      graft.pipeline.Gazetteer.dedupeCanon(
-          s, r.entityMap.select(col("id"), col("component")), r.canon, cfg)
-        .orderBy(col("id"))
+      // reclaimScratch truncates the remap (consuming r's frames) AND
+      // deletes the second stage's scratch; r's own scratch is then safe
+      // to reclaim too — without this each bench round leaks two
+      // input-sized run dirs
+      val out = graft.pipeline.Gazetteer.dedupeCanon(
+        s, r.entityMap.select(col("id"), col("component")), r.canon, cfg,
+        reclaimScratch = true)
+      Dedupe.cleanupScratch(s, r)
+      out.orderBy(col("id"))
     }),
 
     // second-stage dedupeCanon (G6) over a LITERAL canon table — cluster
@@ -698,7 +718,8 @@ object SparkEntry {
         Model(bias = -8.0, weights = Map("jw_text_norm" -> 12.0),
           threshold = 0.9, predicates = Seq(PredicateSpec("token", "text_norm"))),
         collectMetrics = false)
-      graft.pipeline.Gazetteer.dedupeCanon(s, firstEntityMap, canon, cfg)
+      graft.pipeline.Gazetteer.dedupeCanon(s, firstEntityMap, canon, cfg,
+          reclaimScratch = true)
         .orderBy(col("id"))
     }),
 

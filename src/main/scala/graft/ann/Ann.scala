@@ -152,7 +152,13 @@ object Ann {
     // (cent_id, pos) hash aggregate: map-side combine caps each mapper's
     // output at nlist×dim rows, so the corpus×dim explode never shuffles.
     // An emptied cluster keeps no row and simply drops out (its list was
-    // empty anyway); ids stay the seed ids — deterministic end to end.
+    // empty anyway); ids stay the seed ids. Determinism caveat: avg() sums
+    // partition partials in shuffle order, so refined centroids are
+    // deterministic only up to floating-point summation order — a near-tie
+    // in assignment or in a query's top-nprobe centroid ranking can flip
+    // between runs, changing which inverted lists a PARTIAL probe visits.
+    // The full-probe variant (and the nprobe=nlist oracle twin) is
+    // centroid-invariant; seed centroids (lloydIters = 0) are bit-exact.
     for (_ <- 1 to lloydIters) {
       cents = assign(cents)
         .select(col("cent_id"), posexplode(col("ivec")).as(Seq("pos", "v")))

@@ -35,6 +35,14 @@ object Ingest {
       .option("inferSchema", "false")
       .csv(csvPath)
     val cols = raw.columns.toSeq
+    // reserved names: withColumn would silently REPLACE a user column
+    // called record_id (leaving two identical synthetic columns after the
+    // final select → AMBIGUOUS_REFERENCE downstream) and drop("_dup_seq")
+    // would delete user data — fail fast with a clear message instead
+    val reserved = Seq("record_id", "_dup_seq").filter(cols.contains)
+    require(reserved.isEmpty,
+      s"CSV header uses reserved column name(s) ${reserved.mkString(", ")}; " +
+        "rename them before upload (record_id is synthesized from content)")
     // unambiguous null encoding: xxhash64 SKIPS null args (("a", null) and
     // (null, "a") would collide), and any in-band sentinel string could be
     // a legitimate cell value — so hash each cell as (is-null flag, value)

@@ -161,7 +161,13 @@ object Gazetteer {
         col("text_norm").as("text"),
         col("lang")), "canon_pages",
       config.checkpointDir.map(d => s"$d/scratch"))
-    val second = Dedupe.run(spark, canonPages, config)
+    // the inner run gets a DERIVED checkpoint dir: with the caller's dir
+    // unmodified it would overwrite $dir/pairs (the FIRST pass's resume
+    // snapshot — a later resumeFromPairs would silently resume from
+    // canon-page pairs and produce a garbage entity map) and the S5
+    // lineage/metrics artifacts describing the main run
+    val second = Dedupe.run(spark, canonPages, config.copy(
+      checkpointDir = config.checkpointDir.map(d => s"$d/canon_stage2")))
     val remap = second.entityMap.select(
       regexp_extract(col("url"), "canon://(-?\\d+)", 1).cast("long").as("first_component"),
       col("component").as("second_component"))

@@ -15,23 +15,42 @@ import graft.pipeline.{Dedupe, Gazetteer}
  */
 object StreamMatch {
 
-  /** Deterministic one-row-per-id pick shared by the within-batch
-    * collapse, the journal rebuild and compaction: latest crawl first
-    * (warc_ts desc) when the frame carries it, text_hash as the
-    * tiebreak/fallback. All sites MUST pick identically — a restart
-    * rebuild that picked differently from compaction would flip entity
-    * field rows across the restart. */
-  private def onePerId(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** Deterministic one-row-per-id picks. TWO orders exist for TWO
+    * different operations — do not unify them:
+    *
+    *  - [[latestPerId]] (warc_ts DESC): the WITHIN-batch collapse. The id
+    *    is not in the index yet; the freshest crawl is the content to
+    *    found the entity with. Exactly one row per id survives to be
+    *    journaled/indexed, so no later site ever re-chooses among a
+    *    batch's rows.
+    *  - [[firstFoundedPerId]] (warc_ts ASC): the restart rebuild and
+    *    compaction. The LIVE index keeps the FIRST-founded record for a
+    *    re-founded id (extendIndex is first-write-wins), and a rebuild
+    *    that picked anything else would flip the entity's field rows
+    *    across a restart, contradicting assignments already sunk. Journal
+    *    append order is not recoverable from parquet; warc_ts-ascending
+    *    is the deterministic stand-in (a crawl stream founds with its
+    *    earliest-crawled surviving row). Residual: two journal rows with
+    *    EQUAL warc_ts tie-break on text_hash, which can differ from the
+    *    live pick — documented, deterministic, bounded to same-timestamp
+    *    re-founds. */
+  private def onePerId(df: org.apache.spark.sql.DataFrame,
+      latestFirst: Boolean): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val ord =
       if (df.columns.contains("warc_ts"))
-        Seq(col("warc_ts").desc_nulls_last, col("text_hash"))
+        Seq(if (latestFirst) col("warc_ts").desc_nulls_last
+            else col("warc_ts").asc_nulls_first, col("text_hash"))
       else Seq(col("text_hash"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(ord: _*)
     df.withColumn("_rk", row_number().over(w))
       .filter(col("_rk") === 1).drop("_rk")
   }
+  private def latestPerId(df: org.apache.spark.sql.DataFrame) =
+    onePerId(df, latestFirst = true)
+  private def firstFoundedPerId(df: org.apache.spark.sql.DataFrame) =
+    onePerId(df, latestFirst = false)
 
   /**
    * @param pagesStream streaming DataFrame in pages shape
@@ -113,7 +132,7 @@ object StreamMatch {
         // below, both carry rep == their shared id, and an unmatched pair
         // would journal + extendIndex the same canon_id twice with
         // conflicting fields (duplicate scored rows on every later match)
-        val prepared = onePerId(Dedupe.prepare(batch).drop("html"))
+        val prepared = latestPerId(Dedupe.prepare(batch).drop("html"))
           .localCheckpoint(true)
         val repMap = prepared.groupBy(col("text_hash")).agg(min(col("id")).as("rep"))
         val idToRep = prepared.select(col("id"), col("url"), col("text_hash"))
@@ -154,6 +173,14 @@ object StreamMatch {
   def rebuildIndex(spark: SparkSession, initialCanon: DataFrame,
       foundedCanonDir: String, config: Gazetteer.Config): Gazetteer.CanonIndex = {
     import org.apache.spark.sql.functions._
+    // the journal only exists once some batch has founded an entity — a
+    // restart before that (every page matched the initial canon) must
+    // degrade to the initial index, not throw PATH_NOT_FOUND on the
+    // documented recovery path
+    val journalPath = new org.apache.hadoop.fs.Path(foundedCanonDir)
+    val journalFs = journalPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!journalFs.exists(journalPath))
+      return Gazetteer.buildCanonIndex(initialCanon, config)
     // the journal is written from html-dropped batch frames, so union on
     // the COMMON columns — an initialCanon still carrying html (accepted
     // by buildCanonIndex, which selects only what the model needs) must
@@ -164,7 +191,7 @@ object StreamMatch {
       s"journal and canon share no usable identity columns: ${common.mkString(",")}")
     val union = initialCanon.select(common.map(col).toIndexedSeq: _*)
       .unionByName(journalRaw.select(common.map(col).toIndexedSeq: _*))
-    Gazetteer.buildCanonIndex(onePerId(union), config)
+    Gazetteer.buildCanonIndex(firstFoundedPerId(union), config)
   }
 
   /**
@@ -192,7 +219,7 @@ object StreamMatch {
     // per-id pick (shared with rebuildIndex/the batch collapse), or the
     // remap fans out and the index gets conflicting field rows for one
     // canon_id
-    val one = onePerId(accumulated)
+    val one = firstFoundedPerId(accumulated)
     val firstMap = one.select(col("id"), col("id").as("component"))
     val canonTbl = one.select(
       col("id").as("component"), col("text_norm"), col("lang"))

@@ -204,7 +204,6 @@ object TextOps {
       // exact). Values <= that floor fall back to plain banding.
       // `bands` is ignored when combo is on; 2k blocks is the sweet spot.
       comboBlocks: Int = 0): DataFrame = {
-    val width = 64 / bands
     val sigs = df.select(col(idCol).as("id"),
       simhash64(tokens(lower(col(textCol)))).as("sh"))
     val withHash =
@@ -215,6 +214,9 @@ object TextOps {
     val bandCols = if (comboBlocks > comboK)
       graft.block.Blocking.simhashComboKeys(col("sh"), comboBlocks, comboK)
     else (0 until bands).map { b =>
+      // width computed HERE, not before the branch: `bands` is documented
+      // as ignored under combo, so bands=0 with combo on must not divide
+      val width = 64 / bands
       concat(lit(s"$b#"),
         shiftrightunsigned(col("sh"), b * width).bitwiseAND(
           // JVM shifts are mod 64: bands=1 -> width=64 -> (1L<<64)-1 would

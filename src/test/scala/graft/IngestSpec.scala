@@ -35,6 +35,20 @@ class IngestSpec extends SparkSpec {
       "exact-duplicate rows must still get distinct ids")
   }
 
+  test("rawTable rejects reserved header names instead of silently " +
+      "replacing (record_id) or deleting (_dup_seq) user columns") {
+    val e = intercept[IllegalArgumentException] {
+      Ingest.rawTable(spark, writeCsv(Seq(
+        "record_id,name", "x1,Acme", "x2,Zenith")))
+    }
+    assert(e.getMessage.contains("record_id"))
+    val e2 = intercept[IllegalArgumentException] {
+      Ingest.rawTable(spark, writeCsv(Seq(
+        "_dup_seq,name", "1,Acme")))
+    }
+    assert(e2.getMessage.contains("_dup_seq"))
+  }
+
   test("record ids are reproducible across re-ingests of the same file") {
     val path = writeCsv(csv)
     val a = Ingest.rawTable(spark, path).select("record_id")

@@ -159,6 +159,12 @@ class StreamMatchSpec extends SparkSpec {
     // (simulating a cross-batch re-found) to prove the rebuild dedupes.
     spark.read.parquet(journal).write.mode("append").parquet(journal + "_dup")
     spark.read.parquet(journal).write.mode("append").parquet(journal + "_dup")
+    // a restart BEFORE anything was founded has no journal directory: the
+    // recovery path must degrade to the initial index, not throw
+    val emptyIdx = graft.streaming.StreamMatch.rebuildIndex(
+      spark, canon, s"$base/never_written",
+      Gazetteer.Config(model, nMatches = 1))
+    assert(emptyIdx.fields.count() == 1, "initial canon only")
     // initial canon deliberately KEEPS html: the journal is written
     // html-dropped, and the rebuild must union on the common columns
     // rather than throw UNRESOLVED_COLUMN on the documented recovery path
