@@ -325,6 +325,32 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // train/eval n-gram decontamination (LLM-pipeline op): the eval set
+    // is built INSIDE the query with deterministic spliced contamination
+    // — each eval doc is its source doc's 80-char prefix plus a 120-char
+    // fragment of the doc_id+1 partner — so the flagged (train, eval)
+    // pairs are a pure function of the corpus and DuckDB rebuilds them
+    // exactly. n=5 over the short word-salad docs; minHits=3 keeps
+    // chance 5-gram collisions out; exact-dup families of the source or
+    // partner get flagged too (wanted: a leak is a leak through a dup).
+    // The maxTrainDocFreq boilerplate guard is semantically inert at
+    // df>50 on this corpus (unit-tested with a literal fixture instead)
+    // but runs for real, so the census+anti-join plumbing is oracle-
+    // covered; the hashGrams shuffle-width variant is unit-asserted
+    // equal to the string-gram plan.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val evalDf = docs.as("e").filter(col("e.doc_id") % 7 === 3)
+        .join(docs.as("p"), col("p.doc_id") === col("e.doc_id") + 1)
+        .select(col("e.doc_id").as("doc_id"),
+          concat_ws(" ", substring(col("e.text"), 1, 80),
+            substring(col("p.text"), 1, 120)).as("text"))
+      graft.textops.TextOps.ngramOverlap(docs, evalDf, "doc_id", "text",
+          n = 5, minHits = 3L, maxTrainDocFreq = 50L)
+        .orderBy(col("train_id"), col("eval_id"))
+    }),
+
     // gazetteer: variant pages (messy) matched against base pages (canon)
     "q_gazetteer" -> ((s, dir) => {
       val pages = PagesGen.fromDocuments(s, dir)
@@ -1330,6 +1356,41 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, sess_num
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // full independent rebuild of the decontamination check: same spliced
+    // eval construction, tokenizer twin ([^\p{L}\p{N}]+ both engines),
+    // list-slice 5-gram shingles, distinct-per-doc, >50-df boilerplate
+    // anti-join, >=3-hit flag threshold
+    "q_decontaminate" ->
+      """WITH evals AS (
+        |  SELECT e.doc_id AS doc_id,
+        |         substr(e.text, 1, 80) || ' ' || substr(p.text, 1, 120) AS text
+        |  FROM documents e JOIN documents p ON p.doc_id = e.doc_id + 1
+        |  WHERE e.doc_id % 7 = 3),
+        |tgr AS (
+        |  SELECT DISTINCT doc_id AS train_id, gram FROM (
+        |    SELECT doc_id,
+        |      array_to_string(ts[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS gram
+        |    FROM (SELECT doc_id, [x for x in
+        |            regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+')
+        |            if length(x) > 0] AS ts FROM documents),
+        |      unnest(range(1, len(ts) - 5 + 2)) AS r(i)
+        |    WHERE len(ts) >= 5)),
+        |egr AS (
+        |  SELECT DISTINCT doc_id AS eval_id, gram FROM (
+        |    SELECT doc_id,
+        |      array_to_string(ts[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS gram
+        |    FROM (SELECT doc_id, [x for x in
+        |            regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+')
+        |            if length(x) > 0] AS ts FROM evals),
+        |      unnest(range(1, len(ts) - 5 + 2)) AS r(i)
+        |    WHERE len(ts) >= 5)),
+        |hot AS (SELECT gram FROM tgr GROUP BY gram HAVING count(*) > 50)
+        |SELECT train_id, eval_id, count(*) AS hits
+        |FROM (SELECT * FROM tgr ANTI JOIN hot USING (gram)) t
+        |JOIN egr USING (gram)
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY train_id, eval_id""".stripMargin,
 
     // frozen expected codes (DuckDB has no phonetic fns); spot-checked
     // against published DoubleMetaphone values (4-char cap: thompson→TMPS)

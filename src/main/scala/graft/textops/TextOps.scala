@@ -163,6 +163,49 @@ object TextOps {
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /**
+   * Train/eval n-gram decontamination — the benchmark-leak check a
+   * training-data pipeline runs before shipping a corpus (the n-gram
+   * overlap methodology published with GPT-2/GPT-3 and PaLM†: flag a
+   * training document when it shares enough distinct token n-grams with
+   * any eval-set document). Returns (train_id, eval_id, hits) for every
+   * cross-corpus pair sharing >= minHits DISTINCT token n-grams.
+   *
+   * Scale shape (the 100 TB path): each side explodes to distinct
+   * (gram, id) rows — a narrow projection off the scan — then the zipf
+   * head is removed BEFORE the cross join: grams present in more than
+   * maxTrainDocFreq train documents are boilerplate (licence lines,
+   * navigation chrome); they carry no contamination evidence and are
+   * exactly the keys whose join fan-out is quadratic. What remains
+   * equi-joins on the gram and hash-aggregates per pair. With
+   * hashGrams=true the join/aggregate keys are 8-byte xxhash64 values
+   * instead of the gram strings (13-token grams average ~80 bytes of
+   * shuffle per row otherwise); a collision can only add a spurious hit
+   * at p ≈ 2^-64 per gram pair, so the flag set is unchanged in
+   * practice. Kept off in the oracle-checked contract query, which needs
+   * string grams for DuckDB parity.
+   */
+  def ngramOverlap(train: DataFrame, evalDf: DataFrame, idCol: String,
+      textCol: String, n: Int = 13, minHits: Long = 1L,
+      maxTrainDocFreq: Long = 1000L, hashGrams: Boolean = false): DataFrame = {
+    def grams(df: DataFrame, as: String) = {
+      val g = df.select(col(idCol).as(as),
+          explode(token_shingles(tokens(lower(col(textCol))), n)).as("gram"))
+        .distinct()
+      if (hashGrams) g.select(col(as), xxhash64(col("gram")).as("gram")) else g
+    }
+    val tg = grams(train, "train_id")
+    // self-contained doc-frequency census over the train side; the hot
+    // set is the zipf head (small by construction), so the anti join
+    // broadcasts under AQE once its true size is known
+    val hot = tg.groupBy("gram").agg(count(lit(1)).as("gram_df"))
+      .filter(col("gram_df") > maxTrainDocFreq).select("gram")
+    tg.join(hot, Seq("gram"), "left_anti")
+      .join(grams(evalDf, "eval_id"), "gram")
+      .groupBy("train_id", "eval_id").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minHits)
+  }
+
   /** Exact set Jaccard over two array<string> columns (direct kernel). */
   def jaccard(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftBridge.column(

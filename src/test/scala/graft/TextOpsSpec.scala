@@ -149,4 +149,53 @@ class TextOpsSpec extends SparkSpec {
     assert(misses.isEmpty,
       s"winnowing guarantee violated for cases: ${misses.map(_._1).mkString(",")}")
   }
+
+  test("ngramOverlap: flags >=minHits distinct-gram pairs, drops boilerplate") {
+    // "alpha beta gamma" appears in 3 train docs -> df > 2 -> boilerplate
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma zeta eta"),
+      (3L, "alpha beta gamma theta iota"),
+      (4L, "unrelated words here nothing shared")).toDF("doc_id", "text")
+    val evals = Seq(
+      (101L, "beta gamma delta epsilon xyz"),  // 2 fresh grams with t1
+      (102L, "alpha beta gamma qqq rrr"),      // only the boilerplate gram
+      (103L, "beta gamma zeta www xxx"))       // 1 fresh gram with t2
+      .toDF("doc_id", "text")
+    val got = TextOps.ngramOverlap(train, evals, "doc_id", "text",
+        n = 3, minHits = 2L, maxTrainDocFreq = 2L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 101L, 2L)))
+    // duplicated gram inside one doc counts once (distinct per doc)
+    val dupTrain = Seq((1L, "a b c a b c a b c")).toDF("doc_id", "text")
+    val dupEval = Seq((9L, "a b c d e")).toDF("doc_id", "text")
+    val one = TextOps.ngramOverlap(dupTrain, dupEval, "doc_id", "text",
+        n = 3, minHits = 1L, maxTrainDocFreq = 10L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(one == Set((1L, 9L, 1L)))
+  }
+
+  test("ngramOverlap: hashGrams variant flags the same pairs") {
+    val rnd = new scala.util.Random(31)
+    def doc(seed: Int, len: Int) = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(len)(s"w${r.nextInt(400)}").mkString(" ")
+    }
+    val train = (1 to 25).map(i => (i.toLong, doc(i, 60))).toDF("doc_id", "text")
+    // half the evals splice a real 12-token train fragment -> guaranteed hits
+    val evals = (1 to 12).map { i =>
+      val base = doc(1000 + i, 30)
+      val spliced = if (i % 2 == 0) {
+        val src = doc(i, 60).split(" ").slice(10, 22).mkString(" ")
+        base + " " + src
+      } else base
+      (100L + i, spliced)
+    }.toDF("doc_id", "text")
+    def run(h: Boolean) = TextOps.ngramOverlap(train, evals, "doc_id", "text",
+        n = 5, minHits = 2L, maxTrainDocFreq = 20L, hashGrams = h)
+      .as[(Long, Long, Long)].collect().toSet
+    val plain = run(false)
+    assert(plain.nonEmpty, "spliced fragments must produce flags")
+    assert(run(true) == plain)
+  }
 }
