@@ -209,6 +209,53 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style repetition stats (one-pass kernel). The corpus is
+    // single-line, so the query splices each doc into three lines —
+    // prefix(60), middle(61..260), prefix(60) again — giving every doc a
+    // guaranteed duplicate line plus non-trivial word-gram repetition
+    // from the small shared vocabulary; DuckDB rebuilds the same spliced
+    // text and recomputes all five fractions from explode+groupBy.
+    "q_repetition_stats" -> ((s, dir) => {
+      import graft.textops.TextOps
+      s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          concat_ws("\n", substring(col("text"), 1, 60),
+            substring(col("text"), 61, 200),
+            substring(col("text"), 1, 60)).as("text"))
+        .select(col("doc_id"), TextOps.repetitionStats(col("text")).as("r"))
+        .select(col("doc_id"), col("r.*"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // URL canonicalization + latest-capture dedup: four deterministic
+    // capture spellings per doc — case/port/tracking-param variant,
+    // clean twin, trailing-slash twin (later ts on odd docs), and a
+    // distinct https page — so both winner rules (newest ts; raw-url
+    // tie-break when ts ties) and the n_captures census are oracle-
+    // checked against an independent DuckDB canonicalization rebuild
+    "q_url_dedup" -> ((s, dir) => {
+      import graft.textops.UrlOps
+      val d = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+      val h = (col("doc_id") % 50).cast("string")
+      val i = col("doc_id").cast("string")
+      val t0 = to_timestamp(lit("2017-07-14 02:40:00"))
+      val caps = d.select(
+          concat(lit("HTTP://Host"), h, lit(".Example.COM:80/d/"), i,
+            lit("?b=2&a=1&utm_source=feed#top")).as("url"), t0.as("warc_ts"))
+        .unionByName(d.select(concat(lit("http://host"), h,
+          lit(".example.com/d/"), i, lit("?a=1&b=2")).as("url"),
+          t0.as("warc_ts")))
+        .unionByName(d.select(concat(lit("http://host"), h,
+          lit(".example.com/d/"), i, lit("/?a=1&b=2")).as("url"),
+          to_timestamp(when(col("doc_id") % 2 === 1,
+            lit("2017-07-14 02:41:00"))
+            .otherwise(lit("2017-07-14 02:40:00"))).as("warc_ts")))
+        .unionByName(d.select(concat(lit("https://Host"), h,
+          lit(".example.com:443/alt/"), i).as("url"), t0.as("warc_ts")))
+      UrlOps.latestCapture(caps).orderBy(col("canon_url"))
+    }),
+
     // exact dedup (hash-groupBy) over documents ∪ shifted-id copy
     "q_exact_text_dedup" -> ((s, dir) => {
       import graft.textops.TextOps
@@ -951,6 +998,116 @@ object SparkEntry {
         |               * (1.0 - least(greatest(nchars - 2000.0, 0.0) / 8000.0, 1.0))),
         |    6) AS quality
         |FROM q ORDER BY doc_id""".stripMargin,
+
+    // independent rebuild of the repetition kernel: same spliced 3-line
+    // text, line stats from a per-line count census, gram stats from the
+    // list-slice shingle pattern (n = 2, 3, 5); every fraction is a single
+    // IEEE division of exact integer sums, rounded to 6 on both engines
+    "q_repetition_stats" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 60) || chr(10) || substr(text, 61, 200) ||
+        |      chr(10) || substr(text, 1, 60) AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, l FROM docs2,
+        |    unnest(string_split(text, chr(10))) AS t(l)
+        |  WHERE length(l) > 0),
+        |lc AS (SELECT doc_id, l, count(*) AS c, length(l) AS len
+        |       FROM lines GROUP BY 1, 2),
+        |ls AS (SELECT doc_id,
+        |         CAST(sum(c - 1) AS DOUBLE) / sum(c) AS dup_line_frac,
+        |         CAST(sum((c - 1) * len) AS DOUBLE) / sum(c * len) AS dup_line_char_frac
+        |       FROM lc GROUP BY 1),
+        |tok AS (
+        |  SELECT doc_id, [x for x in
+        |      regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+')
+        |      if length(x) > 0] AS ts
+        |  FROM docs2),
+        |g2 AS (SELECT doc_id, gram, count(*) AS c FROM (
+        |    SELECT doc_id,
+        |      array_to_string(ts[CAST(i AS INT):CAST(i AS INT)+1], ' ') AS gram
+        |    FROM tok, unnest(range(1, len(ts) - 2 + 2)) AS r(i)
+        |    WHERE len(ts) >= 2) GROUP BY 1, 2),
+        |g2s AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top2_frac
+        |        FROM g2 GROUP BY 1),
+        |g3 AS (SELECT doc_id, gram, count(*) AS c FROM (
+        |    SELECT doc_id,
+        |      array_to_string(ts[CAST(i AS INT):CAST(i AS INT)+2], ' ') AS gram
+        |    FROM tok, unnest(range(1, len(ts) - 3 + 2)) AS r(i)
+        |    WHERE len(ts) >= 3) GROUP BY 1, 2),
+        |g3s AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top3_frac
+        |        FROM g3 GROUP BY 1),
+        |g5 AS (SELECT doc_id, gram, count(*) AS c FROM (
+        |    SELECT doc_id,
+        |      array_to_string(ts[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS gram
+        |    FROM tok, unnest(range(1, len(ts) - 5 + 2)) AS r(i)
+        |    WHERE len(ts) >= 5) GROUP BY 1, 2),
+        |g5s AS (SELECT doc_id,
+        |          CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS dup5_frac
+        |        FROM g5 GROUP BY 1)
+        |SELECT doc_id,
+        |  round(dup_line_frac, 6) AS dup_line_frac,
+        |  round(dup_line_char_frac, 6) AS dup_line_char_frac,
+        |  round(top2_frac, 6) AS top2_frac,
+        |  round(top3_frac, 6) AS top3_frac,
+        |  round(dup5_frac, 6) AS dup5_frac
+        |FROM docs2 JOIN ls USING (doc_id) JOIN g2s USING (doc_id)
+        |  JOIN g3s USING (doc_id) JOIN g5s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // independent rebuild of canonicalization (fragment strip, authority
+    // lowercase, default-port strip, trailing-slash collapse, tracking-
+    // param drop + sort) and of the winner pick (row_number twin of the
+    // max_by(struct(ts, url)) aggregate: ts DESC, raw url DESC)
+    "q_url_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 50 AS VARCHAR) AS h,
+        |         CAST(doc_id AS VARCHAR) AS i FROM documents),
+        |caps AS (
+        |  SELECT 'HTTP://Host' || h || '.Example.COM:80/d/' || i ||
+        |         '?b=2&a=1&utm_source=feed#top' AS url,
+        |         TIMESTAMP '2017-07-14 02:40:00' AS warc_ts FROM d
+        |  UNION ALL
+        |  SELECT 'http://host' || h || '.example.com/d/' || i || '?a=1&b=2',
+        |         TIMESTAMP '2017-07-14 02:40:00' FROM d
+        |  UNION ALL
+        |  SELECT 'http://host' || h || '.example.com/d/' || i || '/?a=1&b=2',
+        |         CASE WHEN doc_id % 2 = 1 THEN TIMESTAMP '2017-07-14 02:41:00'
+        |              ELSE TIMESTAMP '2017-07-14 02:40:00' END FROM d
+        |  UNION ALL
+        |  SELECT 'https://Host' || h || '.example.com:443/alt/' || i,
+        |         TIMESTAMP '2017-07-14 02:40:00' FROM d),
+        |c1 AS (SELECT url, warc_ts,
+        |         regexp_replace(url, '#.*$', '') AS nofrag FROM caps),
+        |c2 AS (SELECT *, regexp_extract(nofrag,
+        |         '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS head FROM c1),
+        |c3 AS (SELECT *, substr(nofrag, length(head) + 1) AS rest,
+        |         lower(head) AS headlc FROM c2),
+        |c4 AS (SELECT *,
+        |         CASE WHEN starts_with(headlc, 'http://')
+        |                THEN regexp_replace(headlc, ':80$', '')
+        |              WHEN starts_with(headlc, 'https://')
+        |                THEN regexp_replace(headlc, ':443$', '')
+        |              ELSE headlc END AS headnp,
+        |         regexp_extract(rest, '^([^?]*)', 1) AS path,
+        |         regexp_extract(rest, '\?(.*)$', 1) AS q FROM c3),
+        |c5 AS (SELECT *,
+        |         CASE WHEN length(regexp_replace(path, '/+$', '')) = 0 THEN '/'
+        |              ELSE regexp_replace(path, '/+$', '') END AS pathn,
+        |         array_to_string(list_sort([p for p in string_split(q, '&')
+        |           if length(p) > 0 AND NOT regexp_matches(p,
+        |             '^(utm_[A-Za-z0-9_]*|fbclid|gclid)=')]), '&') AS qs
+        |       FROM c4),
+        |c6 AS (SELECT url, warc_ts, headnp || pathn ||
+        |         CASE WHEN length(qs) > 0 THEN '?' || qs ELSE '' END AS canon_url
+        |       FROM c5)
+        |SELECT canon_url, url, warc_ts, n_captures FROM (
+        |  SELECT canon_url, url, warc_ts,
+        |    count(*) OVER (PARTITION BY canon_url) AS n_captures,
+        |    row_number() OVER (PARTITION BY canon_url
+        |                       ORDER BY warc_ts DESC, url DESC) AS rk
+        |  FROM c6) WHERE rk = 1 ORDER BY canon_url""".stripMargin,
 
     "q_exact_text_dedup" ->
       """WITH u AS (

@@ -347,6 +347,85 @@ case class NGramJaccardExpr(left: Expression, right: Expression, n: Int)
     copy(left = l, right = r)
 }
 
+/**
+ * Intra-document repetition statistics (Gopher quality filters, Rae et
+ * al. 2021†, §A1.1 "repetition removal") in ONE pass per document —
+ * array<double> of
+ *   [0] dup_line_frac       duplicate line occurrences / total lines
+ *   [1] dup_line_char_frac  chars inside duplicate line occurrences / total line chars
+ *   [2] top2_frac           occurrences of the most frequent word 2-gram / total 2-grams
+ *   [3] top3_frac           same for 3-grams
+ *   [4] dup5_frac           occurrences of all repeated word 5-grams / total 5-grams
+ * The gram metrics are the word-OCCURRENCE-fraction variant of Gopher's
+ * character-fraction originals (exact-SQL-twinnable; same monotone
+ * repetition signal). A kernel, not explode+groupBy: at corpus scale the
+ * per-document hashmap stays executor-local — no (doc, gram) shuffle, the
+ * stats fuse into the scan projection. Tokenizer identical to
+ * gfunctions.tokens: lower → split [^\p{L}\p{N}]+ → drop empties; lines
+ * split on \n, empties dropped.
+ */
+object RepetitionStats {
+  def compute(s: UTF8String): ArrayData = {
+    val text = s.toString
+    var dupLines = 0; var dupChars = 0L; var totChars = 0L; var nLines = 0
+    val seen = new java.util.HashSet[String]
+    var start = 0
+    val tl = text.length
+    while (start <= tl) {
+      var end = text.indexOf('\n', start)
+      if (end < 0) end = tl
+      if (end > start) {
+        val line = text.substring(start, end)
+        nLines += 1; totChars += line.length
+        if (!seen.add(line)) { dupLines += 1; dupChars += line.length }
+      }
+      start = end + 1
+    }
+    val dlf = if (nLines == 0) 0.0 else dupLines.toDouble / nLines
+    val dlcf = if (totChars == 0L) 0.0 else dupChars.toDouble / totChars
+    // same tokenizer as gfunctions.tokens (lower + [^\p{L}\p{N}]+ split)
+    val toks = s.toLowerCase.toString.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+    def gramStats(n: Int): (Double, Double) = {
+      val total = toks.length - n + 1
+      if (total <= 0) return (0.0, 0.0)
+      val counts = new java.util.HashMap[String, Integer]
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < total) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        counts.merge(sb.toString, Integer.valueOf(1),
+          (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
+        i += 1
+      }
+      var top = 0; var dupOcc = 0
+      val it = counts.values.iterator()
+      while (it.hasNext) {
+        val c = it.next().intValue
+        if (c > top) top = c
+        if (c > 1) dupOcc += c
+      }
+      (top.toDouble / total, dupOcc.toDouble / total)
+    }
+    val t2 = gramStats(2)._1
+    val t3 = gramStats(3)._1
+    val d5 = gramStats(5)._2
+    new GenericArrayData(Array[Any](dlf, dlcf, t2, t3, d5))
+  }
+}
+
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_repetition_stats"
+  override protected def nullSafeEval(a: Any): Any =
+    RepetitionStats.compute(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.expr.RepetitionStats.compute($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** normalized affine-gap distance — optional comparator C1. */
 case class AffineGapExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def nullIntolerant: Boolean = true

@@ -76,6 +76,11 @@ object gfunctions {
   def tokens(s: Column): Column =
     filter(split(s, "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
 
+  /** One-pass intra-document repetition stats → array<double> of
+    * [dup_line_frac, dup_line_char_frac, top2_frac, top3_frac, dup5_frac]
+    * (Gopher repetition filters; see RepetitionStatsExpr). */
+  def repetition_stats(text: Column): Column = c(RepetitionStatsExpr(x(text)))
+
   /** Cosine similarity between two float/double array columns (same
     * length). One-pass Catalyst kernel — value-identical to the zip_with
     * dot composition (ExprKernels2.arrayCosine), without its per-pair

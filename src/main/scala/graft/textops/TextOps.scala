@@ -83,6 +83,39 @@ object TextOps {
   }
 
   /**
+   * Named projection of the one-pass repetition kernel
+   * (gfunctions.repetition_stats — Gopher repetition-removal family, Rae
+   * et al. 2021†): five per-document fractions, rounded to 6 for stable
+   * cross-engine compares. Use with `df.select(col("doc_id"),
+   * repetitionStats(col("text")).as("r")).select("doc_id", "r.*")`.
+   */
+  def repetitionStats(text: Column): Column = {
+    val r = repetition_stats(text)
+    struct(
+      round(r.getItem(0), 6).as("dup_line_frac"),
+      round(r.getItem(1), 6).as("dup_line_char_frac"),
+      round(r.getItem(2), 6).as("top2_frac"),
+      round(r.getItem(3), 6).as("top3_frac"),
+      round(r.getItem(4), 6).as("dup5_frac"))
+  }
+
+  /**
+   * Gopher-style repetition keep/drop decision: true when the document
+   * passes every repetition threshold. Defaults follow the published
+   * Gopher cutoffs for the line metrics (0.30 / 0.20) and the published
+   * n-gram cutoffs re-used on the word-occurrence variant (top-2 0.20,
+   * top-3 0.18, dup-5 0.15) — callers tune per corpus.
+   */
+  def repetitionKeep(text: Column, maxDupLine: Double = 0.30,
+      maxDupLineChar: Double = 0.20, maxTop2: Double = 0.20,
+      maxTop3: Double = 0.18, maxDup5: Double = 0.15): Column = {
+    val r = repetition_stats(text)
+    r.getItem(0) <= maxDupLine && r.getItem(1) <= maxDupLineChar &&
+      r.getItem(2) <= maxTop2 && r.getItem(3) <= maxTop3 &&
+      r.getItem(4) <= maxDup5
+  }
+
+  /**
    * Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003, the
    * MOSS scheme — public algorithm): hash every k-char gram, slide a
    * window of `window` consecutive gram hashes, keep each window's

@@ -1,0 +1,69 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * URL curation operators for Common-Crawl-style page tables
+ * (url, warc_ts, html, text, lang) — the capture-dedup step a crawl
+ * pipeline runs before any content-level dedup: multiple WARC captures
+ * of the same logical page (recrawls, tracking-param variants,
+ * case/port/slash spelling differences) collapse to one canonical URL,
+ * keeping the newest capture.
+ *
+ * Pure built-in column compositions — no UDFs — so canonicalization
+ * fuses into scan-side codegen and the per-URL pick is a map-side
+ * partial `max_by` hash aggregate (one shuffle on the canonical key;
+ * no window sort). At crawl scale the canonical key is also the natural
+ * bucketing/partition key for everything downstream.
+ */
+object UrlOps {
+
+  /**
+   * Practical URL canonicalization (the widely-published normal form†:
+   * RFC 3986 §6 case/port normalization plus the crawl-dedup extras):
+   *  - drop the fragment;
+   *  - lowercase scheme + authority;
+   *  - strip the default port (:80 for http, :443 for https);
+   *  - collapse trailing slashes on the path; empty path → "/";
+   *  - drop tracking params (utm_*, fbclid, gclid), sort the rest.
+   * Deterministic and byte-stable: equal inputs give equal outputs on
+   * any engine with binary string collation.
+   */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // scheme://authority — everything before the first /, ? or # past //
+    val head = regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val rest = noFrag.substr(length(head) + lit(1), length(noFrag))
+    val headLc = lower(head)
+    val headNp = when(headLc.startsWith("http://"), regexp_replace(headLc, ":80$", ""))
+      .when(headLc.startsWith("https://"), regexp_replace(headLc, ":443$", ""))
+      .otherwise(headLc)
+    val path = regexp_extract(rest, "^([^?]*)", 1)
+    val trimmed = regexp_replace(path, "/+$", "")
+    val pathNorm = when(length(trimmed) === 0, lit("/")).otherwise(trimmed)
+    val q = regexp_extract(rest, "\\?(.*)$", 1)
+    val params = filter(split(q, "&"),
+      p => length(p) > 0 && !p.rlike("^(utm_[A-Za-z0-9_]*|fbclid|gclid)="))
+    val sortedQ = array_join(array_sort(params), "&")
+    concat(headNp, pathNorm,
+      when(length(sortedQ) > 0, concat(lit("?"), sortedQ)).otherwise(lit("")))
+  }
+
+  /**
+   * Latest-capture-per-canonical-URL dedup: adds `canon_url`, keeps the
+   * row with the greatest (tsCol, urlCol) per canonical key — the raw
+   * URL string breaks timestamp ties deterministically — plus an
+   * `n_captures` census. All original columns survive on the winner.
+   */
+  def latestCapture(df: DataFrame, urlCol: String = "url",
+      tsCol: String = "warc_ts"): DataFrame = {
+    val all = struct(df.columns.map(col): _*)
+    val ord = struct(col(tsCol), col(urlCol))
+    df.withColumn("canon_url", canonicalUrl(col(urlCol)))
+      .groupBy("canon_url")
+      .agg(max_by(all, ord).as("w"), count(lit(1)).as("n_captures"))
+      .select(col("canon_url") +: df.columns.map(c => col(s"w.$c")) :+
+        col("n_captures"): _*)
+  }
+}

@@ -150,6 +150,36 @@ class TextOpsSpec extends SparkSpec {
       s"winnowing guarantee violated for cases: ${misses.map(_._1).mkString(",")}")
   }
 
+  test("repetition stats: hand-computed fixture + edge cases") {
+    import graft.gfunctions.repetition_stats
+    // lines: "a b a b" (dup), "x y"; tokens: a b a b x y a b a b
+    val txt = "a b a b\nx y\na b a b"
+    val got = Seq(txt).toDF("text")
+      .select(repetition_stats($"text")).as[Seq[Double]].collect()(0)
+    assert(got(0) == 1.0 / 3)   // 1 dup line of 3
+    assert(got(1) == 7.0 / 17)  // 7 dup chars of 17
+    assert(got(2) == 4.0 / 9)   // "a b" 4 of 9 2-grams
+    assert(got(3) == 2.0 / 8)   // "a b a" / "b a b" 2 of 8 3-grams
+    assert(got(4) == 0.0)       // all six 5-grams distinct
+    // empty + too-short inputs give all-zero, null stays null
+    val edge = Seq(Some(""), Some("one two"), None).toDF("text")
+      .select(repetition_stats($"text")).collect()
+    assert(edge(0).getSeq[Double](0) == Seq(0.0, 0.0, 0.0, 0.0, 0.0))
+    // a 2-token doc has exactly one 2-gram, so the top 2-gram IS 100% of
+    // them; 3/5-gram totals are 0 -> 0.0
+    assert(edge(1).getSeq[Double](0) == Seq(0.0, 0.0, 1.0, 0.0, 0.0))
+    assert(edge(2).isNullAt(0))
+  }
+
+  test("repetitionKeep: repetitive doc dropped, varied doc kept") {
+    val varied = (1 to 30).map(i => s"word$i").mkString(" ")
+    val loop = ("spam ham " * 20).trim
+    val got = Seq((1L, varied), (2L, loop)).toDF("id", "text")
+      .select($"id", TextOps.repetitionKeep($"text").as("keep"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(got(1L) && !got(2L))
+  }
+
   test("ngramOverlap: flags >=minHits distinct-gram pairs, drops boilerplate") {
     // "alpha beta gamma" appears in 3 train docs -> df > 2 -> boilerplate
     val train = Seq(

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.textops.UrlOps
+
+class UrlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("url").select(UrlOps.canonicalUrl($"url")).as[String].collect().toSeq
+
+  test("canonicalUrl: case, default port, fragment, tracking params, slashes") {
+    assert(canon("HTTP://Host.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag") ==
+      Seq("http://host.example.com/a/b?a=1&b=2"))
+    assert(canon("https://X.com:443/") == Seq("https://x.com/"))
+    // non-default port survives; path case survives (only authority lowers)
+    assert(canon("https://x.com:8443/Pp") == Seq("https://x.com:8443/Pp"))
+    assert(canon("http://x.com") == Seq("http://x.com/"))
+    assert(canon("http://x.com/?utm_campaign=z") == Seq("http://x.com/"))
+    assert(canon("http://x.com/p#sec") == Seq("http://x.com/p"))
+    // utmx is NOT a tracking prefix (utm_ only); params sort
+    assert(canon("http://x.com/p?z=9&utmx=1") == Seq("http://x.com/p?utmx=1&z=9"))
+    // https default port only strips on https scheme
+    assert(canon("http://x.com:443/p") == Seq("http://x.com:443/p"))
+  }
+
+  test("latestCapture: newest ts wins, raw url breaks ties, census counts") {
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      ("http://a.com/p?x=1#f", t("2017-07-14 10:00:00"), "pay1"),
+      ("HTTP://A.com:80/p?x=1", t("2017-07-14 10:00:00"), "pay2"),
+      ("http://a.com/p/?x=1", t("2017-07-14 11:00:00"), "pay3"),
+      ("http://b.com/q", t("2017-07-14 09:00:00"), "pay4"))
+      .toDF("url", "warc_ts", "text")
+    val got = UrlOps.latestCapture(df)
+      .select($"canon_url", $"url", $"text", $"n_captures")
+      .as[(String, String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("http://a.com/p?x=1", "http://a.com/p/?x=1", "pay3", 3L),
+      ("http://b.com/q", "http://b.com/q", "pay4", 1L)))
+    // all-equal timestamps: the greatest raw url string wins
+    val tied = df.withColumn("warc_ts", lit(t("2017-07-14 10:00:00")))
+    val w = UrlOps.latestCapture(tied).filter($"canon_url" === "http://a.com/p?x=1")
+      .select($"url").as[String].collect().toSeq
+    assert(w == Seq("http://a.com/p?x=1#f"))
+  }
+}
