@@ -228,6 +228,55 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // PII scrub: each doc gets a deterministic email, phone, and IP
+    // spliced between its text halves; output is the fully redacted text
+    // (the strong parity signal — every placeholder position checked)
+    // plus the pre-redaction census counts
+    "q_pii_redact" -> ((s, dir) => {
+      import graft.textops.TextOps
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          concat_ws(" ",
+            substring(col("text"), 1, 60),
+            concat(lit("contact user"), col("doc_id").cast("string"),
+              lit("@crawl-example.org now")),
+            concat(lit("call 555-"),
+              (col("doc_id") % 900 + 100).cast("string"), lit("-"),
+              (col("doc_id") % 9000 + 1000).cast("string")),
+            concat(lit("from 10."), (col("doc_id") % 256).cast("string"),
+              lit(".0."), (col("doc_id") % 100).cast("string")),
+            substring(col("text"), 61, 60)).as("text"))
+      docs.select(col("doc_id"),
+          TextOps.redactPii(col("text")).as("red_text"),
+          TextOps.piiCounts(col("text")).as("c"))
+        .select(col("doc_id"), col("red_text"), col("c.*"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // corpus-level boilerplate-line removal: every doc gets five lines —
+    // a corpus-wide footer (df=500, removed), its own 80-char prefix
+    // (rare, kept), a mod-100 group line (df=5 <= threshold, kept), a
+    // mod-20 nav line (df=25, removed), and a 2-char line ("ok", below
+    // minLineLen, immune despite df=500) — so both removal rules and
+    // both keep rules are oracle-checked, with line order preserved
+    "q_line_dedup" -> ((s, dir) => {
+      import graft.textops.TextOps
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          concat_ws("\n",
+            lit("all rights reserved example footer"),
+            substring(col("text"), 1, 80),
+            concat(lit("grp"), (col("doc_id") % 100).cast("string"),
+              lit(" shared boilerplate row")),
+            concat(lit("nav"), (col("doc_id") % 20).cast("string"),
+              lit(" menu")),
+            lit("ok")).as("text"))
+      TextOps.dedupeLines(docs, "doc_id", "text", maxLineDf = 10L)
+        .orderBy(col("doc_id"))
+    }),
+
     // URL canonicalization + latest-capture dedup: four deterministic
     // capture spellings per doc — case/port/tracking-param variant,
     // clean twin, trailing-slash twin (later ts on odd docs), and a
@@ -1054,6 +1103,57 @@ object SparkEntry {
         |  round(dup5_frac, 6) AS dup5_frac
         |FROM docs2 JOIN ls USING (doc_id) JOIN g2s USING (doc_id)
         |  JOIN g3s USING (doc_id) JOIN g5s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // same splice, same three patterns with RE2 'g' replacement; counts
+    // from regexp_extract_all on the pre-redaction text
+    "q_pii_redact" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 60) ||
+        |    ' contact user' || CAST(doc_id AS VARCHAR) || '@crawl-example.org now' ||
+        |    ' call 555-' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-' ||
+        |      CAST(doc_id % 9000 + 1000 AS VARCHAR) ||
+        |    ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+        |      CAST(doc_id % 100 AS VARCHAR) ||
+        |    ' ' || substr(text, 61, 60) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS red_text,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip
+        |FROM docs2 ORDER BY doc_id""".stripMargin,
+
+    // independent rebuild of the line census + removal + ordered
+    // reassembly (string_agg ORDER BY line index = the array_sort twin)
+    "q_line_dedup" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id,
+        |    'all rights reserved example footer' || chr(10) ||
+        |    substr(text, 1, 80) || chr(10) ||
+        |    'grp' || CAST(doc_id % 100 AS VARCHAR) || ' shared boilerplate row'
+        |      || chr(10) ||
+        |    'nav' || CAST(doc_id % 20 AS VARCHAR) || ' menu' || chr(10) ||
+        |    'ok' AS text
+        |  FROM documents),
+        |sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs2),
+        |lines AS (SELECT doc_id, i AS idx, ls[CAST(i AS INT)] AS l
+        |          FROM sp, unnest(range(1, len(ls) + 1)) r(i)),
+        |hot AS (SELECT l FROM (
+        |          SELECT l, count(DISTINCT doc_id) AS df FROM lines
+        |          WHERE length(l) >= 5 GROUP BY l) WHERE df > 10),
+        |kept AS (SELECT doc_id, idx, l FROM lines ANTI JOIN hot USING (l)),
+        |reb AS (SELECT doc_id, string_agg(l, chr(10) ORDER BY idx) AS text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.text, '') AS text
+        |FROM docs2 d LEFT JOIN reb r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     // independent rebuild of canonicalization (fragment strip, authority

@@ -239,6 +239,73 @@ object TextOps {
       .filter(col("hits") >= minHits)
   }
 
+  /**
+   * Corpus-level boilerplate-line removal (the RefinedWeb / C4 line-dedup
+   * step†): a line occurring in more than `maxLineDf` DISTINCT documents
+   * is chrome (nav, footers, cookie banners), and every occurrence is
+   * stripped; document text is reassembled with line order preserved.
+   * Lines shorter than `minLineLen` chars are never removal-eligible
+   * (blank separators and one-word lines would otherwise vanish
+   * corpus-wide). Documents that lose every line survive with "" text —
+   * the row census is stable through the op.
+   *
+   * Scale shape: one narrow posexplode off the scan; the census
+   * aggregates (line, doc) — two-phase count-distinct, no raw-text
+   * shuffle beyond the line strings themselves; the hot set is the zipf
+   * head (small), so the anti join broadcasts under AQE; reassembly is
+   * one groupBy(id) whose payload is bounded by document size.
+   */
+  def dedupeLines(df: DataFrame, idCol: String, textCol: String,
+      maxLineDf: Long, minLineLen: Int = 5): DataFrame = {
+    val others = df.columns.filter(c => c != idCol && c != textCol)
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
+    val hot = lines.filter(length(col("line")) >= minLineLen)
+      .groupBy("line").agg(count_distinct(col(idCol)).as("line_df"))
+      .filter(col("line_df") > maxLineDf).select("line")
+    val rebuilt = lines
+      .join(hot, Seq("line"), "left_anti")
+      .groupBy(idCol)
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+          x => x.getField("line"))).as(textCol))
+    df.select(col(idCol) +: others.map(col): _*)
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol) +: coalesce(col(textCol), lit("")).as(textCol) +:
+        others.map(col): _*)
+  }
+
+  // PII patterns kept deliberately ASCII-simple so Java regex (Spark) and
+  // RE2 (DuckDB oracle) agree token-for-token: \d and \b are ASCII in
+  // both engines on ASCII text; no lookarounds (RE2 has none).
+  private[textops] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[textops] val phoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  private[textops] val ipRe = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /**
+   * PII redaction — the scrub a corpus runs before training: replaces
+   * email addresses, NNN-NNN-NNNN phone numbers, and dotted-quad IPs
+   * with stable placeholder tokens. Deliberately conservative patterns
+   * (high precision, documented recall limits) — the point at corpus
+   * scale is a cheap, deterministic, codegen-fused scrub, not NER.
+   * Order: emails first (their local part may contain digit runs),
+   * then phones, then IPs.
+   */
+  def redactPii(text: Column, emailToken: String = "<EMAIL>",
+      phoneToken: String = "<PHONE>", ipToken: String = "<IP>"): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, emailToken),
+        phoneRe, phoneToken),
+      ipRe, ipToken)
+
+  /** Per-document PII census (emails, phones, IPs) from the same
+    * patterns — audit counts for a scrub report. */
+  def piiCounts(text: Column): Column = struct(
+    size(regexp_extract_all(text, lit(emailRe), lit(0))).cast("long").as("n_email"),
+    size(regexp_extract_all(text, lit(phoneRe), lit(0))).cast("long").as("n_phone"),
+    size(regexp_extract_all(text, lit(ipRe), lit(0))).cast("long").as("n_ip"))
+
   /** Exact set Jaccard over two array<string> columns (direct kernel). */
   def jaccard(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftBridge.column(

@@ -180,6 +180,40 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1L) && !got(2L))
   }
 
+  test("dedupeLines: corpus-hot lines removed, short + rare kept, " +
+      "payload columns and all-boilerplate docs survive") {
+    val df = Seq(
+      (1L, "foo\nab\nkeep one", "en"),
+      (2L, "foo\nab\nkeep two", "de"),
+      (3L, "foo\nab\nkeep three", "fr"),
+      (4L, "foo", "es")).toDF("doc_id", "text", "lang")
+    val got = TextOps.dedupeLines(df, "doc_id", "text",
+        maxLineDf = 2L, minLineLen = 3)
+      .select($"doc_id", $"text", $"lang")
+      .as[(Long, String, String)].collect().toSet
+    // "foo" (len 3, df 3 > 2) is stripped everywhere; "ab" is below
+    // minLineLen so its df-3 never matters; doc 4 survives as ""
+    assert(got == Set(
+      (1L, "ab\nkeep one", "en"),
+      (2L, "ab\nkeep two", "de"),
+      (3L, "ab\nkeep three", "fr"),
+      (4L, "", "es")))
+  }
+
+  test("redactPii: emails/phones/IPs tokenized; digit-run edges stay put") {
+    val df = Seq(
+      "mail a.b+c@x-y.co or 555-123-4567, host 192.168.0.1 ok",
+      // no \b inside a digit run: 1234-567-8901 is NOT a phone; a@b has
+      // no TLD dot so it is NOT an email
+      "not 1234-567-8901 nor a@b here").toDF("text")
+    val got = df.select(TextOps.redactPii($"text")).as[String].collect()
+    assert(got(0) == "mail <EMAIL> or <PHONE>, host <IP> ok")
+    assert(got(1) == "not 1234-567-8901 nor a@b here")
+    val c = df.select(TextOps.piiCounts($"text").as("c")).select("c.*")
+      .as[(Long, Long, Long)].collect()
+    assert(c(0) == ((1L, 1L, 1L)) && c(1) == ((0L, 0L, 0L)))
+  }
+
   test("ngramOverlap: flags >=minHits distinct-gram pairs, drops boilerplate") {
     // "alpha beta gamma" appears in 3 train docs -> df > 2 -> boilerplate
     val train = Seq(
