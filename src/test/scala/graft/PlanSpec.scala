@@ -144,6 +144,27 @@ class PlanSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("repetition stats is a fused scan-side kernel: no explode, codegen intact") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), graft.gfunctions.repetition_stats(col("text")).as("r"))
+    val p = plan(df)
+    assert(!p.contains("Generate"), "repetition stats must not explode grams")
+    val line = p.split('\n').find(_.contains("graft_repetition_stats")).get
+    assert(line.trim.startsWith("*("),
+      s"repetition kernel must stay in whole-stage codegen: $line")
+    assert(!p.contains("CodegenFallback"))
+  }
+
+  test("url latestCapture picks winners with a partial hash aggregate, no window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val out = SparkEntry.queries("q_url_dedup")(spark, "/root/testdata/sf0.001")
+    val sp = out.queryExecution.sparkPlan
+    assert(sp.collect { case w: WindowExec => w }.isEmpty,
+      "per-url winner pick must be an aggregate, not a window sort")
+    assert(sp.toString.contains("partial_max_by"),
+      "max_by must partial-aggregate map-side before the canon_url shuffle")
+  }
+
   test("candidate pair-gen plans no cartesian product") {
     val recs = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
       .select(col("p_partkey").as("id"), col("p_name").as("name"))
