@@ -1096,13 +1096,13 @@ object SparkEntry {
         |          CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS dup5_frac
         |        FROM g5 GROUP BY 1)
         |SELECT doc_id,
-        |  round(dup_line_frac, 6) AS dup_line_frac,
-        |  round(dup_line_char_frac, 6) AS dup_line_char_frac,
-        |  round(top2_frac, 6) AS top2_frac,
-        |  round(top3_frac, 6) AS top3_frac,
-        |  round(dup5_frac, 6) AS dup5_frac
-        |FROM docs2 JOIN ls USING (doc_id) JOIN g2s USING (doc_id)
-        |  JOIN g3s USING (doc_id) JOIN g5s USING (doc_id)
+        |  round(coalesce(dup_line_frac, 0.0), 6) AS dup_line_frac,
+        |  round(coalesce(dup_line_char_frac, 0.0), 6) AS dup_line_char_frac,
+        |  round(coalesce(top2_frac, 0.0), 6) AS top2_frac,
+        |  round(coalesce(top3_frac, 0.0), 6) AS top3_frac,
+        |  round(coalesce(dup5_frac, 0.0), 6) AS dup5_frac
+        |FROM docs2 LEFT JOIN ls USING (doc_id) LEFT JOIN g2s USING (doc_id)
+        |  LEFT JOIN g3s USING (doc_id) LEFT JOIN g5s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     // same splice, same three patterns with RE2 'g' replacement; counts

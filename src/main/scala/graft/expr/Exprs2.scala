@@ -376,8 +376,11 @@ object RepetitionStats {
       if (end < 0) end = tl
       if (end > start) {
         val line = text.substring(start, end)
-        nLines += 1; totChars += line.length
-        if (!seen.add(line)) { dupLines += 1; dupChars += line.length }
+        // code points, not UTF-16 units — matches the documented "chars"
+        // semantics (and SQL length()) on supplementary-plane text
+        val cp = line.codePointCount(0, line.length)
+        nLines += 1; totChars += cp
+        if (!seen.add(line)) { dupLines += 1; dupChars += cp }
       }
       start = end + 1
     }

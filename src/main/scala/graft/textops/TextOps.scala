@@ -109,10 +109,13 @@ object TextOps {
   def repetitionKeep(text: Column, maxDupLine: Double = 0.30,
       maxDupLineChar: Double = 0.20, maxTop2: Double = 0.20,
       maxTop3: Double = 0.18, maxDup5: Double = 0.15): Column = {
-    val r = repetition_stats(text)
-    r.getItem(0) <= maxDupLine && r.getItem(1) <= maxDupLineChar &&
-      r.getItem(2) <= maxTop2 && r.getItem(3) <= maxTop3 &&
-      r.getItem(4) <= maxDup5
+    // one kernel evaluation per row: filter predicates get no common-
+    // subexpression elimination, so five getItem references would run
+    // the O(len) kernel five times — zip against the threshold array
+    // instead and fold with forall
+    val thr = array(lit(maxDupLine), lit(maxDupLineChar), lit(maxTop2),
+      lit(maxTop3), lit(maxDup5))
+    forall(zip_with(repetition_stats(text), thr, (v, t) => v <= t), x => x)
   }
 
   /**

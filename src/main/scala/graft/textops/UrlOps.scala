@@ -58,6 +58,9 @@ object UrlOps {
    */
   def latestCapture(df: DataFrame, urlCol: String = "url",
       tsCol: String = "warc_ts"): DataFrame = {
+    require(!df.columns.contains("canon_url") && !df.columns.contains("n_captures"),
+      "latestCapture adds canon_url/n_captures; input already has one " +
+        "(re-running over its own output?) — rename or drop it first")
     val all = struct(df.columns.map(col): _*)
     val ord = struct(col(tsCol), col(urlCol))
     df.withColumn("canon_url", canonicalUrl(col(urlCol)))

@@ -174,10 +174,23 @@ class TextOpsSpec extends SparkSpec {
   test("repetitionKeep: repetitive doc dropped, varied doc kept") {
     val varied = (1 to 30).map(i => s"word$i").mkString(" ")
     val loop = ("spam ham " * 20).trim
-    val got = Seq((1L, varied), (2L, loop)).toDF("id", "text")
-      .select($"id", TextOps.repetitionKeep($"text").as("keep"))
+    val df = Seq((1L, varied), (2L, loop)).toDF("id", "text")
+    val got = df.select($"id", TextOps.repetitionKeep($"text").as("keep"))
       .as[(Long, Boolean)].collect().toMap
     assert(got(1L) && !got(2L))
+    // the predicate must hold exactly ONE kernel occurrence — filter
+    // codegen does no common-subexpression elimination (parquet-backed
+    // scan: a local relation would const-fold the filter away entirely;
+    // count expression nodes, not plan-string hits — the scan line
+    // echoes the pushed filter text a second time)
+    val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(TextOps.repetitionKeep($"text"))
+      .queryExecution.executedPlan
+    val kernels = plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        f.condition.collect { case e: graft.expr.RepetitionStatsExpr => e }.size
+    }.sum
+    assert(kernels == 1, plan.toString)
   }
 
   test("dedupeLines: corpus-hot lines removed, short + rare kept, " +
@@ -240,7 +253,6 @@ class TextOpsSpec extends SparkSpec {
   }
 
   test("ngramOverlap: hashGrams variant flags the same pairs") {
-    val rnd = new scala.util.Random(31)
     def doc(seed: Int, len: Int) = {
       val r = new scala.util.Random(seed)
       Seq.fill(len)(s"w${r.nextInt(400)}").mkString(" ")
