@@ -228,6 +228,39 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the composed curation pipeline, end-to-end oracle-exact: spliced
+    // 3-line docs → corpus line-dedup (footer df=500 + nav df=25 both
+    // stripped, every doc reduced to its unique payload line) →
+    // repetition filter (corpus-tuned gram thresholds: 259/500 survive
+    // at sf0.01; dup-line metrics are 0 on the single surviving line) →
+    // PII redaction (the spliced email) → exact dedup across a
+    // shifted-id duplicate wave (post-redaction prefix collisions also
+    // merge — wanted, that IS the dedup). Output: surviving (doc_id,
+    // text) representatives. The DuckDB twin chains the independently-
+    // green stage rebuilds in the same order.
+    "q_curate_pipeline" -> ((s, dir) => {
+      import graft.textops.TextOps
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          concat_ws("\n",
+            lit("all rights reserved example footer"),
+            concat(substring(col("text"), 1, 120), lit(" contact user"),
+              col("doc_id").cast("string"), lit("@crawl-example.org")),
+            concat(lit("nav"), (col("doc_id") % 20).cast("string"),
+              lit(" menu"))).as("text"))
+      val lined = TextOps.dedupeLines(docs, "doc_id", "text", maxLineDf = 10L)
+      val kept = lined.filter(TextOps.repetitionKeep(col("text"),
+        maxTop2 = 0.045, maxTop3 = 0.041))
+      val red = kept.select(col("doc_id"),
+        TextOps.redactPii(col("text")).as("text"))
+      val unioned = red.unionByName(
+        red.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val survivors = TextOps.exactDupes(unioned, "doc_id", "text")
+        .filter(!col("is_dup")).select(col("id").as("doc_id"))
+      unioned.join(survivors, Seq("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // PII scrub: each doc gets a deterministic email, phone, and IP
     // spliced between its text halves; output is the fully redacted text
     // (the strong parity signal — every placeholder position checked)
@@ -1155,6 +1188,91 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(r.text, '') AS text
         |FROM docs2 d LEFT JOIN reb r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // the composed curation chain: the q_line_dedup rebuild feeding the
+    // q_repetition_stats rebuild as a keep-filter (raw unrounded ratios
+    // vs thresholds — integer-ratio doubles are bit-identical across
+    // engines), then the q_pii_redact replacement chain, then the
+    // q_exact_text_dedup min-id winner pick over the shifted-id union
+    "q_curate_pipeline" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id,
+        |    'all rights reserved example footer' || chr(10) ||
+        |    substr(text, 1, 120) || ' contact user' ||
+        |      CAST(doc_id AS VARCHAR) || '@crawl-example.org' || chr(10) ||
+        |    'nav' || CAST(doc_id % 20 AS VARCHAR) || ' menu' AS text
+        |  FROM documents),
+        |sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs2),
+        |lines AS (SELECT doc_id, i AS idx, ls[CAST(i AS INT)] AS l
+        |          FROM sp, unnest(range(1, len(ls) + 1)) r(i)),
+        |hot AS (SELECT l FROM (
+        |          SELECT l, count(DISTINCT doc_id) AS df FROM lines
+        |          WHERE length(l) >= 5 GROUP BY l) WHERE df > 10),
+        |keptl AS (SELECT doc_id, idx, l FROM lines ANTI JOIN hot USING (l)),
+        |lined AS (
+        |  SELECT d.doc_id, coalesce(r.text, '') AS text
+        |  FROM docs2 d LEFT JOIN (
+        |    SELECT doc_id, string_agg(l, chr(10) ORDER BY idx) AS text
+        |    FROM keptl GROUP BY doc_id) r USING (doc_id)),
+        |rlines AS (
+        |  SELECT doc_id, l FROM lined,
+        |    unnest(string_split(text, chr(10))) AS t(l)
+        |  WHERE length(l) > 0),
+        |lc AS (SELECT doc_id, l, count(*) AS c, length(l) AS len
+        |       FROM rlines GROUP BY 1, 2),
+        |lstat AS (SELECT doc_id,
+        |            CAST(sum(c - 1) AS DOUBLE) / sum(c) AS dup_line_frac,
+        |            CAST(sum((c - 1) * len) AS DOUBLE) / sum(c * len) AS dup_line_char_frac
+        |          FROM lc GROUP BY 1),
+        |tok AS (
+        |  SELECT doc_id, [x for x in
+        |      regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+')
+        |      if length(x) > 0] AS ts
+        |  FROM lined),
+        |g2 AS (SELECT doc_id, gram, count(*) AS c FROM (
+        |    SELECT doc_id,
+        |      array_to_string(ts[CAST(i AS INT):CAST(i AS INT)+1], ' ') AS gram
+        |    FROM tok, unnest(range(1, len(ts) - 2 + 2)) AS r(i)
+        |    WHERE len(ts) >= 2) GROUP BY 1, 2),
+        |g2s AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top2_frac
+        |        FROM g2 GROUP BY 1),
+        |g3 AS (SELECT doc_id, gram, count(*) AS c FROM (
+        |    SELECT doc_id,
+        |      array_to_string(ts[CAST(i AS INT):CAST(i AS INT)+2], ' ') AS gram
+        |    FROM tok, unnest(range(1, len(ts) - 3 + 2)) AS r(i)
+        |    WHERE len(ts) >= 3) GROUP BY 1, 2),
+        |g3s AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top3_frac
+        |        FROM g3 GROUP BY 1),
+        |g5 AS (SELECT doc_id, gram, count(*) AS c FROM (
+        |    SELECT doc_id,
+        |      array_to_string(ts[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS gram
+        |    FROM tok, unnest(range(1, len(ts) - 5 + 2)) AS r(i)
+        |    WHERE len(ts) >= 5) GROUP BY 1, 2),
+        |g5s AS (SELECT doc_id,
+        |          CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS dup5_frac
+        |        FROM g5 GROUP BY 1),
+        |keptd AS (
+        |  SELECT doc_id FROM lined
+        |    LEFT JOIN lstat USING (doc_id) LEFT JOIN g2s USING (doc_id)
+        |    LEFT JOIN g3s USING (doc_id) LEFT JOIN g5s USING (doc_id)
+        |  WHERE coalesce(dup_line_frac, 0.0) <= 0.30
+        |    AND coalesce(dup_line_char_frac, 0.0) <= 0.20
+        |    AND coalesce(top2_frac, 0.0) <= 0.045
+        |    AND coalesce(top3_frac, 0.0) <= 0.041
+        |    AND coalesce(dup5_frac, 0.0) <= 0.15),
+        |red AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS text
+        |  FROM lined JOIN keptd USING (doc_id)),
+        |u AS (SELECT doc_id, text FROM red
+        |      UNION ALL
+        |      SELECT doc_id + 1000000, text FROM red),
+        |m AS (SELECT text, min(doc_id) AS rep FROM u GROUP BY text)
+        |SELECT u.doc_id, u.text FROM u JOIN m ON u.text = m.text
+        |WHERE u.doc_id = m.rep ORDER BY doc_id""".stripMargin,
 
     // independent rebuild of canonicalization (fragment strip, authority
     // lowercase, default-port strip, trailing-slash collapse, tracking-
