@@ -175,4 +175,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("exactDupes shuffles only (hash, id) — text never enters an exchange") {
+    // the structural form of the TextOps.exactDupes scale claim: every
+    // exchange in the plan carries the 8-byte hash + ids, never the text
+    // payload. AQE off for this one query so the physical tree is plain
+    // and ShuffleExchangeExec nodes are directly collectible.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plain = spark.newSession()
+    plain.conf.set("spark.sql.adaptive.enabled", "false")
+    val docs = plain.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val out = graft.textops.TextOps.exactDupes(docs, "doc_id", "text")
+    val exchanges = out.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, "expected at least the hash-group shuffle")
+    for (e <- exchanges; a <- e.output)
+      assert(a.name != "text" && a.dataType.typeName != "string",
+        s"exchange carries a string payload column: ${a.name}")
+  }
+
+  test("line-dedup hot-line anti join goes broadcast under AQE") {
+    // dedupeLines' census side is the zipf head — small by construction.
+    // The static planner can't know that (it's an aggregate), so the
+    // broadcast decision is AQE's; execute and inspect the final plan.
+    val out = SparkEntry.queries("q_line_dedup")(spark, "/root/testdata/sf0.001")
+    out.collect() // AQE finalizes the plan only once the query has run
+
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"hot-line removal should be a broadcast anti join in the final plan:\n$p")
+  }
 }

@@ -274,4 +274,25 @@ class TextOpsSpec extends SparkSpec {
     assert(plain.nonEmpty, "spliced fragments must produce flags")
     assert(run(true) == plain)
   }
+
+  test("curate-chain seams: fully-boilerplate docs pass the repetition " +
+      "filter empty and merge; redaction-induced collisions merge") {
+    import spark.implicits._
+    // docs 1-12 are ONLY the hot line -> rebuilt text '' (kernel stats all
+    // 0 on empty -> keep); docs 21/22 differ pre-redaction only in the
+    // email local part -> identical post-redaction -> one exact-dup group
+    val hot = (1 to 12).map(i => (i.toLong, "shared boilerplate row"))
+    val mail = Seq(
+      (21L, "payload alpha beta mail user21@x.org tail"),
+      (22L, "payload alpha beta mail user22@x.org tail"))
+    val docs = (hot ++ mail).toDF("doc_id", "text")
+    val lined = TextOps.dedupeLines(docs, "doc_id", "text", maxLineDf = 10L)
+    val kept = lined.filter(TextOps.repetitionKeep(col("text")))
+    assert(kept.count() == 14, "empty-rebuilt docs must pass the keep filter")
+    val red = kept.select(col("doc_id"), TextOps.redactPii(col("text")).as("text"))
+    val groups = TextOps.exactDupes(red, "doc_id", "text")
+      .groupBy("rep").count().as[(Long, Long)].collect().toMap
+    assert(groups(1L) == 12, "the 12 empty docs collapse to rep 1")
+    assert(groups(21L) == 2, "post-redaction collision 21/22 merges")
+  }
 }
