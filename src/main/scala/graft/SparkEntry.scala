@@ -252,8 +252,14 @@ object SparkEntry {
       val lined = TextOps.dedupeLines(docs, "doc_id", "text", maxLineDf = 10L)
       val kept = lined.filter(TextOps.repetitionKeep(col("text"),
         maxTop2 = 0.045, maxTop3 = 0.041))
-      val red = kept.select(col("doc_id"),
-        TextOps.redactPii(col("text")).as("text"))
+      // Snapshot the redacted stage: it feeds both the exact-dup census
+      // and the final reassembly join, and without a materialization the
+      // doc_id-partitioned final exchange cannot reuse the census
+      // exchanges — the whole line-dedup/repetition/PII chain would run
+      // twice. Degrades to recompute when no scratch base resolves.
+      val red = graft.pipeline.Dedupe.snapshotIfResolvable(s,
+        kept.select(col("doc_id"),
+          TextOps.redactPii(col("text")).as("text")), "curate_red")
       val unioned = red.unionByName(
         red.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       val survivors = TextOps.exactDupes(unioned, "doc_id", "text")
@@ -336,6 +342,51 @@ object SparkEntry {
         .unionByName(d.select(concat(lit("https://Host"), h,
           lit(".example.com:443/alt/"), i).as("url"), t0.as("warc_ts")))
       UrlOps.latestCapture(caps).orderBy(col("canon_url"))
+    }),
+
+    // per-host quota sampling (domain balancing): zipf-skewed synthetic
+    // hosts (host 0 carries half the pages), deterministic score; keep
+    // the top 5 per host by (score desc, id asc). salts=4 exercises the
+    // two-stage skew-proof path — oracle equality with DuckDB's
+    // single-window row_number proves two-stage == one-stage.
+    "q_domain_cap" -> ((s, dir) => {
+      import graft.textops.UrlOps
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"))
+      val h = when(col("doc_id") % 2 === 0, lit(0L))
+        .otherwise(pmod(col("doc_id"), lit(22L)) + 1L).cast("string")
+      val docs = d.select(col("doc_id"),
+        concat(lit("https://host"), h, lit(".example/d/"),
+          col("doc_id").cast("string")).as("url"),
+        ((col("doc_id") * 37L) % 101L).as("score"))
+      UrlOps.domainCap(docs, "url", "doc_id", col("score"), maxPerHost = 5,
+          salts = 4)
+        .select(col("host"), col("host_rank").cast("long").as("host_rank"),
+          col("doc_id"), col("score"))
+        .orderBy(col("host"), col("host_rank"))
+    }),
+
+    // cross-doc duplicated-span removal: every doc carries the same
+    // 12-token license span (plus a second 9-token span on the %5
+    // group); spanDedupe(k=8) keeps one copy corpus-wide (the min
+    // doc_id per gram) and elides the rest. The census keys on raw
+    // grams here so the DuckDB twin is hash-free; the xxhash64 scale
+    // path is parity-pinned in TextOpsSpec.
+    "q_span_dedup" -> ((s, dir) => {
+      import graft.textops.TextOps
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          concat(
+            lit("u"), col("doc_id").cast("string"),
+            lit(" terms of service all content provided here is licensed for verbatim reuse "),
+            when(col("doc_id") % 5 === 0,
+              lit("mirror notice this page is an archived copy snapshot "))
+              .otherwise(lit("")),
+            substring(col("text"), 1, 40)).as("text"))
+      TextOps.spanDedupe(docs, "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"))
     }),
 
     // exact dedup (hash-groupBy) over documents ∪ shifted-id copy
@@ -982,6 +1033,86 @@ object SparkEntry {
     })
   )
 
+  // --- shared DuckDB oracle fragments --------------------------------
+  // q_curate_pipeline's oracle chains the SAME stage rebuilds the
+  // q_line_dedup / q_repetition_stats / q_pii_redact oracles are green
+  // on. The chaining is structural, not copy-paste: each fragment below
+  // is interpolated into both the stage oracle and the composed oracle,
+  // so a stage-oracle correction propagates to the composed twin.
+
+  // The patterns are the implementation's own (shared visibility, not a
+  // copy): redactPii and the oracle replace/extract use literally the
+  // same regex source strings.
+  private val emailRe = graft.textops.TextOps.emailRe
+  private val phoneRe = graft.textops.TextOps.phoneRe
+  private val ipRe = graft.textops.TextOps.ipRe
+
+  /** Triple RE2 'g' replacement — twin of TextOps.redactPii (same
+    * pattern order: email, phone, IP). */
+  private def piiReplaceSql(in: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace($in,
+       |    '$emailRe', '<EMAIL>', 'g'),
+       |    '$phoneRe', '<PHONE>', 'g'),
+       |    '$ipRe', '<IP>', 'g')""".stripMargin
+
+  /** CTE chain `sp/lines/hot/keptl/lined`: split `in`(doc_id, text) into
+    * indexed lines, census distinct-doc df over lines with length >= 5,
+    * drop df > 10, ordered reassembly (string_agg ORDER BY idx = the
+    * array_sort twin) -> `lined`(doc_id, text). Twin of
+    * TextOps.dedupeLines(maxLineDf = 10). */
+  private def lineDedupCtes(in: String): String =
+    s"""sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM $in),
+       |lines AS (SELECT doc_id, i AS idx, ls[CAST(i AS INT)] AS l
+       |          FROM sp, unnest(range(1, len(ls) + 1)) r(i)),
+       |hot AS (SELECT l FROM (
+       |          SELECT l, count(DISTINCT doc_id) AS df FROM lines
+       |          WHERE length(l) >= 5 GROUP BY l) WHERE df > 10),
+       |keptl AS (SELECT doc_id, idx, l FROM lines ANTI JOIN hot USING (l)),
+       |lined AS (
+       |  SELECT d.doc_id, coalesce(r.text, '') AS text
+       |  FROM $in d LEFT JOIN (
+       |    SELECT doc_id, string_agg(l, chr(10) ORDER BY idx) AS text
+       |    FROM keptl GROUP BY doc_id) r USING (doc_id))""".stripMargin
+
+  /** Per-n gram census `g$n`(doc_id, gram, c) from the `tok` CTE — the
+    * list-slice twin of the token_shingles pattern. */
+  private def gramCountCte(n: Int): String =
+    s"""g$n AS (SELECT doc_id, gram, count(*) AS c FROM (
+       |    SELECT doc_id,
+       |      array_to_string(ts[CAST(i AS INT):CAST(i AS INT)+${n - 1}], ' ') AS gram
+       |    FROM tok, unnest(range(1, len(ts) - $n + 2)) AS r(i)
+       |    WHERE len(ts) >= $n) GROUP BY 1, 2)""".stripMargin
+
+  /** CTE chain `rlines/lc/lstat/tok/g2/g2s/g3/g3s/g5/g5s`: Gopher-style
+    * repetition stats over `in`(doc_id, text). Every fraction is one IEEE
+    * division of exact integer sums. Twin of RepetitionStats.compute. */
+  private def repetitionCtes(in: String): String =
+    raw"""rlines AS (
+       |  SELECT doc_id, l FROM $in,
+       |    unnest(string_split(text, chr(10))) AS t(l)
+       |  WHERE length(l) > 0),
+       |lc AS (SELECT doc_id, l, count(*) AS c, length(l) AS len
+       |       FROM rlines GROUP BY 1, 2),
+       |lstat AS (SELECT doc_id,
+       |         CAST(sum(c - 1) AS DOUBLE) / sum(c) AS dup_line_frac,
+       |         CAST(sum((c - 1) * len) AS DOUBLE) / sum(c * len) AS dup_line_char_frac
+       |       FROM lc GROUP BY 1),
+       |tok AS (
+       |  SELECT doc_id, [x for x in
+       |      regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+')
+       |      if length(x) > 0] AS ts
+       |  FROM $in),
+       |${gramCountCte(2)},
+       |g2s AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top2_frac
+       |        FROM g2 GROUP BY 1),
+       |${gramCountCte(3)},
+       |g3s AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top3_frac
+       |        FROM g3 GROUP BY 1),
+       |${gramCountCte(5)},
+       |g5s AS (SELECT doc_id,
+       |          CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS dup5_frac
+       |        FROM g5 GROUP BY 1)""".stripMargin
+
   /** DuckDB oracle SQL (same parquet tables, column names aligned). */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -1086,62 +1217,26 @@ object SparkEntry {
     // list-slice shingle pattern (n = 2, 3, 5); every fraction is a single
     // IEEE division of exact integer sums, rounded to 6 on both engines
     "q_repetition_stats" ->
-      """WITH docs2 AS (
+      s"""WITH docs2 AS (
         |  SELECT doc_id,
         |    substr(text, 1, 60) || chr(10) || substr(text, 61, 200) ||
         |      chr(10) || substr(text, 1, 60) AS text
         |  FROM documents),
-        |lines AS (
-        |  SELECT doc_id, l FROM docs2,
-        |    unnest(string_split(text, chr(10))) AS t(l)
-        |  WHERE length(l) > 0),
-        |lc AS (SELECT doc_id, l, count(*) AS c, length(l) AS len
-        |       FROM lines GROUP BY 1, 2),
-        |ls AS (SELECT doc_id,
-        |         CAST(sum(c - 1) AS DOUBLE) / sum(c) AS dup_line_frac,
-        |         CAST(sum((c - 1) * len) AS DOUBLE) / sum(c * len) AS dup_line_char_frac
-        |       FROM lc GROUP BY 1),
-        |tok AS (
-        |  SELECT doc_id, [x for x in
-        |      regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+')
-        |      if length(x) > 0] AS ts
-        |  FROM docs2),
-        |g2 AS (SELECT doc_id, gram, count(*) AS c FROM (
-        |    SELECT doc_id,
-        |      array_to_string(ts[CAST(i AS INT):CAST(i AS INT)+1], ' ') AS gram
-        |    FROM tok, unnest(range(1, len(ts) - 2 + 2)) AS r(i)
-        |    WHERE len(ts) >= 2) GROUP BY 1, 2),
-        |g2s AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top2_frac
-        |        FROM g2 GROUP BY 1),
-        |g3 AS (SELECT doc_id, gram, count(*) AS c FROM (
-        |    SELECT doc_id,
-        |      array_to_string(ts[CAST(i AS INT):CAST(i AS INT)+2], ' ') AS gram
-        |    FROM tok, unnest(range(1, len(ts) - 3 + 2)) AS r(i)
-        |    WHERE len(ts) >= 3) GROUP BY 1, 2),
-        |g3s AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top3_frac
-        |        FROM g3 GROUP BY 1),
-        |g5 AS (SELECT doc_id, gram, count(*) AS c FROM (
-        |    SELECT doc_id,
-        |      array_to_string(ts[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS gram
-        |    FROM tok, unnest(range(1, len(ts) - 5 + 2)) AS r(i)
-        |    WHERE len(ts) >= 5) GROUP BY 1, 2),
-        |g5s AS (SELECT doc_id,
-        |          CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS dup5_frac
-        |        FROM g5 GROUP BY 1)
+        |${repetitionCtes("docs2")}
         |SELECT doc_id,
         |  round(coalesce(dup_line_frac, 0.0), 6) AS dup_line_frac,
         |  round(coalesce(dup_line_char_frac, 0.0), 6) AS dup_line_char_frac,
         |  round(coalesce(top2_frac, 0.0), 6) AS top2_frac,
         |  round(coalesce(top3_frac, 0.0), 6) AS top3_frac,
         |  round(coalesce(dup5_frac, 0.0), 6) AS dup5_frac
-        |FROM docs2 LEFT JOIN ls USING (doc_id) LEFT JOIN g2s USING (doc_id)
+        |FROM docs2 LEFT JOIN lstat USING (doc_id) LEFT JOIN g2s USING (doc_id)
         |  LEFT JOIN g3s USING (doc_id) LEFT JOIN g5s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     // same splice, same three patterns with RE2 'g' replacement; counts
     // from regexp_extract_all on the pre-redaction text
     "q_pii_redact" ->
-      """WITH docs2 AS (
+      s"""WITH docs2 AS (
         |  SELECT doc_id,
         |    substr(text, 1, 60) ||
         |    ' contact user' || CAST(doc_id AS VARCHAR) || '@crawl-example.org now' ||
@@ -1152,22 +1247,16 @@ object SparkEntry {
         |    ' ' || substr(text, 61, 60) AS text
         |  FROM documents)
         |SELECT doc_id,
-        |  regexp_replace(regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
-        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS red_text,
-        |  CAST(len(regexp_extract_all(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-        |  CAST(len(regexp_extract_all(text,
-        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
-        |  CAST(len(regexp_extract_all(text,
-        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip
+        |  ${piiReplaceSql("text")} AS red_text,
+        |  CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(text, '$ipRe')) AS BIGINT) AS n_ip
         |FROM docs2 ORDER BY doc_id""".stripMargin,
 
     // independent rebuild of the line census + removal + ordered
     // reassembly (string_agg ORDER BY line index = the array_sort twin)
     "q_line_dedup" ->
-      """WITH docs2 AS (
+      s"""WITH docs2 AS (
         |  SELECT doc_id,
         |    'all rights reserved example footer' || chr(10) ||
         |    substr(text, 1, 80) || chr(10) ||
@@ -1176,17 +1265,8 @@ object SparkEntry {
         |    'nav' || CAST(doc_id % 20 AS VARCHAR) || ' menu' || chr(10) ||
         |    'ok' AS text
         |  FROM documents),
-        |sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs2),
-        |lines AS (SELECT doc_id, i AS idx, ls[CAST(i AS INT)] AS l
-        |          FROM sp, unnest(range(1, len(ls) + 1)) r(i)),
-        |hot AS (SELECT l FROM (
-        |          SELECT l, count(DISTINCT doc_id) AS df FROM lines
-        |          WHERE length(l) >= 5 GROUP BY l) WHERE df > 10),
-        |kept AS (SELECT doc_id, idx, l FROM lines ANTI JOIN hot USING (l)),
-        |reb AS (SELECT doc_id, string_agg(l, chr(10) ORDER BY idx) AS text
-        |        FROM kept GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(r.text, '') AS text
-        |FROM docs2 d LEFT JOIN reb r USING (doc_id)
+        |${lineDedupCtes("docs2")}
+        |SELECT doc_id, text FROM lined
         |ORDER BY doc_id""".stripMargin,
 
     // the composed curation chain: the q_line_dedup rebuild feeding the
@@ -1195,62 +1275,15 @@ object SparkEntry {
     // engines), then the q_pii_redact replacement chain, then the
     // q_exact_text_dedup min-id winner pick over the shifted-id union
     "q_curate_pipeline" ->
-      """WITH docs2 AS (
+      s"""WITH docs2 AS (
         |  SELECT doc_id,
         |    'all rights reserved example footer' || chr(10) ||
         |    substr(text, 1, 120) || ' contact user' ||
         |      CAST(doc_id AS VARCHAR) || '@crawl-example.org' || chr(10) ||
         |    'nav' || CAST(doc_id % 20 AS VARCHAR) || ' menu' AS text
         |  FROM documents),
-        |sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs2),
-        |lines AS (SELECT doc_id, i AS idx, ls[CAST(i AS INT)] AS l
-        |          FROM sp, unnest(range(1, len(ls) + 1)) r(i)),
-        |hot AS (SELECT l FROM (
-        |          SELECT l, count(DISTINCT doc_id) AS df FROM lines
-        |          WHERE length(l) >= 5 GROUP BY l) WHERE df > 10),
-        |keptl AS (SELECT doc_id, idx, l FROM lines ANTI JOIN hot USING (l)),
-        |lined AS (
-        |  SELECT d.doc_id, coalesce(r.text, '') AS text
-        |  FROM docs2 d LEFT JOIN (
-        |    SELECT doc_id, string_agg(l, chr(10) ORDER BY idx) AS text
-        |    FROM keptl GROUP BY doc_id) r USING (doc_id)),
-        |rlines AS (
-        |  SELECT doc_id, l FROM lined,
-        |    unnest(string_split(text, chr(10))) AS t(l)
-        |  WHERE length(l) > 0),
-        |lc AS (SELECT doc_id, l, count(*) AS c, length(l) AS len
-        |       FROM rlines GROUP BY 1, 2),
-        |lstat AS (SELECT doc_id,
-        |            CAST(sum(c - 1) AS DOUBLE) / sum(c) AS dup_line_frac,
-        |            CAST(sum((c - 1) * len) AS DOUBLE) / sum(c * len) AS dup_line_char_frac
-        |          FROM lc GROUP BY 1),
-        |tok AS (
-        |  SELECT doc_id, [x for x in
-        |      regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+')
-        |      if length(x) > 0] AS ts
-        |  FROM lined),
-        |g2 AS (SELECT doc_id, gram, count(*) AS c FROM (
-        |    SELECT doc_id,
-        |      array_to_string(ts[CAST(i AS INT):CAST(i AS INT)+1], ' ') AS gram
-        |    FROM tok, unnest(range(1, len(ts) - 2 + 2)) AS r(i)
-        |    WHERE len(ts) >= 2) GROUP BY 1, 2),
-        |g2s AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top2_frac
-        |        FROM g2 GROUP BY 1),
-        |g3 AS (SELECT doc_id, gram, count(*) AS c FROM (
-        |    SELECT doc_id,
-        |      array_to_string(ts[CAST(i AS INT):CAST(i AS INT)+2], ' ') AS gram
-        |    FROM tok, unnest(range(1, len(ts) - 3 + 2)) AS r(i)
-        |    WHERE len(ts) >= 3) GROUP BY 1, 2),
-        |g3s AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top3_frac
-        |        FROM g3 GROUP BY 1),
-        |g5 AS (SELECT doc_id, gram, count(*) AS c FROM (
-        |    SELECT doc_id,
-        |      array_to_string(ts[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS gram
-        |    FROM tok, unnest(range(1, len(ts) - 5 + 2)) AS r(i)
-        |    WHERE len(ts) >= 5) GROUP BY 1, 2),
-        |g5s AS (SELECT doc_id,
-        |          CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS dup5_frac
-        |        FROM g5 GROUP BY 1),
+        |${lineDedupCtes("docs2")},
+        |${repetitionCtes("lined")},
         |keptd AS (
         |  SELECT doc_id FROM lined
         |    LEFT JOIN lstat USING (doc_id) LEFT JOIN g2s USING (doc_id)
@@ -1262,10 +1295,7 @@ object SparkEntry {
         |    AND coalesce(dup5_frac, 0.0) <= 0.15),
         |red AS (
         |  SELECT doc_id,
-        |    regexp_replace(regexp_replace(regexp_replace(text,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
-        |      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS text
+        |    ${piiReplaceSql("text")} AS text
         |  FROM lined JOIN keptd USING (doc_id)),
         |u AS (SELECT doc_id, text FROM red
         |      UNION ALL
@@ -1278,6 +1308,62 @@ object SparkEntry {
     // lowercase, default-port strip, trailing-slash collapse, tracking-
     // param drop + sort) and of the winner pick (row_number twin of the
     // max_by(struct(ts, url)) aggregate: ts DESC, raw url DESC)
+    // independent rebuild of span dedup: gram census over the SAME raw
+    // 8-gram strings (no hashing on either side), min-doc keeper,
+    // position-set union via range unnest, ordered reassembly
+    "q_span_dedup" ->
+      raw"""WITH docs2 AS (
+        |  SELECT doc_id,
+        |    'u' || CAST(doc_id AS VARCHAR) ||
+        |    ' terms of service all content provided here is licensed for verbatim reuse ' ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN 'mirror notice this page is an archived copy snapshot '
+        |      ELSE '' END ||
+        |    substr(text, 1, 40) AS text
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, [x for x in
+        |      regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+')
+        |      if length(x) > 0] AS ts
+        |  FROM docs2),
+        |g AS (SELECT doc_id, i - 1 AS i,
+        |        array_to_string(ts[CAST(i AS INT):CAST(i AS INT)+7], ' ') AS gram
+        |      FROM tok, unnest(range(1, len(ts) - 8 + 2)) AS r(i)
+        |      WHERE len(ts) >= 8),
+        |cen AS (SELECT gram, min(doc_id) AS keeper FROM g
+        |        GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |dup AS (SELECT doc_id, i FROM g JOIN cen USING (gram)
+        |        WHERE doc_id <> keeper),
+        |rem AS (SELECT DISTINCT doc_id, i + o AS pos
+        |        FROM dup, unnest(range(0, 8)) AS r(o)),
+        |tp AS (SELECT doc_id, i - 1 AS pos, ts[CAST(i AS INT)] AS tok
+        |       FROM tok, unnest(range(1, len(ts) + 1)) AS r(i)),
+        |kept AS (SELECT doc_id, pos, tok FROM tp ANTI JOIN rem USING (doc_id, pos)),
+        |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+        |               count(*) AS n_kept FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(r.text, '') AS text,
+        |  len(t.ts) - coalesce(r.n_kept, 0) AS n_removed
+        |FROM tok t LEFT JOIN reb r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // independent rebuild of the per-host quota: single-window
+    // row_number twin of the salted two-stage top-k (same total order:
+    // score desc, doc_id asc)
+    "q_domain_cap" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 0 ELSE doc_id % 22 + 1 END AS hn,
+        |    (doc_id * 37) % 101 AS score
+        |  FROM documents),
+        |r AS (
+        |  SELECT 'host' || CAST(hn AS VARCHAR) || '.example' AS host,
+        |    doc_id, score,
+        |    row_number() OVER (PARTITION BY hn
+        |      ORDER BY score DESC, doc_id ASC) AS host_rank
+        |  FROM d)
+        |SELECT host, host_rank, doc_id, score FROM r
+        |WHERE host_rank <= 5 ORDER BY host, host_rank""".stripMargin,
+
     "q_url_dedup" ->
       """WITH d AS (
         |  SELECT doc_id, CAST(doc_id % 50 AS VARCHAR) AS h,

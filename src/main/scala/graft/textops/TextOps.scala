@@ -278,12 +278,72 @@ object TextOps {
         others.map(col): _*)
   }
 
+  /**
+   * Cross-document duplicated-span removal — the token-level "exact
+   * substring dedup" of the published training-data dedup recipe† (long
+   * verbatim passages repeated across crawl pages: licenses, TOS,
+   * templated product text), re-expressed relationally for Spark. Any
+   * k-token window whose gram occurs in >= `minDocs` DISTINCT documents
+   * is a duplicated span; every occurrence is elided EXCEPT in the
+   * keeper document (the smallest id per gram — one copy survives
+   * corpus-wide, the published policy). Overlapping duplicated windows
+   * merge naturally (position-set union). Output keeps the row census:
+   * (idCol, textCol rebuilt from surviving tokens space-joined,
+   * n_removed tokens). Text is lowercased by the shared `tokens`
+   * normalizer — span dedup runs on normalized tokens by design.
+   *
+   * Scale shape: one posexplode producing exactly one gram per token
+   * (stride 1); the census is a two-phase count-distinct groupBy on the
+   * gram key; duplicated occurrences explode k positions each (bounded
+   * by k * duplicated-token volume, not corpus volume); reassembly is
+   * one groupBy(id) bounded by document size. With `hashGrams` the
+   * census/join key is xxhash64(gram) — a fixed 8-byte shuffle key
+   * instead of a ~k-word string (the 100 TB path; semantics identical
+   * up to 2^-64 collisions). The contract query keys on the raw gram so
+   * the DuckDB twin is hash-free; a unit test pins hashGrams parity.
+   */
+  def spanDedupe(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 20, minDocs: Int = 2, hashGrams: Boolean = false): DataFrame = {
+    require(k > 0 && minDocs >= 2, s"need k > 0, minDocs >= 2: $k, $minDocs")
+    val toks = df.select(col(idCol).as("id"),
+      tokens(lower(col(textCol))).as("ts"))
+    // one gram per starting position; docs shorter than k emit none
+    val gramArr = when(size(col("ts")) < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(col("ts")) - k),
+        i => array_join(slice(col("ts"), i + 1, lit(k)), " ")))
+    val grams0 = toks.select(col("id"), posexplode(gramArr).as(Seq("i", "gram")))
+    val grams = if (hashGrams)
+      grams0.select(col("id"), col("i"), xxhash64(col("gram")).as("gram"))
+    else grams0
+    val census = grams.groupBy("gram")
+      .agg(count_distinct(col("id")).as("nd"), min(col("id")).as("keeper"))
+      .filter(col("nd") >= minDocs)
+    val dupOcc = grams.join(census, Seq("gram"))
+      .filter(col("id") =!= col("keeper"))
+      .select(col("id"), col("i"))
+    val removed = dupOcc
+      .select(col("id"), explode(sequence(col("i"), col("i") + (k - 1))).as("pos"))
+      .distinct()
+    val tokenPos = toks.select(col("id"), posexplode(col("ts")).as(Seq("pos", "tok")))
+    val rebuilt = tokenPos.join(removed, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("text2"),
+        count(lit(1)).as("n_kept"))
+    toks.select(col("id"), size(col("ts")).as("n_toks"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("text2"), lit("")).as(textCol),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   // PII patterns kept deliberately ASCII-simple so Java regex (Spark) and
   // RE2 (DuckDB oracle) agree token-for-token: \d and \b are ASCII in
   // both engines on ASCII text; no lookarounds (RE2 has none).
-  private[textops] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private[textops] val phoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
-  private[textops] val ipRe = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  private[graft] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val phoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  private[graft] val ipRe = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
 
   /**
    * PII redaction — the scrub a corpus runs before training: replaces

@@ -51,6 +51,49 @@ object UrlOps {
   }
 
   /**
+   * Host of a URL: lowercase authority minus userinfo and port. Works on
+   * raw or canonical URLs (canonicalization already lowercases).
+   */
+  def host(url: Column): Column =
+    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1))
+
+  /**
+   * Per-host quota sampling — the crawl-curation domain-balancing step:
+   * keep at most `maxPerHost` pages per host, preferring the highest
+   * `score`, ties broken by ascending id (total order given unique ids,
+   * so the result is deterministic and engine-independent).
+   *
+   * Scale shape: a single `row_number` window over host would sort each
+   * host on one reducer — and crawl host frequencies are zipf, so the
+   * hottest host (~10^8 pages at 100 TB) becomes a straggler. With
+   * `salts > 1` the top-k runs in two stages: a local top-k per
+   * (host, salt) shard — bounding any one sort partition to ~1/salts of
+   * the hottest host — then the exact top-k over the ≤ salts·maxPerHost
+   * survivors per host. Because the (score desc, id asc) order is total,
+   * two-stage equals one-stage exactly (any global top-k row is also in
+   * its shard's top-k).
+   *
+   * Adds `host` and `host_rank` (1-based, the global per-host rank).
+   */
+  def domainCap(df: DataFrame, urlCol: String, idCol: String,
+      score: Column, maxPerHost: Int, salts: Int = 0): DataFrame = {
+    require(maxPerHost > 0, s"maxPerHost must be positive: $maxPerHost")
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq(score.desc, col(idCol).asc)
+    val withHost = df.withColumn("host", host(col(urlCol)))
+    val pruned = if (salts > 1) {
+      val shard = Window.partitionBy(col("host"),
+        pmod(xxhash64(col(idCol)), lit(salts))).orderBy(ord: _*)
+      withHost.withColumn("_shard_rank", row_number().over(shard))
+        .filter(col("_shard_rank") <= maxPerHost)
+        .drop("_shard_rank")
+    } else withHost
+    val global = Window.partitionBy(col("host")).orderBy(ord: _*)
+    pruned.withColumn("host_rank", row_number().over(global))
+      .filter(col("host_rank") <= maxPerHost)
+  }
+
+  /**
    * Latest-capture-per-canonical-URL dedup: adds `canon_url`, keeps the
    * row with the greatest (tsCol, urlCol) per canonical key — the raw
    * URL string breaks timestamp ties deterministically — plus an

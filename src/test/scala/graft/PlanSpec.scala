@@ -165,6 +165,29 @@ class PlanSpec extends SparkSpec {
       "max_by must partial-aggregate map-side before the canon_url shuffle")
   }
 
+  test("domainCap salted: both windows partitioned; shard stage keyed by " +
+      "(host, salt) so no single-host sort partition exists") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import graft.textops.UrlOps
+    import spark.implicits._
+    val df = (0 until 200).map(i =>
+        (i.toLong, s"https://h${i % 5}.example/$i", (i % 7).toLong))
+      .toDF("id", "url", "score")
+    val sp = UrlOps.domainCap(df, "url", "id", col("score"),
+        maxPerHost = 3, salts = 4)
+      .queryExecution.sparkPlan
+    val wins = sp.collect { case w: WindowExec => w }
+    assert(wins.length == 2, s"expected shard + global window, got $wins")
+    assert(wins.forall(_.partitionSpec.nonEmpty))
+    // one of the two windows must partition by TWO expressions (host, salt)
+    assert(wins.exists(_.partitionSpec.length == 2),
+      "shard stage must partition by (host, salt), not host alone")
+    // unsalted: exactly one window
+    val sp1 = UrlOps.domainCap(df, "url", "id", col("score"), maxPerHost = 3)
+      .queryExecution.sparkPlan
+    assert(sp1.collect { case w: WindowExec => w }.length == 1)
+  }
+
   test("candidate pair-gen plans no cartesian product") {
     val recs = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
       .select(col("p_partkey").as("id"), col("p_name").as("name"))
@@ -205,7 +228,11 @@ class PlanSpec extends SparkSpec {
 
     val p = out.queryExecution.executedPlan.toString
     assert(p.contains("isFinalPlan=true"))
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+    // Same-line check: the q_line_dedup plan also contains a small
+    // broadcast left-outer reassembly join, so two independent contains()
+    // would stay green even if the anti join regressed to sort-merge.
+    assert(p.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
       s"hot-line removal should be a broadcast anti join in the final plan:\n$p")
   }
 }

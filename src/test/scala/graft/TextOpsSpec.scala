@@ -295,4 +295,46 @@ class TextOpsSpec extends SparkSpec {
     assert(groups(1L) == 12, "the 12 empty docs collapse to rep 1")
     assert(groups(21L) == 2, "post-redaction collision 21/22 merges")
   }
+
+  test("spanDedupe: shared 9-token run elided everywhere but the keeper; " +
+      "unrelated doc untouched; census stable") {
+    import spark.implicits._
+    val shared = "common one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"x1 $shared y1"),
+      (2L, s"x2 $shared y2"),
+      (3L, "unrelated words only here nothing shared at all today")
+    ).toDF("doc_id", "text")
+    val got = TextOps.spanDedupe(docs, "doc_id", "text", k = 8)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, s"x1 $shared y1", 0L)), "keeper keeps the span")
+    assert(got(1) == ((2L, "x2 y2", 9L)), "non-keeper loses all 9 span tokens")
+    assert(got(2)._1 == 3L && got(2)._3 == 0L, "unrelated doc untouched")
+    assert(got.length == 3, "row census stable")
+    // doc reduced to nothing: both docs are ONLY the span -> keeper
+    // keeps it, the other rebuilds to "" (still present in the output)
+    val all = Seq((5L, shared), (4L, shared)).toDF("doc_id", "text")
+    val g2 = TextOps.spanDedupe(all, "doc_id", "text", k = 8)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(g2(0) == ((4L, shared, 0L)) && g2(1) == ((5L, "", 9L)))
+  }
+
+  test("spanDedupe: hashGrams scale path returns the identical result") {
+    import spark.implicits._
+    // varied corpus: per-doc unique prefix, a corpus-wide license span,
+    // a group-level span on doc_id % 3 == 0, unique tails
+    val span = "terms of service all content provided here is licensed for verbatim reuse"
+    val grp = "mirror notice this page is an archived copy"
+    val docs = (0 until 60).map { i =>
+      val g = if (i % 3 == 0) s" $grp" else ""
+      (i.toLong, s"u$i $span$g tail${i % 7} t$i")
+    }.toDF("doc_id", "text")
+    def run(h: Boolean) = TextOps.spanDedupe(docs, "doc_id", "text",
+        k = 8, hashGrams = h)
+      .as[(Long, String, Long)].collect().toSet
+    val plain = run(false)
+    assert(plain.exists(_._3 > 0), "spans must actually be removed")
+    assert(plain.exists(r => r._1 == 0L && r._3 == 0L), "doc 0 is the keeper")
+    assert(run(true) == plain)
+  }
 }

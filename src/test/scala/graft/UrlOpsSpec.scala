@@ -44,4 +44,43 @@ class UrlOpsSpec extends SparkSpec {
       .select($"url").as[String].collect().toSeq
     assert(w == Seq("http://a.com/p?x=1#f"))
   }
+
+  test("host: authority minus userinfo/port, lowercased") {
+    val h = (u: String) =>
+      Seq(u).toDF("url").select(UrlOps.host($"url")).as[String].head()
+    assert(h("HTTP://User:pw@Host.Example.COM:8080/p?q#f") == "host.example.com")
+    assert(h("https://x.com/") == "x.com")
+    assert(h("https://x.com") == "x.com")
+  }
+
+  test("domainCap: two-stage salted top-k equals the single-window top-k") {
+    // Skewed synthetic crawl: host 0 gets half the rows; score collides
+    // heavily so the id tie-break is exercised.
+    val rows = (0 until 2000).map { i =>
+      val host = if (i % 2 == 0) 0 else i % 13 + 1
+      (i.toLong, s"https://h$host.example/p/$i", (i * 7 % 19).toLong)
+    }
+    val df = rows.toDF("id", "url", "score")
+    def run(salts: Int) =
+      UrlOps.domainCap(df, "url", "id", $"score", maxPerHost = 7, salts = salts)
+        .select($"host", $"host_rank", $"id", $"score")
+        .as[(String, Int, Long, Long)].collect().toSet
+    val oneStage = run(0)
+    assert(run(4) == oneStage && run(16) == oneStage)
+    // exactness: per host, the kept set is exactly the top-7 by
+    // (score desc, id asc) of ALL that host's rows
+    val byHost = rows.groupBy(r => UrlOpsSpecHelp.hostOf(r._2))
+    for ((h, rs) <- byHost) {
+      val want = rs.sortBy(r => (-r._3, r._1)).take(7)
+        .zipWithIndex.map { case (r, i) => (h, i + 1, r._1, r._3) }.toSet
+      assert(oneStage.filter(_._1 == h) == want, s"host $h")
+    }
+    // every kept row ranks within the cap
+    assert(oneStage.forall(_._2 <= 7))
+  }
+}
+
+private object UrlOpsSpecHelp {
+  def hostOf(url: String): String =
+    url.stripPrefix("https://").takeWhile(c => c != '/' && c != ':')
 }
