@@ -369,8 +369,9 @@ object SparkEntry {
 
     // cross-doc duplicated-span removal: every doc carries the same
     // 12-token license span (plus a second 9-token span on the %5
-    // group); spanDedupe(k=8) keeps one copy corpus-wide (the min
-    // doc_id per gram) and elides the rest. The census keys on raw
+    // group); spanDedupe(k=8) splices the span out of every doc except
+    // the keeper (min doc_id per gram), whose text — like every
+    // untouched doc — comes back byte-identical. The census keys on raw
     // grams here so the DuckDB twin is hash-free; the xxhash64 scale
     // path is parity-pinned in TextOpsSpec.
     "q_span_dedup" -> ((s, dir) => {
@@ -1310,7 +1311,10 @@ object SparkEntry {
     // max_by(struct(ts, url)) aggregate: ts DESC, raw url DESC)
     // independent rebuild of span dedup: gram census over the SAME raw
     // 8-gram strings (no hashing on either side), min-doc keeper,
-    // position-set union via range unnest, ordered reassembly
+    // position-set union via range unnest, then the run-level splice —
+    // token/separator run decomposition, removed tokens take their
+    // trailing separator, ordered '' string_agg — so untouched docs
+    // reassemble byte-identical on both engines
     "q_span_dedup" ->
       raw"""WITH docs2 AS (
         |  SELECT doc_id,
@@ -1322,9 +1326,8 @@ object SparkEntry {
         |    substr(text, 1, 40) AS text
         |  FROM documents),
         |tok AS (
-        |  SELECT doc_id, [x for x in
-        |      regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+')
-        |      if length(x) > 0] AS ts
+        |  SELECT doc_id, [lower(x) for x in
+        |      regexp_extract_all(text, '[\p{L}\p{N}]+')] AS ts
         |  FROM docs2),
         |g AS (SELECT doc_id, i - 1 AS i,
         |        array_to_string(ts[CAST(i AS INT):CAST(i AS INT)+7], ' ') AS gram
@@ -1336,11 +1339,28 @@ object SparkEntry {
         |        WHERE doc_id <> keeper),
         |rem AS (SELECT DISTINCT doc_id, i + o AS pos
         |        FROM dup, unnest(range(0, 8)) AS r(o)),
-        |tp AS (SELECT doc_id, i - 1 AS pos, ts[CAST(i AS INT)] AS tok
-        |       FROM tok, unnest(range(1, len(ts) + 1)) AS r(i)),
-        |kept AS (SELECT doc_id, pos, tok FROM tp ANTI JOIN rem USING (doc_id, pos)),
-        |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
-        |               count(*) AS n_kept FROM kept GROUP BY doc_id)
+        |runs0 AS (SELECT doc_id,
+        |            regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}]+') AS rs
+        |          FROM docs2),
+        |runr AS (SELECT doc_id, i - 1 AS rpos, rs[CAST(i AS INT)] AS run,
+        |           regexp_matches(rs[CAST(i AS INT)], '^[\p{L}\p{N}]') AS is_tok
+        |         FROM runs0, unnest(range(1, len(rs) + 1)) AS r(i)),
+        |ti AS (SELECT doc_id, rpos, run, is_tok,
+        |         sum(CASE WHEN is_tok THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY rpos) - 1 AS ti
+        |       FROM runr),
+        |fl AS (SELECT t.doc_id, t.rpos, t.run, t.is_tok,
+        |         (t.is_tok AND r.pos IS NOT NULL) AS cut
+        |       FROM ti t LEFT JOIN rem r
+        |         ON t.is_tok AND t.doc_id = r.doc_id AND t.ti = r.pos),
+        |fl2 AS (SELECT *, coalesce(lag(cut)
+        |          OVER (PARTITION BY doc_id ORDER BY rpos), false) AS cut_prev
+        |        FROM fl),
+        |keep AS (SELECT * FROM fl2
+        |         WHERE NOT cut AND NOT (NOT is_tok AND cut_prev)),
+        |reb AS (SELECT doc_id, string_agg(run, '' ORDER BY rpos) AS text,
+        |               CAST(sum(CASE WHEN is_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |        FROM keep GROUP BY doc_id)
         |SELECT t.doc_id, coalesce(r.text, '') AS text,
         |  len(t.ts) - coalesce(r.n_kept, 0) AS n_removed
         |FROM tok t LEFT JOIN reb r USING (doc_id)

@@ -278,40 +278,61 @@ object TextOps {
         others.map(col): _*)
   }
 
+  // Lossless run decomposition: every char of the input is in exactly one
+  // maximal run — a token run ([\p{L}\p{N}]+, the shared `tokens` class)
+  // or a separator run ([^\p{L}\p{N}]+) — so concat(runs) == text byte-
+  // for-byte, and a splice can drop token runs while preserving the
+  // original casing/punctuation/line structure of everything kept.
+  private val runPattern = "[\\p{L}\\p{N}]+|[^\\p{L}\\p{N}]+"
+
   /**
    * Cross-document duplicated-span removal — the token-level "exact
    * substring dedup" of the published training-data dedup recipe† (long
    * verbatim passages repeated across crawl pages: licenses, TOS,
    * templated product text), re-expressed relationally for Spark. Any
-   * k-token window whose gram occurs in >= `minDocs` DISTINCT documents
-   * is a duplicated span; every occurrence is elided EXCEPT in the
-   * keeper document (the smallest id per gram — one copy survives
-   * corpus-wide, the published policy). Overlapping duplicated windows
-   * merge naturally (position-set union). Output keeps the row census:
-   * (idCol, textCol rebuilt from surviving tokens space-joined,
-   * n_removed tokens). Text is lowercased by the shared `tokens`
-   * normalizer — span dedup runs on normalized tokens by design.
+   * k-token window (over lowercased tokens) whose gram occurs in >=
+   * `minDocs` DISTINCT documents is a duplicated span; every occurrence
+   * is SPLICED OUT of the original text EXCEPT in the keeper document —
+   * the smallest id per gram, which retains its text untouched
+   * (including any intra-document repeats of the span: cross-document
+   * dedup leaves within-document repetition to the repetition filter).
+   * Overlapping duplicated windows merge naturally (position-set
+   * union). Untouched documents come back byte-identical — the per-row
+   * text invariant holds across this stage for every row with
+   * n_removed == 0. A removed token takes its trailing separator run
+   * with it, so an elided span collapses to the single separator that
+   * preceded it. Output: (idCol, textCol spliced, n_removed tokens);
+   * the row census is stable.
    *
-   * Scale shape: one posexplode producing exactly one gram per token
-   * (stride 1); the census is a two-phase count-distinct groupBy on the
-   * gram key; duplicated occurrences explode k positions each (bounded
-   * by k * duplicated-token volume, not corpus volume); reassembly is
-   * one groupBy(id) bounded by document size. With `hashGrams` the
-   * census/join key is xxhash64(gram) — a fixed 8-byte shuffle key
-   * instead of a ~k-word string (the 100 TB path; semantics identical
-   * up to 2^-64 collisions). The contract query keys on the raw gram so
-   * the DuckDB twin is hash-free; a unit test pins hashGrams parity.
+   * Scale shape: the run decomposition and gram build are per-row
+   * expressions off one scan (snapshotted — the census, splice, and
+   * token-count consumers reuse it instead of re-tokenizing); the gram
+   * census is a two-phase count-distinct groupBy; duplicated
+   * occurrences explode k positions each (bounded by k * duplicated-
+   * token volume, not corpus volume); the splice is one posexplode +
+   * per-document windows + one groupBy(id), all bounded by document
+   * size. With `hashGrams` the census/join key is xxhash64(gram) — a
+   * fixed 8-byte shuffle key instead of a ~k-word string (the 100 TB
+   * path; semantics identical up to 2^-64 collisions). The contract
+   * query keys on the raw gram so the DuckDB twin is hash-free; a unit
+   * test pins hashGrams parity.
    */
   def spanDedupe(df: DataFrame, idCol: String, textCol: String,
       k: Int = 20, minDocs: Int = 2, hashGrams: Boolean = false): DataFrame = {
     require(k > 0 && minDocs >= 2, s"need k > 0, minDocs >= 2: $k, $minDocs")
-    val toks = df.select(col(idCol).as("id"),
-      tokens(lower(col(textCol))).as("ts"))
-    // one gram per starting position; docs shorter than k emit none
+    import org.apache.spark.sql.expressions.Window
+    val isTok = (r: Column) => r.rlike("^[\\p{L}\\p{N}]")
+    val base0 = df.select(col(idCol).as("id"),
+      regexp_extract_all(col(textCol), lit(runPattern), lit(0)).as("runs"))
+      .withColumn("ts", transform(
+        filter(col("runs"), r => isTok(r)), r => lower(r)))
+    val base = graft.pipeline.Dedupe.snapshotIfResolvable(df.sparkSession,
+      base0, "span_runs")
+    // one gram per starting token position; docs shorter than k emit none
     val gramArr = when(size(col("ts")) < k, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(col("ts")) - k),
         i => array_join(slice(col("ts"), i + 1, lit(k)), " ")))
-    val grams0 = toks.select(col("id"), posexplode(gramArr).as(Seq("i", "gram")))
+    val grams0 = base.select(col("id"), posexplode(gramArr).as(Seq("i", "gram")))
     val grams = if (hashGrams)
       grams0.select(col("id"), col("i"), xxhash64(col("gram")).as("gram"))
     else grams0
@@ -324,14 +345,31 @@ object TextOps {
     val removed = dupOcc
       .select(col("id"), explode(sequence(col("i"), col("i") + (k - 1))).as("pos"))
       .distinct()
-    val tokenPos = toks.select(col("id"), posexplode(col("ts")).as(Seq("pos", "tok")))
-    val rebuilt = tokenPos.join(removed, Seq("id", "pos"), "left_anti")
-      .groupBy("id")
+    // splice: explode runs, assign each token run its token index, flag
+    // removed tokens, drop the separator run immediately after a removed
+    // token, reassemble in run order with no added separator
+    val byRun = Window.partitionBy(col("id")).orderBy(col("rpos"))
+    val runRows = base
+      .select(col("id"), posexplode(col("runs")).as(Seq("rpos", "run")))
+      .withColumn("is_tok", isTok(col("run")))
+      // token index = count of token runs up to and including this one, -1
+      .withColumn("ti",
+        sum(col("is_tok").cast("long")).over(byRun) - 1)
+    val flagged = runRows
+      .join(removed.withColumn("hit", lit(true)),
+        runRows("is_tok") && runRows("id") === removed("id") &&
+          runRows("ti") === removed("pos"), "left")
+      .select(runRows("id"), col("rpos"), col("run"), col("is_tok"),
+        coalesce(col("hit"), lit(false)).as("cut"))
+      .withColumn("cut_prev",
+        coalesce(lag(col("cut"), 1).over(byRun), lit(false)))
+      .filter(!col("cut") && !(!col("is_tok") && col("cut_prev")))
+    val rebuilt = flagged.groupBy("id")
       .agg(array_join(
-        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-          x => x.getField("tok")), " ").as("text2"),
-        count(lit(1)).as("n_kept"))
-    toks.select(col("id"), size(col("ts")).as("n_toks"))
+        transform(array_sort(collect_list(struct(col("rpos"), col("run")))),
+          x => x.getField("run")), "").as("text2"),
+        sum(col("is_tok").cast("long")).as("n_kept"))
+    base.select(col("id"), size(col("ts")).as("n_toks"))
       .join(rebuilt, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("text2"), lit("")).as(textCol),

@@ -52,10 +52,15 @@ object UrlOps {
 
   /**
    * Host of a URL: lowercase authority minus userinfo and port. Works on
-   * raw or canonical URLs (canonicalization already lowercases).
+   * raw or canonical URLs (canonicalization already lowercases). NULL
+   * when the URL has no parseable scheme://authority (relative,
+   * protocol-relative, mailto:) — callers must not lump those together.
    */
-  def host(url: Column): Column =
-    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1))
+  def host(url: Column): Column = {
+    val h = lower(regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1))
+    when(length(h) > 0, h)
+  }
 
   /**
    * Per-host quota sampling — the crawl-curation domain-balancing step:
@@ -74,21 +79,32 @@ object UrlOps {
    * its shard's top-k).
    *
    * Adds `host` and `host_rank` (1-based, the global per-host rank).
+   * URLs with no parseable authority get `host` NULL and are quota'd by
+   * their raw URL string instead — identical raw URLs are the same page,
+   * but a million distinct unparseable URLs are NOT one pseudo-host to
+   * be capped collectively. `salts = 0` (or 1) disables the shard stage;
+   * the default keeps the skew-proof path on, since it is exact either
+   * way and the extra pass over already-pruned shards is cheap.
    */
   def domainCap(df: DataFrame, urlCol: String, idCol: String,
-      score: Column, maxPerHost: Int, salts: Int = 0): DataFrame = {
+      score: Column, maxPerHost: Int, salts: Int = 16): DataFrame = {
     require(maxPerHost > 0, s"maxPerHost must be positive: $maxPerHost")
+    val clash = Seq("host", "host_rank", "_shard_rank").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"domainCap adds ${clash.mkString(", ")}; input already has it — " +
+        "rename or drop it first")
     import org.apache.spark.sql.expressions.Window
     val ord = Seq(score.desc, col(idCol).asc)
     val withHost = df.withColumn("host", host(col(urlCol)))
+    val key = coalesce(col("host"), col(urlCol))
     val pruned = if (salts > 1) {
-      val shard = Window.partitionBy(col("host"),
+      val shard = Window.partitionBy(key,
         pmod(xxhash64(col(idCol)), lit(salts))).orderBy(ord: _*)
       withHost.withColumn("_shard_rank", row_number().over(shard))
         .filter(col("_shard_rank") <= maxPerHost)
         .drop("_shard_rank")
     } else withHost
-    val global = Window.partitionBy(col("host")).orderBy(ord: _*)
+    val global = Window.partitionBy(key).orderBy(ord: _*)
     pruned.withColumn("host_rank", row_number().over(global))
       .filter(col("host_rank") <= maxPerHost)
   }

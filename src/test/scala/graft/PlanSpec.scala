@@ -182,8 +182,9 @@ class PlanSpec extends SparkSpec {
     // one of the two windows must partition by TWO expressions (host, salt)
     assert(wins.exists(_.partitionSpec.length == 2),
       "shard stage must partition by (host, salt), not host alone")
-    // unsalted: exactly one window
-    val sp1 = UrlOps.domainCap(df, "url", "id", col("score"), maxPerHost = 3)
+    // salts = 0 opts out of the shard stage: exactly one window
+    val sp1 = UrlOps.domainCap(df, "url", "id", col("score"),
+        maxPerHost = 3, salts = 0)
       .queryExecution.sparkPlan
     assert(sp1.collect { case w: WindowExec => w }.length == 1)
   }

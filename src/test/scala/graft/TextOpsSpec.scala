@@ -296,20 +296,27 @@ class TextOpsSpec extends SparkSpec {
     assert(groups(21L) == 2, "post-redaction collision 21/22 merges")
   }
 
-  test("spanDedupe: shared 9-token run elided everywhere but the keeper; " +
-      "unrelated doc untouched; census stable") {
+  test("spanDedupe: shared 9-token run spliced out everywhere but the " +
+      "keeper; untouched docs byte-identical; census stable") {
     import spark.implicits._
+    // keeper's copy is mixed-case: gram matching is case-insensitive,
+    // but the keeper's original bytes survive untouched
+    val keeperText = "X1: Common one TWO three, four five six seven eight — y1."
     val shared = "common one two three four five six seven eight"
+    val unrelated = "Unrelated words, only here; nothing SHARED at all today!"
     val docs = Seq(
-      (1L, s"x1 $shared y1"),
+      (1L, keeperText),
       (2L, s"x2 $shared y2"),
-      (3L, "unrelated words only here nothing shared at all today")
+      (3L, unrelated)
     ).toDF("doc_id", "text")
     val got = TextOps.spanDedupe(docs, "doc_id", "text", k = 8)
       .as[(Long, String, Long)].collect().sortBy(_._1)
-    assert(got(0) == ((1L, s"x1 $shared y1", 0L)), "keeper keeps the span")
-    assert(got(1) == ((2L, "x2 y2", 9L)), "non-keeper loses all 9 span tokens")
-    assert(got(2)._1 == 3L && got(2)._3 == 0L, "unrelated doc untouched")
+    assert(got(0) == ((1L, keeperText, 0L)),
+      "keeper keeps its original bytes, casing and punctuation included")
+    assert(got(1) == ((2L, "x2 y2", 9L)),
+      "non-keeper loses the 9 span tokens, each with its trailing separator")
+    assert(got(2) == ((3L, unrelated, 0L)),
+      "untouched doc comes back byte-identical")
     assert(got.length == 3, "row census stable")
     // doc reduced to nothing: both docs are ONLY the span -> keeper
     // keeps it, the other rebuilds to "" (still present in the output)

@@ -51,6 +51,26 @@ class UrlOpsSpec extends SparkSpec {
     assert(h("HTTP://User:pw@Host.Example.COM:8080/p?q#f") == "host.example.com")
     assert(h("https://x.com/") == "x.com")
     assert(h("https://x.com") == "x.com")
+    // no parseable authority -> null, never ''
+    assert(h("//cdn.example/x") == null)
+    assert(h("mailto:a@b.c") == null)
+    assert(h("example.com/path") == null)
+  }
+
+  test("domainCap: unparseable URLs are quota'd per raw URL, not lumped " +
+      "into one pseudo-host") {
+    val df = ((0 until 40).map(i => (i.toLong, s"rel/path/$i", 1L)) :+
+        (99L, "https://real.example/p", 1L)).toDF("id", "url", "score")
+    val out = UrlOps.domainCap(df, "url", "id", $"score", maxPerHost = 2)
+    // all 40 distinct unparseable URLs survive (each its own quota group)
+    assert(out.count() == 41)
+    assert(out.filter($"host".isNull).count() == 40)
+    assert(out.filter($"host" === "real.example").count() == 1)
+    // identical unparseable URLs DO share a quota group
+    val dup = (0 until 10).map(i => (i.toLong, "rel/same", (i % 3).toLong))
+      .toDF("id", "url", "score")
+    assert(UrlOps.domainCap(dup, "url", "id", $"score", maxPerHost = 2)
+      .count() == 2)
   }
 
   test("domainCap: two-stage salted top-k equals the single-window top-k") {
