@@ -390,6 +390,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // deterministic token-budget sharding: bucketed distributed prefix
+    // sum (bucketWidth=128 forces many buckets at sf0.01) vs the DuckDB
+    // twin's single global cumsum — equality proves the decomposition
+    "q_pack_shards" -> ((s, dir) => {
+      import graft.textops.TextOps
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+      TextOps.packShards(docs, "doc_id", "n_tok",
+          targetTokens = 4096, bucketWidth = 128)
+        .orderBy(col("doc_id"))
+    }),
+
     // exact dedup (hash-groupBy) over documents ∪ shifted-id copy
     "q_exact_text_dedup" -> ((s, dir) => {
       import graft.textops.TextOps
@@ -1365,6 +1379,20 @@ object SparkEntry {
         |  len(t.ts) - coalesce(r.n_kept, 0) AS n_removed
         |FROM tok t LEFT JOIN reb r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // independent rebuild of token-budget sharding: ONE global cumsum
+    // window (fine for an oracle; the Spark side decomposes it into a
+    // bounded bucket scan + partitioned windows), integer shard math
+    "q_pack_shards" ->
+      raw"""WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'),
+        |      x -> length(x) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |        sum(n_tok) OVER (ORDER BY doc_id) AS cum FROM d)
+        |SELECT doc_id, n_tok, CAST((cum - n_tok) // 4096 AS BIGINT) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // independent rebuild of the per-host quota: single-window
     // row_number twin of the salted two-stage top-k (same total order:

@@ -376,6 +376,52 @@ object TextOps {
         (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /**
+   * Deterministic token-budget sharding — the corpus-packing step before
+   * training: walk documents in id order and cut a new shard every
+   * `targetTokens` tokens, so shard s holds the docs whose running token
+   * offset falls in [s*target, (s+1)*target). Output: (idCol, nTokCol,
+   * shard). Deterministic given UNIQUE NON-NEGATIVE ids (unique: the
+   * cumsum order must be total; non-negative: `div` truncates toward
+   * zero, so negative ids would fold buckets -0 and +0 together): the
+   * assignment depends only on (id, n_tok), never on partitioning.
+   *
+   * Scale shape — a distributed prefix sum, NO global window: ids are
+   * bucketed by range (`bucket = id div bucketWidth`); per-bucket token
+   * sums are a map-side-combined groupBy whose result is one row per
+   * bucket — bounded by idRange/bucketWidth (~10k rows at 10^10 docs
+   * with the default width), so the exclusive bucket-offset scan runs
+   * on the driver (same bounded-collect contract as Threshold/Training)
+   * and rejoins as a broadcast; the within-bucket prefix is a window
+   * PARTITIONED by bucket, each partition capped at bucketWidth rows.
+   * Oracle equality with a single global cumsum (the DuckDB twin)
+   * proves the decomposition exact.
+   */
+  def packShards(df: DataFrame, idCol: String, nTokCol: String,
+      targetTokens: Long, bucketWidth: Long = 1L << 20): DataFrame = {
+    require(targetTokens > 0 && bucketWidth > 0,
+      s"need positive targetTokens/bucketWidth: $targetTokens, $bucketWidth")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val b = df.select(col(idCol).as("id"), col(nTokCol).cast("long").as("n_tok"))
+      .withColumn("bucket", expr(s"id div ${bucketWidth}L"))
+    val sums = b.groupBy("bucket").agg(sum("n_tok").as("bsum"))
+      .orderBy("bucket")
+      .collect()
+    // exclusive prefix over the (bounded) bucket census
+    var acc = 0L
+    val offs = sums.map { r =>
+      val o = (r.getLong(0), acc); acc += r.getLong(1); o
+    }.toSeq
+    import spark.implicits._
+    val offDf = offs.toDF("bucket", "boff")
+    val w = Window.partitionBy(col("bucket")).orderBy(col("id"))
+    b.join(broadcast(offDf), Seq("bucket"))
+      .withColumn("cum", col("boff") + sum(col("n_tok")).over(w))
+      .withColumn("shard", expr(s"(cum - n_tok) div ${targetTokens}L"))
+      .select(col("id").as(idCol), col("n_tok").as(nTokCol), col("shard"))
+  }
+
   // PII patterns kept deliberately ASCII-simple so Java regex (Spark) and
   // RE2 (DuckDB oracle) agree token-for-token: \d and \b are ASCII in
   // both engines on ASCII text; no lookarounds (RE2 has none).

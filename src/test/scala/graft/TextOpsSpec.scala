@@ -326,6 +326,28 @@ class TextOpsSpec extends SparkSpec {
     assert(g2(0) == ((4L, shared, 0L)) && g2(1) == ((5L, "", 9L)))
   }
 
+  test("packShards: bucketed prefix sum equals the sequential walk; " +
+      "assignment is bucket-width independent on sparse ids") {
+    import spark.implicits._
+    val rows = (0 until 500).map(i => (i.toLong, (i * 13 % 37 + 1).toLong))
+    val df = rows.toDF("id", "n").repartition(8)
+    val got = TextOps.packShards(df, "id", "n",
+        targetTokens = 100, bucketWidth = 7)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    var cum = 0L
+    val want = rows.sortBy(_._1).map { case (id, n) =>
+      val s = cum / 100; cum += n; (id, n, s)
+    }
+    assert(got == want)
+    // sparse, gappy ids: two very different bucket widths agree exactly
+    val sparse = rows.map { case (id, n) => (id * 1009 + 17, n) }
+      .toDF("id", "n").repartition(8)
+    def run(bw: Long) = TextOps.packShards(sparse, "id", "n",
+        targetTokens = 100, bucketWidth = bw)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(run(3L) == run(1L << 20))
+  }
+
   test("spanDedupe: hashGrams scale path returns the identical result") {
     import spark.implicits._
     // varied corpus: per-doc unique prefix, a corpus-wide license span,
