@@ -404,6 +404,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // incremental batch-vs-corpus exact dedup: corpus = documents; the
+    // batch mixes re-crawled texts (rejected by the corpus gate), fresh
+    // texts, and a within-batch duplicate of each fresh text (rejected
+    // by the representative gate) — all three outcomes in the output
+    "q_incr_dedup" -> ((s, dir) => {
+      import graft.textops.TextOps
+      val corpus = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val recrawl = corpus.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      val fresh = corpus.filter(col("doc_id") % 3 === 1)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" fresh addendum")).as("text"))
+      val freshDup = fresh
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val batch = recrawl.unionByName(fresh).unionByName(freshDup)
+      TextOps.dedupeAgainstCorpus(batch, corpus, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // exact dedup (hash-groupBy) over documents ∪ shifted-id copy
     "q_exact_text_dedup" -> ((s, dir) => {
       import graft.textops.TextOps
@@ -1460,6 +1480,25 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY canon_url
         |                       ORDER BY warc_ts DESC, url DESC) AS rk
         |  FROM c6) WHERE rk = 1 ORDER BY canon_url""".stripMargin,
+
+    // independent rebuild of the batch-vs-corpus dedup: DuckDB joins on
+    // the raw text (exactly what the 256-bit hash join stands in for)
+    "q_incr_dedup" ->
+      """WITH b AS (
+        |  SELECT doc_id + 2000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text || ' fresh addendum'
+        |  FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, text || ' fresh addendum'
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |m AS (SELECT text, min(doc_id) AS rep FROM b GROUP BY text),
+        |c AS (SELECT DISTINCT text FROM documents)
+        |SELECT b.doc_id, (c.text IS NOT NULL) AS in_corpus, m.rep,
+        |       (c.text IS NULL AND b.doc_id = m.rep) AS keep
+        |FROM b JOIN m USING (text) LEFT JOIN c ON b.text = c.text
+        |ORDER BY b.doc_id""".stripMargin,
 
     "q_exact_text_dedup" ->
       """WITH u AS (

@@ -161,6 +161,63 @@ object TextOps {
   }
 
   /**
+   * Incremental exact dedup of a new crawl batch AGAINST an existing
+   * corpus — the "append 1 TB to a 100 TB corpus" shape, where rescanning
+   * or reshuffling the corpus per batch is unaffordable. Returns EVERY
+   * batch row as (idCol, in_corpus, rep, keep): `in_corpus` = the text
+   * already exists in the corpus; `rep` = min-id representative of the
+   * text within the batch; `keep` = survives both gates (not in corpus
+   * AND batch representative), so callers can audit each rejection reason
+   * separately.
+   *
+   * Scale shape (default broadcast path): the corpus contributes ONE
+   * hash-projection scan probed by a BROADCAST LEFT SEMI join on the
+   * batch's distinct hashes — no corpus-sized exchange exists anywhere;
+   * the only data that leaves the corpus scan is the batch∩corpus hash
+   * intersection (bounded by the batch), and the only shuffles in the
+   * whole plan carry (hash, id) — text never enters an exchange on
+   * either side (plan-asserted in PlanSpec). Set
+   * broadcastBatchHashes=false when the batch's distinct-hash set is
+   * itself too big to broadcast (hundreds of millions of docs): the
+   * membership probe then degrades to distinct + shuffled semi join —
+   * still hash-only, and with the corpus hash index pre-materialized
+   * bucketed on the hash (TableIO.writeBucketed seam) even that shuffle
+   * disappears on the corpus side.
+   *
+   * strongHash=true (default) hashes with SHA-256 kept as 32-byte
+   * binary: at 10^12 docs a 64-bit hash expects ~3·10^4 birthday
+   * collisions, each silently dropping a unique page; 256 bits expects
+   * none. strongHash=false uses xxhash64 (8 bytes, 4× less shuffle
+   * weight) for modest corpora — same documented 2^-64-per-pair caveat
+   * as [[exactDupes]].
+   */
+  def dedupeAgainstCorpus(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      broadcastBatchHashes: Boolean = true,
+      strongHash: Boolean = true): DataFrame = {
+    def th(c: Column) = if (strongHash) unhex(sha2(c, 256)) else xxhash64(c)
+    val bh = batch.select(col(idCol).as("id"), th(col(textCol)).as("th"))
+    val ch = corpus.select(th(col(textCol)).as("th"))
+    val reps = bh.groupBy("th").agg(min("id").as("rep"))
+    // hashes present in BOTH batch and corpus; distinct because the
+    // corpus may itself hold duplicate texts and this feeds a left join
+    val hits =
+      if (broadcastBatchHashes)
+        ch.join(broadcast(bh.select("th").distinct()), Seq("th"), "left_semi")
+          .distinct()                  // batch-bounded, partial-agg'd map-side
+      else ch.distinct().join(bh.select("th").distinct(), Seq("th"), "left_semi")
+    val flagSide = hits.withColumn("in_corpus", lit(true))
+    bh.join(reps, "th")
+      .join(if (broadcastBatchHashes) broadcast(flagSide) else flagSide,
+        Seq("th"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("in_corpus"), lit(false)).as("in_corpus"),
+        col("rep"),
+        (!coalesce(col("in_corpus"), lit(false)) && col("id") === col("rep"))
+          .as("keep"))
+  }
+
+  /**
    * MinHash-LSH near-dup candidate pairs + exact-Jaccard verification:
    * shingle(3 tokens) → k minhashes → `bands` bands → bucket join →
    * verify with exact shingle-set Jaccard ≥ threshold.

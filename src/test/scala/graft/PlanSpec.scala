@@ -220,6 +220,33 @@ class PlanSpec extends SparkSpec {
         s"exchange carries a string payload column: ${a.name}")
   }
 
+  test("dedupeAgainstCorpus broadcast path: corpus probed by broadcast " +
+      "semi join; no exchange carries text") {
+    // structural form of the scale claim: the corpus side is consumed by
+    // a BroadcastHashJoin LeftSemi (one scan, no corpus-sized exchange)
+    // and every shuffle in the plan carries only (hash, id).
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val plain = spark.newSession()
+    plain.conf.set("spark.sql.adaptive.enabled", "false")
+    val docs = plain.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    val out = graft.textops.TextOps.dedupeAgainstCorpus(
+      batch, docs, "doc_id", "text")
+    val plan = out.queryExecution.executedPlan
+    val semis = plan.collect {
+      case j: BroadcastHashJoinExec if j.joinType.sql == "LEFT SEMI" => j
+    }
+    assert(semis.nonEmpty, "expected the corpus-probe broadcast semi join")
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, "expected the batch (hash, id) shuffles")
+    for (e <- exchanges; a <- e.output)
+      assert(a.name != "text" && a.dataType.typeName != "string",
+        s"exchange carries a string payload column: ${a.name}")
+  }
+
   test("line-dedup hot-line anti join goes broadcast under AQE") {
     // dedupeLines' census side is the zipf head — small by construction.
     // The static planner can't know that (it's an aggregate), so the

@@ -348,6 +348,28 @@ class TextOpsSpec extends SparkSpec {
     assert(run(3L) == run(1L << 20))
   }
 
+  test("dedupeAgainstCorpus: corpus hit, fresh winner, within-batch dup; " +
+      "broadcast/SMJ and strong/weak hash paths all agree") {
+    import spark.implicits._
+    import graft.textops.TextOps
+    val corpus = Seq((1L, "alpha"), (2L, "beta"), (3L, "beta"))
+      .toDF("id", "text").repartition(4)
+    val batch = Seq((10L, "alpha"), (11L, "gamma"), (12L, "gamma"),
+      (13L, "delta")).toDF("id", "text").repartition(4)
+    def run(bcast: Boolean, strong: Boolean) =
+      TextOps.dedupeAgainstCorpus(batch, corpus, "id", "text",
+          broadcastBatchHashes = bcast, strongHash = strong)
+        .as[(Long, Boolean, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val got = run(bcast = true, strong = true)
+    assert(got == Seq(
+      (10L, true, 10L, false),  // re-crawl of alpha: corpus gate
+      (11L, false, 11L, true),  // fresh winner
+      (12L, false, 11L, false), // within-batch dup: representative gate
+      (13L, false, 13L, true)))
+    assert(run(bcast = false, strong = true) == got)
+    assert(run(bcast = true, strong = false) == got)
+  }
+
   test("spanDedupe: hashGrams scale path returns the identical result") {
     import spark.implicits._
     // varied corpus: per-doc unique prefix, a corpus-wide license span,
