@@ -163,8 +163,12 @@ object TextOps {
   /**
    * Incremental exact dedup of a new crawl batch AGAINST an existing
    * corpus — the "append 1 TB to a 100 TB corpus" shape, where rescanning
-   * or reshuffling the corpus per batch is unaffordable. Returns EVERY
-   * batch row as (idCol, in_corpus, rep, keep): `in_corpus` = the text
+   * or reshuffling the corpus per batch is unaffordable. Returns every
+   * batch row WITH NON-NULL TEXT (null-text rows are dropped scan-side on
+   * both sides, matching prepare's null-url drop: a null page has no
+   * dedup identity, and the two hash engines disagree on null — sha2
+   * yields a null join key that would vanish silently, xxhash64 aliases
+   * all nulls together) as (idCol, in_corpus, rep, keep): `in_corpus` = the text
    * already exists in the corpus; `rep` = min-id representative of the
    * text within the batch; `keep` = survives both gates (not in corpus
    * AND batch representative), so callers can audit each rejection reason
@@ -196,8 +200,14 @@ object TextOps {
       broadcastBatchHashes: Boolean = true,
       strongHash: Boolean = true): DataFrame = {
     def th(c: Column) = if (strongHash) unhex(sha2(c, 256)) else xxhash64(c)
-    val bh = batch.select(col(idCol).as("id"), th(col(textCol)).as("th"))
-    val ch = corpus.select(th(col(textCol)).as("th"))
+    // bh feeds three consumers (winner groupBy, distinct broadcast, final
+    // probe): snapshot so the full-text hash scan runs once, not 3×
+    val bh = graft.pipeline.Dedupe.snapshotIfResolvable(batch.sparkSession,
+      batch.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("id"), th(col(textCol)).as("th")),
+      "incr_dedup_batch")
+    val ch = corpus.filter(col(textCol).isNotNull)
+      .select(th(col(textCol)).as("th"))
     val reps = bh.groupBy("th").agg(min("id").as("rep"))
     // hashes present in BOTH batch and corpus; distinct because the
     // corpus may itself hold duplicate texts and this feeds a left join
@@ -460,11 +470,26 @@ object TextOps {
       s"need positive targetTokens/bucketWidth: $targetTokens, $bucketWidth")
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
-    val b = df.select(col(idCol).as("id"), col(nTokCol).cast("long").as("n_tok"))
-      .withColumn("bucket", expr(s"id div ${bucketWidth}L"))
-    val sums = b.groupBy("bucket").agg(sum("n_tok").as("bsum"))
+    // snapshot: the census job and the final join both consume this
+    // projection, so without it the (possibly expensive — q_pack_shards
+    // tokenizes every document) upstream lineage would execute twice
+    val b = graft.pipeline.Dedupe.snapshotIfResolvable(spark,
+      df.select(col(idCol).as("id"), col(nTokCol).cast("long").as("n_tok"))
+        .withColumn("bucket", expr(s"id div ${bucketWidth}L")),
+      "pack_shards_in")
+    // the census also carries the null-input guard: a null id shows up
+    // as a null bucket row, a null token count as n_null > 0 — both are
+    // rejected with a clear message instead of a driver-side NPE or a
+    // silently-null shard
+    val sums = b.groupBy("bucket")
+      .agg(sum("n_tok").as("bsum"),
+        sum(when(col("n_tok").isNull, 1L).otherwise(0L)).as("n_null"))
       .orderBy("bucket")
       .collect()
+    require(sums.forall(r => !r.isNullAt(0)),
+      s"packShards: id column '$idCol' contains nulls")
+    require(sums.forall(r => r.getLong(2) == 0L),
+      s"packShards: token-count column '$nTokCol' contains nulls")
     // exclusive prefix over the (bounded) bucket census
     var acc = 0L
     val offs = sums.map { r =>

@@ -346,16 +346,34 @@ class TextOpsSpec extends SparkSpec {
         targetTokens = 100, bucketWidth = bw)
       .as[(Long, Long, Long)].collect().toSet
     assert(run(3L) == run(1L << 20))
+    // null ids / token counts are rejected with a clear message, not an NPE
+    val nullId = Seq((Some(1L), Some(5L)), (None: Option[Long], Some(3L)))
+      .toDF("id", "n")
+    val e1 = intercept[IllegalArgumentException] {
+      TextOps.packShards(nullId, "id", "n", 10, 7)
+    }
+    assert(e1.getMessage.contains("contains nulls"))
+    val nullTok = Seq((Some(1L), Some(5L)), (Some(2L), None: Option[Long]))
+      .toDF("id", "n")
+    val e2 = intercept[IllegalArgumentException] {
+      TextOps.packShards(nullTok, "id", "n", 10, 7)
+    }
+    assert(e2.getMessage.contains("contains nulls"))
   }
 
-  test("dedupeAgainstCorpus: corpus hit, fresh winner, within-batch dup; " +
-      "broadcast/SMJ and strong/weak hash paths all agree") {
+  test("dedupeAgainstCorpus: corpus hit, fresh winner, within-batch dup, " +
+      "duplicated corpus text, null text; all hash/join paths agree") {
     import spark.implicits._
     import graft.textops.TextOps
-    val corpus = Seq((1L, "alpha"), (2L, "beta"), (3L, "beta"))
+    // 'beta' is duplicated in the corpus: the hits-side distinct guard
+    // must keep its batch row from fanning out to two output rows.
+    // Null texts (both sides) are dropped, identically on every path.
+    val corpus = Seq((1L, Some("alpha")), (2L, Some("beta")),
+      (3L, Some("beta")), (4L, None: Option[String]))
       .toDF("id", "text").repartition(4)
-    val batch = Seq((10L, "alpha"), (11L, "gamma"), (12L, "gamma"),
-      (13L, "delta")).toDF("id", "text").repartition(4)
+    val batch = Seq((10L, Some("alpha")), (11L, Some("gamma")),
+      (12L, Some("gamma")), (13L, Some("delta")), (14L, Some("beta")),
+      (15L, None: Option[String])).toDF("id", "text").repartition(4)
     def run(bcast: Boolean, strong: Boolean) =
       TextOps.dedupeAgainstCorpus(batch, corpus, "id", "text",
           broadcastBatchHashes = bcast, strongHash = strong)
@@ -365,9 +383,11 @@ class TextOpsSpec extends SparkSpec {
       (10L, true, 10L, false),  // re-crawl of alpha: corpus gate
       (11L, false, 11L, true),  // fresh winner
       (12L, false, 11L, false), // within-batch dup: representative gate
-      (13L, false, 13L, true)))
+      (13L, false, 13L, true),
+      (14L, true, 14L, false))) // exactly ONE row despite 2 corpus betas
     assert(run(bcast = false, strong = true) == got)
     assert(run(bcast = true, strong = false) == got)
+    assert(run(bcast = false, strong = false) == got)
   }
 
   test("spanDedupe: hashGrams scale path returns the identical result") {
