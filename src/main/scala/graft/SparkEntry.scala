@@ -404,6 +404,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // per-(source, lang) best-representative pick: highest quality wins,
+    // ties break to the smaller doc_id — a max_by aggregate, no window
+    "q_keep_best" -> ((s, dir) => {
+      import graft.textops.TextOps
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("source"), col("lang"),
+          TextOps.qualityScore(col("text")).as("quality"))
+      TextOps.keepBest(docs, Seq("source", "lang"), "quality", "doc_id")
+        .orderBy(col("source"), col("lang"))
+    }),
+
     // incremental batch-vs-corpus exact dedup: corpus = documents; the
     // batch mixes re-crawled texts (rejected by the corpus gate), fresh
     // texts, and a within-batch duplicate of each fresh text (rejected
@@ -1480,6 +1492,47 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY canon_url
         |                       ORDER BY warc_ts DESC, url DESC) AS rk
         |  FROM c6) WHERE rk = 1 ORDER BY canon_url""".stripMargin,
+
+    // independent rebuild of the per-group best pick: the quality CTEs
+    // recompute TextOps.qualityScore (same arithmetic the green
+    // q_text_stats row pins, en-stopword term only), then ONE
+    // row_number window picks (quality desc, doc_id asc) — the twin of
+    // the Spark side's max_by(struct(quality, ~doc_id)) aggregate
+    "q_keep_best" ->
+      raw"""WITH qbase AS (
+        |  SELECT doc_id, source, lang, text,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |                x -> length(x) > 0) AS ltoks
+        |  FROM documents),
+        |qhits AS (
+        |  SELECT *,
+        |    len(list_filter(ltoks, x -> list_contains(
+        |      ['the','and','of','to','a','in','is','that','it','for'], x))) AS h_en
+        |  FROM qbase),
+        |qq AS (
+        |  SELECT *,
+        |    CAST(length(text) AS DOUBLE) AS nchars,
+        |    greatest(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE), 1.0) AS nns,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS nalpha,
+        |    CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE) AS npunct,
+        |    greatest(CAST(len(ltoks) AS DOUBLE), 1.0) AS ntoks
+        |  FROM qhits),
+        |qual AS (
+        |  SELECT doc_id, source, lang,
+        |    round(0.35 * (nalpha / nns)
+        |        + 0.25 * (1.0 - least(npunct / nns * 5.0, 1.0))
+        |        + 0.2 * least((CAST(h_en AS DOUBLE) / ntoks) * 4.0, 1.0)
+        |        + 0.2 * (least(nchars / 50.0, 1.0)
+        |                 * (1.0 - least(greatest(nchars - 2000.0, 0.0) / 8000.0, 1.0))),
+        |      6) AS quality
+        |  FROM qq),
+        |r AS (
+        |  SELECT source, lang, doc_id, quality,
+        |    row_number() OVER (PARTITION BY source, lang
+        |                       ORDER BY quality DESC, doc_id ASC) AS rn
+        |  FROM qual)
+        |SELECT source, lang, doc_id, quality FROM r WHERE rn = 1
+        |ORDER BY source, lang""".stripMargin,
 
     // independent rebuild of the batch-vs-corpus dedup: DuckDB joins on
     // the raw text (exactly what the 256-bit hash join stands in for)

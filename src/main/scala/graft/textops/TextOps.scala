@@ -161,6 +161,30 @@ object TextOps {
   }
 
   /**
+   * Per-cluster best-representative selection — curation keeps the
+   * HIGHEST-QUALITY member of each duplicate/group cluster, not the
+   * smallest id: one map-side-combined max_by aggregate keyed by the
+   * cluster columns, ordered by (score desc, id asc) via the
+   * overflow-free bitwise-not trick (~id is monotone decreasing and
+   * bijective on Long, unlike -id which overflows at Long.MinValue).
+   * No window, no per-cluster sort: shuffles one candidate struct per
+   * input row, reduced map-side (plan-asserted, same claim as
+   * UrlOps.latestCapture). Output: one row per cluster —
+   * (clusterCols..., idCol, scoreCol). Requires an integral idCol;
+   * unique ids within a cluster make the pick total-order deterministic.
+   */
+  def keepBest(df: DataFrame, clusterCols: Seq[String], scoreCol: String,
+      idCol: String): DataFrame = {
+    require(clusterCols.nonEmpty, "keepBest needs at least one cluster column")
+    val ord = struct(col(scoreCol), bitwise_not(col(idCol)))
+    val w = struct(col(idCol), col(scoreCol))
+    df.groupBy(clusterCols.map(col): _*)
+      .agg(max_by(w, ord).as("w"))
+      .select(clusterCols.map(col) :+ col(s"w.$idCol") :+
+        col(s"w.$scoreCol"): _*)
+  }
+
+  /**
    * Incremental exact dedup of a new crawl batch AGAINST an existing
    * corpus — the "append 1 TB to a 100 TB corpus" shape, where rescanning
    * or reshuffling the corpus per batch is unaffordable. Returns every

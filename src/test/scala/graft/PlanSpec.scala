@@ -220,6 +220,16 @@ class PlanSpec extends SparkSpec {
         s"exchange carries a string payload column: ${a.name}")
   }
 
+  test("keepBest picks winners with a partial max_by aggregate, no window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val out = SparkEntry.queries("q_keep_best")(spark, "/root/testdata/sf0.001")
+    val sp = out.queryExecution.sparkPlan
+    assert(sp.collect { case w: WindowExec => w }.isEmpty,
+      "per-cluster best pick must be an aggregate, not a window sort")
+    assert(sp.toString.contains("partial_max_by"),
+      "max_by must partial-aggregate map-side before the cluster shuffle")
+  }
+
   test("dedupeAgainstCorpus broadcast path: corpus probed by broadcast " +
       "semi join; no exchange carries text") {
     // structural form of the scale claim: the corpus side is consumed by

@@ -361,6 +361,22 @@ class TextOpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("contains nulls"))
   }
 
+  test("keepBest: highest score wins, ties break to the smaller id; " +
+      "Long.MinValue id survives the bitwise-not ordering") {
+    import spark.implicits._
+    import graft.textops.TextOps
+    val df = Seq(
+      ("a", 1L, 0.5), ("a", 2L, 0.9), ("a", 3L, 0.9), // tie at 0.9 → id 2
+      // tie at 0.1 → MinValue is the smaller id; -id would overflow
+      // right here and wrongly pick 7
+      ("b", Long.MinValue, 0.1), ("b", 7L, 0.1),
+      ("c", 9L, 0.3)).toDF("grp", "id", "score").repartition(4)
+    val got = TextOps.keepBest(df, Seq("grp"), "score", "id")
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("a", 2L, 0.9), ("b", Long.MinValue, 0.1),
+      ("c", 9L, 0.3)))
+  }
+
   test("dedupeAgainstCorpus: corpus hit, fresh winner, within-batch dup, " +
       "duplicated corpus text, null text; all hash/join paths agree") {
     import spark.implicits._
