@@ -1121,6 +1121,48 @@ object SparkEntry {
        |    SELECT doc_id, string_agg(l, chr(10) ORDER BY idx) AS text
        |    FROM keptl GROUP BY doc_id) r USING (doc_id))""".stripMargin
 
+  /** CTE chain `qbase/qhits/qq`: lower-token list, per-language stopword
+    * hit counts, and the char-census columns (nchars/nns/nalpha/npunct/
+    * ntoks) that [[qualityExpr]] consumes — the single DuckDB twin of
+    * TextOps.langId + TextOps.qualityScore, shared by every oracle that
+    * recomputes quality (q_text_stats, q_keep_best) so the formula can
+    * never fork between them. `passCols` rides along unchanged. */
+  private def qualityCtes(in: String, passCols: String): String =
+    raw"""qbase AS (
+       |  SELECT $passCols, text,
+       |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+       |                x -> length(x) > 0) AS ltoks
+       |  FROM $in),
+       |qhits AS (
+       |  SELECT *,
+       |    len(list_filter(ltoks, x -> list_contains(
+       |      ['der','die','das','und','ist','nicht','ein','mit','zu','auf'], x))) AS h_de,
+       |    len(list_filter(ltoks, x -> list_contains(
+       |      ['the','and','of','to','a','in','is','that','it','for'], x))) AS h_en,
+       |    len(list_filter(ltoks, x -> list_contains(
+       |      ['el','la','los','de','y','es','un','una','en','por'], x))) AS h_es,
+       |    len(list_filter(ltoks, x -> list_contains(
+       |      ['le','la','les','et','est','un','une','dans','que','pour'], x))) AS h_fr
+       |  FROM qbase),
+       |qq AS (
+       |  SELECT *,
+       |    CAST(length(text) AS DOUBLE) AS nchars,
+       |    greatest(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE), 1.0) AS nns,
+       |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS nalpha,
+       |    CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE) AS npunct,
+       |    greatest(CAST(len(ltoks) AS DOUBLE), 1.0) AS ntoks
+       |  FROM qhits)""".stripMargin
+
+  /** The quality formula over `qq`'s columns, rounded to 6 — term-for-term
+    * twin of TextOps.qualityScore (en-stopword density term only). */
+  private val qualityExpr: String =
+    """round(0.35 * (nalpha / nns)
+      |      + 0.25 * (1.0 - least(npunct / nns * 5.0, 1.0))
+      |      + 0.2 * least((CAST(h_en AS DOUBLE) / ntoks) * 4.0, 1.0)
+      |      + 0.2 * (least(nchars / 50.0, 1.0)
+      |               * (1.0 - least(greatest(nchars - 2000.0, 0.0) / 8000.0, 1.0))),
+      |    6)""".stripMargin
+
   /** Per-n gram census `g$n`(doc_id, gram, c) from the `tok` CTE — the
     * list-slice twin of the token_shingles pattern. */
   private def gramCountCte(n: Int): String =
@@ -1219,30 +1261,7 @@ object SparkEntry {
         |ORDER BY o_custkey, rk""".stripMargin,
 
     "q_text_stats" ->
-      """WITH base AS (
-        |  SELECT doc_id, text,
-        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
-        |                x -> length(x) > 0) AS ltoks
-        |  FROM documents),
-        |hits AS (
-        |  SELECT doc_id, text, ltoks,
-        |    len(list_filter(ltoks, x -> list_contains(
-        |      ['der','die','das','und','ist','nicht','ein','mit','zu','auf'], x))) AS h_de,
-        |    len(list_filter(ltoks, x -> list_contains(
-        |      ['the','and','of','to','a','in','is','that','it','for'], x))) AS h_en,
-        |    len(list_filter(ltoks, x -> list_contains(
-        |      ['el','la','los','de','y','es','un','una','en','por'], x))) AS h_es,
-        |    len(list_filter(ltoks, x -> list_contains(
-        |      ['le','la','les','et','est','un','une','dans','que','pour'], x))) AS h_fr
-        |  FROM base),
-        |q AS (
-        |  SELECT doc_id, text, ltoks, h_de, h_en, h_es, h_fr,
-        |    CAST(length(text) AS DOUBLE) AS nchars,
-        |    greatest(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE), 1.0) AS nns,
-        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS nalpha,
-        |    CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE) AS npunct,
-        |    greatest(CAST(len(ltoks) AS DOUBLE), 1.0) AS ntoks
-        |  FROM hits)
+      raw"""WITH ${qualityCtes("documents", "doc_id")}
         |SELECT doc_id,
         |  len(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'), x -> length(x) > 0)) AS n_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish,
@@ -1251,13 +1270,8 @@ object SparkEntry {
         |       WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
         |       WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
         |       ELSE 'de' END AS lang_guess,
-        |  round(0.35 * (nalpha / nns)
-        |      + 0.25 * (1.0 - least(npunct / nns * 5.0, 1.0))
-        |      + 0.2 * least((CAST(h_en AS DOUBLE) / ntoks) * 4.0, 1.0)
-        |      + 0.2 * (least(nchars / 50.0, 1.0)
-        |               * (1.0 - least(greatest(nchars - 2000.0, 0.0) / 8000.0, 1.0))),
-        |    6) AS quality
-        |FROM q ORDER BY doc_id""".stripMargin,
+        |  $qualityExpr AS quality
+        |FROM qq ORDER BY doc_id""".stripMargin,
 
     // independent rebuild of the repetition kernel: same spliced 3-line
     // text, line stats from a per-line count census, gram stats from the
@@ -1493,38 +1507,15 @@ object SparkEntry {
         |                       ORDER BY warc_ts DESC, url DESC) AS rk
         |  FROM c6) WHERE rk = 1 ORDER BY canon_url""".stripMargin,
 
-    // independent rebuild of the per-group best pick: the quality CTEs
-    // recompute TextOps.qualityScore (same arithmetic the green
-    // q_text_stats row pins, en-stopword term only), then ONE
-    // row_number window picks (quality desc, doc_id asc) — the twin of
-    // the Spark side's max_by(struct(quality, ~doc_id)) aggregate
+    // independent rebuild of the per-group best pick: the SHARED quality
+    // CTE chain (qualityCtes — the same strings the green q_text_stats
+    // row pins, so the formula cannot fork between the two oracles),
+    // then ONE row_number window picks (quality desc, doc_id asc) — the
+    // twin of the Spark side's max_by(struct(quality, ~doc_id)) aggregate
     "q_keep_best" ->
-      raw"""WITH qbase AS (
-        |  SELECT doc_id, source, lang, text,
-        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
-        |                x -> length(x) > 0) AS ltoks
-        |  FROM documents),
-        |qhits AS (
-        |  SELECT *,
-        |    len(list_filter(ltoks, x -> list_contains(
-        |      ['the','and','of','to','a','in','is','that','it','for'], x))) AS h_en
-        |  FROM qbase),
-        |qq AS (
-        |  SELECT *,
-        |    CAST(length(text) AS DOUBLE) AS nchars,
-        |    greatest(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE), 1.0) AS nns,
-        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS nalpha,
-        |    CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE) AS npunct,
-        |    greatest(CAST(len(ltoks) AS DOUBLE), 1.0) AS ntoks
-        |  FROM qhits),
+      raw"""WITH ${qualityCtes("documents", "doc_id, source, lang")},
         |qual AS (
-        |  SELECT doc_id, source, lang,
-        |    round(0.35 * (nalpha / nns)
-        |        + 0.25 * (1.0 - least(npunct / nns * 5.0, 1.0))
-        |        + 0.2 * least((CAST(h_en AS DOUBLE) / ntoks) * 4.0, 1.0)
-        |        + 0.2 * (least(nchars / 50.0, 1.0)
-        |                 * (1.0 - least(greatest(nchars - 2000.0, 0.0) / 8000.0, 1.0))),
-        |      6) AS quality
+        |  SELECT doc_id, source, lang, $qualityExpr AS quality
         |  FROM qq),
         |r AS (
         |  SELECT source, lang, doc_id, quality,

@@ -167,11 +167,16 @@ object TextOps {
    * cluster columns, ordered by (score desc, id asc) via the
    * overflow-free bitwise-not trick (~id is monotone decreasing and
    * bijective on Long, unlike -id which overflows at Long.MinValue).
-   * No window, no per-cluster sort: shuffles one candidate struct per
-   * input row, reduced map-side (plan-asserted, same claim as
-   * UrlOps.latestCapture). Output: one row per cluster —
-   * (clusterCols..., idCol, scoreCol). Requires an integral idCol;
-   * unique ids within a cluster make the pick total-order deterministic.
+   * No window, ONE exchange carrying a single candidate struct per
+   * input row after map-side partial reduction (plan-asserted). Spark
+   * plans a struct-buffer declarative aggregate as SortAggregate — a
+   * per-partition sort by the CLUSTER KEY on both sides, not a
+   * window's single-partition global sort; the partial side still
+   * collapses each map partition to one candidate per cluster before
+   * the shuffle, which is the property that matters at 10^12 rows.
+   * Output: one row per cluster — (clusterCols..., idCol, scoreCol).
+   * Requires an integral idCol; unique ids within a cluster make the
+   * pick total-order deterministic.
    */
   def keepBest(df: DataFrame, clusterCols: Seq[String], scoreCol: String,
       idCol: String): DataFrame = {
@@ -179,9 +184,9 @@ object TextOps {
     val ord = struct(col(scoreCol), bitwise_not(col(idCol)))
     val w = struct(col(idCol), col(scoreCol))
     df.groupBy(clusterCols.map(col): _*)
-      .agg(max_by(w, ord).as("w"))
-      .select(clusterCols.map(col) :+ col(s"w.$idCol") :+
-        col(s"w.$scoreCol"): _*)
+      .agg(max_by(w, ord).as("__kb_w"))
+      .select(clusterCols.map(col) :+ col(s"__kb_w.$idCol") :+
+        col(s"__kb_w.$scoreCol"): _*)
   }
 
   /**

@@ -222,12 +222,31 @@ class PlanSpec extends SparkSpec {
 
   test("keepBest picks winners with a partial max_by aggregate, no window") {
     import org.apache.spark.sql.execution.window.WindowExec
-    val out = SparkEntry.queries("q_keep_best")(spark, "/root/testdata/sf0.001")
-    val sp = out.queryExecution.sparkPlan
-    assert(sp.collect { case w: WindowExec => w }.isEmpty,
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.SortAggregateExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    // AQE off so the physical tree is plain and exchanges collectible
+    val plain = spark.newSession()
+    plain.conf.set("spark.sql.adaptive.enabled", "false")
+    val out = SparkEntry.queries("q_keep_best")(plain, "/root/testdata/sf0.001")
+    val ep = out.queryExecution.executedPlan
+    assert(ep.collect { case w: WindowExec => w }.isEmpty,
       "per-cluster best pick must be an aggregate, not a window sort")
-    assert(sp.toString.contains("partial_max_by"),
+    assert(ep.toString.contains("partial_max_by"),
       "max_by must partial-aggregate map-side before the cluster shuffle")
+    // pin the documented exec shape: struct-buffer declarative aggregates
+    // plan as SortAggregate (sorted by the cluster key per partition,
+    // NOT a window's global sort), and the aggregation itself pays
+    // exactly one hash exchange (the input's round-robin repartition is
+    // the only other shuffle in the plan)
+    assert(ep.collect { case a: SortAggregateExec => a }.nonEmpty,
+      "expected SortAggregate (struct-buffer max_by); if Spark starts " +
+        "hash-aggregating this, upgrade the docs, not just this test")
+    val hashEx = ep.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashEx.size == 1,
+      s"expected exactly one cluster-key hash exchange, got ${hashEx.size}")
   }
 
   test("dedupeAgainstCorpus broadcast path: corpus probed by broadcast " +
