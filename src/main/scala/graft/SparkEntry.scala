@@ -416,6 +416,27 @@ object SparkEntry {
         .orderBy(col("source"), col("lang"))
     }),
 
+    // HTML -> text extraction over the raw-table html:binary shape: each
+    // doc's text is wrapped in a deterministic page skeleton exercising
+    // every extraction rule (entity-bearing title, style block, script
+    // whose BODY contains markup, entities adjacent to text, a comment),
+    // encoded to binary, then recovered by the codegen'd column chain
+    "q_html_extract" -> ((s, dir) => {
+      import graft.textops.TextOps
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+      val html = encode(concat(
+        lit("<html><head><title>News &amp; views</title>" +
+          "<style type=\"text/css\">body{margin:0}</style></head><body><h1>"),
+        substring(col("text"), 1, 40),
+        lit("</h1><script>var x = '<p>not text</p>';</script><p>"),
+        col("text"),
+        lit(" &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;tail</p>" +
+          "<!-- hidden --></body></html>")), "UTF-8")
+      docs.select(col("doc_id"), TextOps.extractHtmlText(html).as("text_out"))
+        .orderBy(col("doc_id"))
+    }),
+
     // incremental batch-vs-corpus exact dedup: corpus = documents; the
     // batch mixes re-crawled texts (rejected by the corpus gate), fresh
     // texts, and a within-batch duplicate of each fresh text (rejected
@@ -1524,6 +1545,31 @@ object SparkEntry {
         |  FROM qual)
         |SELECT source, lang, doc_id, quality FROM r WHERE rn = 1
         |ORDER BY source, lang""".stripMargin,
+
+    // independent rebuild of the HTML extraction: the same page skeleton
+    // built by string concat, then the IDENTICAL RE2-safe pattern chain
+    // (script/style blocks, comments, tags, the five entities with &amp;
+    // last, whitespace collapse) — DuckDB's RE2 and Spark's Java regex
+    // agree on this deliberately backreference-free subset
+    "q_html_extract" ->
+      raw"""WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>News &amp; views</title><style type="text/css">body{margin:0}</style></head><body><h1>'
+        |    || substr(text, 1, 40)
+        |    || '</h1><script>var x = ''<p>not text</p>'';</script><p>'
+        |    || text
+        |    || ' &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;tail</p><!-- hidden --></body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS s FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(s, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS s FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(s, '(?s)<!--.*?-->', ' ', 'g') AS s FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(s, '(?s)<[^>]*>', ' ', 'g') AS s FROM s3),
+        |e AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(s,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&nbsp;', ' '), '&amp;', '&') AS s FROM s4)
+        |SELECT doc_id, trim(regexp_replace(s, '\s+', ' ', 'g')) AS text_out
+        |FROM e ORDER BY doc_id""".stripMargin,
 
     // independent rebuild of the batch-vs-corpus dedup: DuckDB joins on
     // the raw text (exactly what the 256-bit hash join stands in for)

@@ -19,6 +19,37 @@ object TextOps {
 
   // ---------- text analysis (scalar, SQL-expressible for the oracle) ----
 
+  /**
+   * HTML → text extraction over the raw-table `html: binary` column
+   * (BASELINE.json:15) as a pure codegen'd column chain — no UDF, no
+   * external parser: UTF-8 decode → drop `<script>`/`<style>` blocks
+   * (lazy, case-insensitive, dotall) → drop comments → every remaining
+   * tag → one space → decode the five standard character entities
+   * (`&amp;` LAST, so double-escapes like `&amp;lt;` decode to the
+   * literal `&lt;` per the HTML unescape order) → collapse whitespace
+   * runs and trim. The regex subset is deliberately RE2-compatible (no
+   * backreferences, only lazy quantifiers + inline (?is) flags) so the
+   * DuckDB oracle runs the IDENTICAL pattern strings (q_html_extract).
+   *
+   * Round-trip invariant: PagesGen wraps whitespace-canonical text in
+   * `<html><body>…</body></html>`, so extraction recovers the north
+   * star's "byte-identical extracted text per url" on those rows —
+   * asserted in TextOpsSpec. Regex-over-string is the honest scale
+   * shape here: per-row, scan-fused, no shuffle; a production DOM
+   * parser would slot in behind the same Column signature.
+   */
+  def extractHtmlText(html: Column): Column = {
+    val s0 = decode(html, "UTF-8")
+    val s1 = regexp_replace(s0, "(?is)<script[^>]*>.*?</script>", " ")
+    val s2 = regexp_replace(s1, "(?is)<style[^>]*>.*?</style>", " ")
+    val s3 = regexp_replace(s2, "(?s)<!--.*?-->", " ")
+    val s4 = regexp_replace(s3, "(?s)<[^>]*>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(s4) { case (c, (k, v)) => replace(c, lit(k), lit(v)) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -361,6 +361,44 @@ class TextOpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("contains nulls"))
   }
 
+  test("extractHtmlText: script/style/comment bodies dropped, tags to " +
+      "spaces, entities decoded in unescape order, null passes through") {
+    import spark.implicits._
+    import graft.textops.TextOps
+    val got = Seq(
+      "<html><head><style>a{b:c}</style></head><body><p>Hello&nbsp;&amp;" +
+        "&#39;world&#39;</p><script>var a='<b>not text</b>';</script>" +
+        "<!-- gone --></body></html>",
+      // double-escape: &amp;lt; must decode to the LITERAL &lt;
+      "<p>x &amp;lt; y</p>",
+      // case-insensitive block tags, attribute-bearing
+      "<SCRIPT type=\"module\">s</SCRIPT><STYLE media=x>c</STYLE>kept",
+      // multiline block bodies (dotall) + whitespace collapse
+      "<p>a</p>\n<script>\nline1\nline2\n</script>\n<p>b</p>",
+      null).toDF("h")
+      .select(TextOps.extractHtmlText(encode(col("h"), "UTF-8")).as("t"))
+      .as[Option[String]].collect().toSeq
+    assert(got == Seq(Some("Hello &'world'"), Some("x &lt; y"),
+      Some("kept"), Some("a b"), None))
+  }
+
+  test("extractHtmlText round-trips PagesGen html to byte-identical text " +
+      "on whitespace-canonical rows (north-star per-row invariant)") {
+    import graft.fixtures.PagesGen
+    import graft.textops.TextOps
+    val (pages, _) = PagesGen.generate(spark, 200)
+    val df = pages.toDF
+    // base rows join tokens with single spaces; whitespace-noise variants
+    // (perturb kind 0) are excluded from the byte-identity claim...
+    val canon = df.filter(!col("text").rlike("(^\\s)|(\\s$)|\\s{2}"))
+    assert(canon.count() > 300)
+    assert(canon.filter(
+      TextOps.extractHtmlText(col("html")) =!= col("text")).count() == 0)
+    // ...but EVERY row, noise included, matches after canonical collapse
+    assert(df.filter(TextOps.extractHtmlText(col("html")) =!=
+      trim(regexp_replace(col("text"), "\\s+", " "))).count() == 0)
+  }
+
   test("keepBest: highest score wins, ties break to the smaller id; " +
       "Long.MinValue id survives the bitwise-not ordering") {
     import spark.implicits._
