@@ -1547,10 +1547,12 @@ object SparkEntry {
         |ORDER BY source, lang""".stripMargin,
 
     // independent rebuild of the HTML extraction: the same page skeleton
-    // built by string concat, then the IDENTICAL RE2-safe pattern chain
+    // built by string concat, then the IDENTICAL pattern chain
     // (script/style blocks, comments, tags, the five entities with &amp;
-    // last, whitespace collapse) — DuckDB's RE2 and Spark's Java regex
-    // agree on this deliberately backreference-free subset
+    // last, whitespace collapse). Case folding is spelled as [sS]-style
+    // classes and whitespace as the explicit [ \t\n\r\f\x0B] class, so
+    // DuckDB's RE2 and Spark's Java regex agree byte-for-byte (Java (?i)
+    // folds ASCII-only vs RE2 Unicode; Java \s includes \x0B, RE2's not)
     "q_html_extract" ->
       raw"""WITH h AS (
         |  SELECT doc_id,
@@ -1560,15 +1562,15 @@ object SparkEntry {
         |    || text
         |    || ' &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;tail</p><!-- hidden --></body></html>' AS html
         |  FROM documents),
-        |s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS s FROM h),
-        |s2 AS (SELECT doc_id, regexp_replace(s, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS s FROM s1),
+        |s1 AS (SELECT doc_id, regexp_replace(html, '(?s)<[sS][cC][rR][iI][pP][tT][^>]*>.*?</[sS][cC][rR][iI][pP][tT]>', ' ', 'g') AS s FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(s, '(?s)<[sS][tT][yY][lL][eE][^>]*>.*?</[sS][tT][yY][lL][eE]>', ' ', 'g') AS s FROM s1),
         |s3 AS (SELECT doc_id, regexp_replace(s, '(?s)<!--.*?-->', ' ', 'g') AS s FROM s2),
         |s4 AS (SELECT doc_id, regexp_replace(s, '(?s)<[^>]*>', ' ', 'g') AS s FROM s3),
         |e AS (SELECT doc_id,
         |  replace(replace(replace(replace(replace(replace(s,
         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
         |    '&nbsp;', ' '), '&amp;', '&') AS s FROM s4)
-        |SELECT doc_id, trim(regexp_replace(s, '\s+', ' ', 'g')) AS text_out
+        |SELECT doc_id, trim(regexp_replace(s, '[ \t\n\r\f\x0B]+', ' ', 'g')) AS text_out
         |FROM e ORDER BY doc_id""".stripMargin,
 
     // independent rebuild of the batch-vs-corpus dedup: DuckDB joins on

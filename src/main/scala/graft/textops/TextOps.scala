@@ -27,27 +27,40 @@ object TextOps {
    * tag → one space → decode the five standard character entities
    * (`&amp;` LAST, so double-escapes like `&amp;lt;` decode to the
    * literal `&lt;` per the HTML unescape order) → collapse whitespace
-   * runs and trim. The regex subset is deliberately RE2-compatible (no
-   * backreferences, only lazy quantifiers + inline (?is) flags) so the
-   * DuckDB oracle runs the IDENTICAL pattern strings (q_html_extract).
+   * runs and trim. The DuckDB oracle (q_html_extract) runs the
+   * IDENTICAL pattern strings, so the patterns avoid every known
+   * Java-regex/RE2 semantic divergence, not just syntax: case folding
+   * is spelled as explicit `[sS]`-style classes (Java `(?i)` folds
+   * ASCII-only, RE2 folds Unicode — `<ſcript>` would diverge) and
+   * whitespace as the explicit class `[ \t\n\r\f\x0B]` (Java `\s`
+   * includes `\x0B`, RE2's excludes it). Only `(?s)` dotall + lazy
+   * quantifiers remain, which the engines agree on.
    *
    * Round-trip invariant: PagesGen wraps whitespace-canonical text in
    * `<html><body>…</body></html>`, so extraction recovers the north
    * star's "byte-identical extracted text per url" on those rows —
-   * asserted in TextOpsSpec. Regex-over-string is the honest scale
-   * shape here: per-row, scan-fused, no shuffle; a production DOM
-   * parser would slot in behind the same Column signature.
+   * asserted in TextOpsSpec (whitespace-noise variants match after
+   * canonical collapse). Regex-over-string is the honest scale shape
+   * here: per-row, scan-fused, no shuffle; a production DOM parser
+   * would slot in behind the same Column signature. Like any
+   * regex-level extractor it is lossy on text whose BODY contains
+   * literal markup-shaped bytes: a bare `<x then y>` in prose is
+   * stripped as a tag and a literal `&amp;` in prose is decoded —
+   * acceptable for crawl text whose writers escape `<`/`&`, and
+   * exactly where a DOM parser would slot in.
    */
   def extractHtmlText(html: Column): Column = {
+    val sc = "[sS][cC][rR][iI][pP][tT]"
+    val st = "[sS][tT][yY][lL][eE]"
     val s0 = decode(html, "UTF-8")
-    val s1 = regexp_replace(s0, "(?is)<script[^>]*>.*?</script>", " ")
-    val s2 = regexp_replace(s1, "(?is)<style[^>]*>.*?</style>", " ")
+    val s1 = regexp_replace(s0, s"(?s)<$sc[^>]*>.*?</$sc>", " ")
+    val s2 = regexp_replace(s1, s"(?s)<$st[^>]*>.*?</$st>", " ")
     val s3 = regexp_replace(s2, "(?s)<!--.*?-->", " ")
     val s4 = regexp_replace(s3, "(?s)<[^>]*>", " ")
     val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(s4) { case (c, (k, v)) => replace(c, lit(k), lit(v)) }
-    trim(regexp_replace(ent, "\\s+", " "))
+    trim(regexp_replace(ent, "[ \\t\\n\\r\\f\\x0B]+", " "))
   }
 
   /** Whitespace token count. */

@@ -375,11 +375,14 @@ class TextOpsSpec extends SparkSpec {
       "<SCRIPT type=\"module\">s</SCRIPT><STYLE media=x>c</STYLE>kept",
       // multiline block bodies (dotall) + whitespace collapse
       "<p>a</p>\n<script>\nline1\nline2\n</script>\n<p>b</p>",
+      // vertical tab is in the explicit whitespace class (Java \s has
+      // it, RE2 \s doesn't — the class keeps both engines identical)
+      "a\u000B\u000Bb",
       null).toDF("h")
       .select(TextOps.extractHtmlText(encode(col("h"), "UTF-8")).as("t"))
       .as[Option[String]].collect().toSeq
     assert(got == Seq(Some("Hello &'world'"), Some("x &lt; y"),
-      Some("kept"), Some("a b"), None))
+      Some("kept"), Some("a b"), Some("a b"), None))
   }
 
   test("extractHtmlText round-trips PagesGen html to byte-identical text " +
@@ -392,11 +395,12 @@ class TextOpsSpec extends SparkSpec {
     // (perturb kind 0) are excluded from the byte-identity claim...
     val canon = df.filter(!col("text").rlike("(^\\s)|(\\s$)|\\s{2}"))
     assert(canon.count() > 300)
-    assert(canon.filter(
-      TextOps.extractHtmlText(col("html")) =!= col("text")).count() == 0)
+    // null-safe inequality: =!= would pass vacuously on a null extract
+    assert(canon.filter(!(
+      TextOps.extractHtmlText(col("html")) <=> col("text"))).count() == 0)
     // ...but EVERY row, noise included, matches after canonical collapse
-    assert(df.filter(TextOps.extractHtmlText(col("html")) =!=
-      trim(regexp_replace(col("text"), "\\s+", " "))).count() == 0)
+    assert(df.filter(!(TextOps.extractHtmlText(col("html")) <=>
+      trim(regexp_replace(col("text"), "\\s+", " ")))).count() == 0)
   }
 
   test("keepBest: highest score wins, ties break to the smaller id; " +
