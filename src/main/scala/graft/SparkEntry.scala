@@ -457,6 +457,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // same scenario through the bloom gate: a corpus-side bloom filter
+    // (built once, reused per batch) prefilters the batch's distinct
+    // hashes map-side; the exact hash join behind it removes bloom false
+    // positives, so the output — and the DuckDB oracle — are identical
+    // to q_incr_dedup's
+    "q_incr_dedup_bloom" -> ((s, dir) => {
+      import graft.textops.TextOps
+      val corpus = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val recrawl = corpus.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      val fresh = corpus.filter(col("doc_id") % 3 === 1)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" fresh addendum")).as("text"))
+      val freshDup = fresh
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val batch = recrawl.unionByName(fresh).unionByName(freshDup)
+      val bloom = TextOps.corpusTextBloom(corpus, "text",
+        expectedItems = 20000L, fpp = 0.01)
+      TextOps.dedupeAgainstCorpus(batch, corpus, "doc_id", "text",
+        corpusBloom = Some(bloom))
+        .orderBy(col("doc_id"))
+    }),
+
     // exact dedup (hash-groupBy) over documents ∪ shifted-id copy
     "q_exact_text_dedup" -> ((s, dir) => {
       import graft.textops.TextOps
@@ -1576,6 +1600,25 @@ object SparkEntry {
     // independent rebuild of the batch-vs-corpus dedup: DuckDB joins on
     // the raw text (exactly what the 256-bit hash join stands in for)
     "q_incr_dedup" ->
+      """WITH b AS (
+        |  SELECT doc_id + 2000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text || ' fresh addendum'
+        |  FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, text || ' fresh addendum'
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |m AS (SELECT text, min(doc_id) AS rep FROM b GROUP BY text),
+        |c AS (SELECT DISTINCT text FROM documents)
+        |SELECT b.doc_id, (c.text IS NOT NULL) AS in_corpus, m.rep,
+        |       (c.text IS NULL AND b.doc_id = m.rep) AS keep
+        |FROM b JOIN m USING (text) LEFT JOIN c ON b.text = c.text
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // the bloom gate is an exactness-preserving prefilter, so the bloom
+    // variant answers to the very same relational spec
+    "q_incr_dedup_bloom" ->
       """WITH b AS (
         |  SELECT doc_id + 2000000 AS doc_id, text
         |  FROM documents WHERE doc_id % 3 = 0

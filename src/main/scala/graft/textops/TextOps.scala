@@ -267,11 +267,24 @@ object TextOps {
    * none. strongHash=false uses xxhash64 (8 bytes, 4× less shuffle
    * weight) for modest corpora — same documented 2^-64-per-pair caveat
    * as [[exactDupes]].
+   *
+   * corpusBloom (from [[corpusTextBloom]], built ONCE offline and reused
+   * across batches like StreamMatch's persisted canon index) prefilters
+   * the batch's distinct hashes map-side before the membership probe:
+   * bloom-negative hashes are DEFINITIVELY absent from the corpus (a
+   * bloom has no false negatives), so the broadcast/semi-join side
+   * shrinks from |batch-distinct| to |batch∩corpus| + fpp·|batch| — the
+   * regime where the batch itself is broadcast-hostile but its
+   * corpus-overlap is not. Bloom false positives are eliminated by the
+   * unchanged exact hash semi-join behind the gate, so the output is
+   * bit-identical with and without the bloom (asserted in TextOpsSpec;
+   * both twinned by the same DuckDB oracle, q_incr_dedup[_bloom]).
    */
   def dedupeAgainstCorpus(batch: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String,
       broadcastBatchHashes: Boolean = true,
-      strongHash: Boolean = true): DataFrame = {
+      strongHash: Boolean = true,
+      corpusBloom: Option[Array[Byte]] = None): DataFrame = {
     def th(c: Column) = if (strongHash) unhex(sha2(c, 256)) else xxhash64(c)
     // bh feeds three consumers (winner groupBy, distinct broadcast, final
     // probe): snapshot so the full-text hash scan runs once, not 3×
@@ -282,13 +295,22 @@ object TextOps {
     val ch = corpus.filter(col(textCol).isNotNull)
       .select(th(col(textCol)).as("th"))
     val reps = bh.groupBy("th").agg(min("id").as("rep"))
+    // probe side: the batch's distinct hashes, bloom-prefiltered when a
+    // corpus bloom is supplied (negatives are truly absent — skipping
+    // them cannot change in_corpus; positives still face the exact join)
+    val probe = corpusBloom match {
+      case Some(bf) => bh.select("th").distinct()
+        .filter(org.apache.spark.sql.GraftBridge.bloomMightContain(
+          bf, xxhash64(col("th"))))
+      case None => bh.select("th").distinct()
+    }
     // hashes present in BOTH batch and corpus; distinct because the
     // corpus may itself hold duplicate texts and this feeds a left join
     val hits =
       if (broadcastBatchHashes)
-        ch.join(broadcast(bh.select("th").distinct()), Seq("th"), "left_semi")
+        ch.join(broadcast(probe), Seq("th"), "left_semi")
           .distinct()                  // batch-bounded, partial-agg'd map-side
-      else ch.distinct().join(bh.select("th").distinct(), Seq("th"), "left_semi")
+      else ch.distinct().join(probe, Seq("th"), "left_semi")
     val flagSide = hits.withColumn("in_corpus", lit(true))
     bh.join(reps, "th")
       .join(if (broadcastBatchHashes) broadcast(flagSide) else flagSide,
@@ -298,6 +320,31 @@ object TextOps {
         col("rep"),
         (!coalesce(col("in_corpus"), lit(false)) && col("id") === col("rep"))
           .as("keep"))
+  }
+
+  /**
+   * One-pass corpus bloom filter over text hashes for
+   * [[dedupeAgainstCorpus]]'s bloom gate. The filter key is
+   * xxhash64(th(text)) — derived from the SAME th the exact join uses, so
+   * the two stay consistent for either strongHash setting. Sized by
+   * expectedItems/fpp via the sketch library's own optimal-bits formula;
+   * at 10^9 corpus texts and 1% fpp that is ~1.2 GB — at that point build
+   * per-partition-range blooms instead, but the driver-literal shape here
+   * matches how Spark ships its own runtime join filters. The aggregate
+   * is a map-side TypedImperativeAggregate: the corpus scan emits one
+   * serialized filter per partition and the merge ORs bit vectors — no
+   * row ever shuffles.
+   */
+  def corpusTextBloom(corpus: DataFrame, textCol: String,
+      expectedItems: Long, fpp: Double = 0.01,
+      strongHash: Boolean = true): Array[Byte] = {
+    def th(c: Column) = if (strongHash) unhex(sha2(c, 256)) else xxhash64(c)
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    corpus.filter(col(textCol).isNotNull)
+      .select(org.apache.spark.sql.GraftBridge.bloomAgg(
+        xxhash64(th(col(textCol))), expectedItems, numBits).as("bf"))
+      .head().getAs[Array[Byte]](0)
   }
 
   /**

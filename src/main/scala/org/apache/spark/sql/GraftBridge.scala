@@ -1,6 +1,8 @@
 package org.apache.spark.sql
 
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.types.BinaryType
 
 /** Bridge into `private[sql]` surface: wrap a Catalyst Expression into a
   * public Column (Spark 4.x hides the Column(expr) constructor behind
@@ -9,4 +11,19 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Bloom-filter aggregate over a LongType column (the same Catalyst
+    * aggregate Spark's own InjectRuntimeFilter builds its runtime join
+    * filters from — not exposed in the public functions API, hence this
+    * bridge). Returns the serialized filter as one binary value. */
+  def bloomAgg(child: Column, expectedItems: Long, numBits: Long): Column =
+    column(new BloomFilterAggregate(expression(child),
+      Literal(expectedItems), Literal(numBits), 0, 0).toAggregateExpression())
+
+  /** Membership probe against a driver-collected serialized bloom filter,
+    * shipped to executors as a literal (the same way runtime join filters
+    * travel: a scalar result, broadcast with the task binary). May return
+    * false positives, never false negatives. */
+  def bloomMightContain(bloom: Array[Byte], value: Column): Column =
+    column(BloomFilterMightContain(Literal(bloom, BinaryType), expression(value)))
 }

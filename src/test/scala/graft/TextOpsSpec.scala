@@ -446,6 +446,36 @@ class TextOpsSpec extends SparkSpec {
     assert(run(bcast = false, strong = true) == got)
     assert(run(bcast = true, strong = false) == got)
     assert(run(bcast = false, strong = false) == got)
+    // bloom gate: bit-identical output on every hash/join combination
+    // (false positives die at the exact join; negatives are truly absent)
+    for (strong <- Seq(true, false); bcast <- Seq(true, false)) {
+      val bf = TextOps.corpusTextBloom(corpus, "text",
+        expectedItems = 100L, fpp = 0.01, strongHash = strong)
+      assert(TextOps.dedupeAgainstCorpus(batch, corpus, "id", "text",
+          broadcastBatchHashes = bcast, strongHash = strong,
+          corpusBloom = Some(bf))
+        .as[(Long, Boolean, Long, Boolean)].collect().sortBy(_._1).toSeq
+        == got, s"bloom path diverged at strong=$strong bcast=$bcast")
+    }
+  }
+
+  test("corpusTextBloom: no false negatives ever; false-positive rate " +
+      "on disjoint probes stays near the configured fpp") {
+    import spark.implicits._
+    import graft.textops.TextOps
+    val corpus = (0 until 2000).map(i => (i.toLong, s"corpus text $i"))
+      .toDF("id", "text")
+    val bf = TextOps.corpusTextBloom(corpus, "text",
+      expectedItems = 2000L, fpp = 0.01)
+    val probe = org.apache.spark.sql.GraftBridge.bloomMightContain(
+      bf, xxhash64(unhex(sha2(col("text"), 256))))
+    // every corpus text MUST probe positive (bloom guarantee)
+    assert(corpus.filter(!probe).count() == 0)
+    // disjoint probes: positives are bloom false positives only; at 1%
+    // fpp over 10k probes, 3% is a >6-sigma ceiling
+    val disjoint = (0 until 10000).map(i => s"novel probe $i").toDF("text")
+    val fp = disjoint.filter(probe).count()
+    assert(fp < 300, s"false-positive count $fp out of 10000 at fpp=0.01")
   }
 
   test("spanDedupe: hashGrams scale path returns the identical result") {
