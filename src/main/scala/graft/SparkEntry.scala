@@ -481,6 +481,38 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // WARC ingest framing: each doc becomes a two-record WARC blob
+    // (warcinfo + HTTP response) whose BODY contains a "WARC/1.0" decoy
+    // line — only Content-Length-driven framing (never marker splitting)
+    // recovers the rows the oracle derives from the fixture construction
+    "q_warc_ingest" -> ((s, dir) => {
+      import graft.io.Warc
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("text").isNotNull)
+        .repartition(s.sparkContext.defaultParallelism)
+      val url = concat(lit("https://crawl.example/doc/"),
+        col("doc_id").cast("string"))
+      val date = concat(lit("2024-03-01T10:15:"),
+        lpad((col("doc_id") % 60).cast("string"), 2, "0"), lit("Z"))
+      val body = concat(col("text"), lit("\nquote WARC/1.0 not a record"))
+      val http = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n\r\n"),
+        body)
+      val warcinfo = lit("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+        "Content-Length: 17\r\n\r\nsoftware: graft\r\n\r\n\r\n")
+      val resp = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), url,
+        lit("\r\nWARC-Date: "), date,
+        lit("\r\nContent-Length: "), octet_length(http).cast("string"),
+        lit("\r\n\r\n"), http, lit("\r\n\r\n"))
+      val blobs = docs.select(encode(concat(warcinfo, resp), "UTF-8").as("blob"))
+      Warc.records(blobs, "blob")
+        .filter(col("record_type") === "response")
+        .select(col("url"), col("warc_date"),
+          decode(col("body"), "UTF-8").as("text_out"))
+        .orderBy(col("url"))
+    }),
+
     // exact dedup (hash-groupBy) over documents ∪ shifted-id copy
     "q_exact_text_dedup" -> ((s, dir) => {
       import graft.textops.TextOps
@@ -1615,6 +1647,19 @@ object SparkEntry {
         |       (c.text IS NULL AND b.doc_id = m.rep) AS keep
         |FROM b JOIN m USING (text) LEFT JOIN c ON b.text = c.text
         |ORDER BY b.doc_id""".stripMargin,
+
+    // structural oracle for the WARC framing: the oracle does not parse
+    // the archive — it independently derives what a correct
+    // Content-Length-driven parse of the fixture construction MUST yield
+    // (url, raw date header, http-stripped body), so any framing slip
+    // (marker splitting on the decoy, off-by-one lengths, header bleed,
+    // warcinfo leak-through) lands as a mismatch
+    "q_warc_ingest" ->
+      raw"""SELECT 'https://crawl.example/doc/' || doc_id AS url,
+        |  '2024-03-01T10:15:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z' AS warc_date,
+        |  text || e'\nquote WARC/1.0 not a record' AS text_out
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY url""".stripMargin,
 
     // the bloom gate is an exactness-preserving prefilter, so the bloom
     // variant answers to the very same relational spec

@@ -1,0 +1,123 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * WARC ingest — Common Crawl's native archive format (ISO 28500†, the
+ * public WARC 1.0/1.1 spec). Turns `*.warc` files into the engine's
+ * canonical page table (url, warc_ts, html, text, lang) — the shape every
+ * downstream operator consumes.
+ *
+ * Scale shape: the split unit is the FILE (Common Crawl ships ~1 GB warc
+ * segments; record offsets are unknowable without scanning, and the
+ * production `.warc.gz` form is a chain of per-record gzip members that is
+ * not byte-splittable anyway†). `binaryFile` hands each file to one task —
+ * at 100 TB that is ~100k files across the cluster, and parallelism comes
+ * from file count exactly as in every public CC processing stack. The
+ * scanner itself is the honest `flatMap` case: a length-prefixed record
+ * walk is genuinely imperative per-file logic (the records() framing is
+ * driven by Content-Length, NOT by searching for "WARC/1.0" markers, so
+ * payloads that themselves contain WARC banners parse correctly —
+ * asserted in WarcSpec and by the q_warc_ingest decoy). Gzip member
+ * decoding would wrap the same scanner behind a GZIPInputStream; the
+ * sandbox exercises uncompressed WARC.
+ */
+object Warc {
+
+  /** One parsed record. `body` is the record payload with the HTTP
+    * response envelope already stripped for `response` records (WARC
+    * stores the full HTTP message; page bytes start after its header
+    * block); other types carry the raw payload. `warc_date` stays the
+    * raw header string — the caller chooses the timestamp semantics. */
+  case class WarcRecord(url: String, warc_date: String,
+      record_type: String, body: Array[Byte])
+
+  private val CRLFCRLF = "\r\n\r\n".getBytes(StandardCharsets.US_ASCII)
+
+  private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
+    var i = from
+    val last = hay.length - needle.length
+    while (i <= last) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Length-driven scan of one WARC blob (a file, or one gzip member).
+    * Strict by design: a malformed header block or a Content-Length
+    * overrunning the blob is a corrupt archive and fails loudly rather
+    * than silently dropping the tail of a crawl segment. */
+  def scan(bytes: Array[Byte]): Seq[WarcRecord] = {
+    val out = scala.collection.mutable.ListBuffer[WarcRecord]()
+    var pos = 0
+    val n = bytes.length
+    while (pos < n) {
+      val hdrEnd = indexOf(bytes, CRLFCRLF, pos)
+      require(hdrEnd >= 0, s"truncated WARC header block at offset $pos")
+      // headers are ASCII per spec; ISO-8859-1 is byte-transparent
+      val headerText =
+        new String(bytes, pos, hdrEnd - pos, StandardCharsets.ISO_8859_1)
+      val lines = headerText.split("\r\n", -1)
+      require(lines.head.startsWith("WARC/"),
+        s"expected WARC version line at offset $pos, got '${lines.head.take(32)}'")
+      val headers = lines.tail.flatMap { line =>
+        val i = line.indexOf(':')
+        if (i < 0) None
+        else Some(line.substring(0, i).trim.toLowerCase ->
+          line.substring(i + 1).trim)
+      }.toMap
+      val len = headers.getOrElse("content-length",
+        sys.error(s"WARC record at offset $pos missing Content-Length")).toInt
+      val bodyStart = hdrEnd + CRLFCRLF.length
+      require(bodyStart + len <= n,
+        s"WARC payload overruns blob: offset $pos declares $len bytes")
+      val recType = headers.getOrElse("warc-type", "")
+      val payload = java.util.Arrays.copyOfRange(bytes, bodyStart, bodyStart + len)
+      val body =
+        if (recType == "response" && payload.length >= 5 &&
+            new String(payload, 0, 5, StandardCharsets.US_ASCII) == "HTTP/") {
+          val split = indexOf(payload, CRLFCRLF, 0)
+          if (split < 0) payload
+          else java.util.Arrays.copyOfRange(payload, split + 4, payload.length)
+        } else payload
+      out += WarcRecord(headers.getOrElse("warc-target-uri", null),
+        headers.getOrElse("warc-date", null), recType, body)
+      pos = bodyStart + len
+      // spec: two CRLFs terminate the record; tolerate \n-only writers
+      while (pos < n && (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
+    }
+    out.toSeq
+  }
+
+  /** Explode a DataFrame of WARC blobs into records — the scanner behind
+    * both [[readWarc]] and the contract query (q_warc_ingest), so the
+    * oracle exercises the exact framing logic production files hit. */
+  def records(blobs: DataFrame, blobCol: String): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col(blobCol)).as[Array[Byte]].flatMap(scan _).toDF()
+  }
+
+  /** `*.warc` files → the canonical page table (url, warc_ts, html, text,
+    * lang): response records only, WARC-Date parsed as the ISO-8601
+    * instant the spec mandates (ANSI mode makes a malformed date a loud
+    * failure), text via the codegen'd HTML extractor, lang via the
+    * stopword voter — so a crawl ingests straight into every dedupe /
+    * curation operator downstream. */
+  def readWarc(spark: SparkSession, path: String): DataFrame = {
+    import graft.textops.TextOps
+    val recs = records(
+      spark.read.format("binaryFile").load(path), "content")
+    recs.filter(col("record_type") === "response")
+      .select(col("url"),
+        to_timestamp(col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX").as("warc_ts"),
+        col("body").as("html"))
+      .withColumn("text", TextOps.extractHtmlText(col("html")))
+      .withColumn("lang", TextOps.langId(col("text")))
+  }
+}
