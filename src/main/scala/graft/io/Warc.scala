@@ -35,6 +35,7 @@ object Warc {
       record_type: String, body: Array[Byte])
 
   private val CRLFCRLF = "\r\n\r\n".getBytes(StandardCharsets.US_ASCII)
+  private val LFLF = "\n\n".getBytes(StandardCharsets.US_ASCII)
 
   private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
     var i = from
@@ -81,9 +82,16 @@ object Warc {
       val body =
         if (recType == "response" && payload.length >= 5 &&
             new String(payload, 0, 5, StandardCharsets.US_ASCII) == "HTTP/") {
-          val split = indexOf(payload, CRLFCRLF, 0)
+          // header/body split: CRLFCRLF per RFC, but WARC preserves raw
+          // bytes and bare-LF servers exist — tolerate LFLF like the
+          // record-terminator skip does, preferring whichever comes first
+          val crlf = indexOf(payload, CRLFCRLF, 0)
+          val lf = indexOf(payload, LFLF, 0)
+          val (split, sep) =
+            if (crlf >= 0 && (lf < 0 || crlf < lf)) (crlf, 4)
+            else (lf, 2)
           if (split < 0) payload
-          else java.util.Arrays.copyOfRange(payload, split + 4, payload.length)
+          else java.util.Arrays.copyOfRange(payload, split + sep, payload.length)
         } else payload
       out += WarcRecord(headers.getOrElse("warc-target-uri", null),
         headers.getOrElse("warc-date", null), recType, body)
@@ -105,17 +113,22 @@ object Warc {
 
   /** `*.warc` files → the canonical page table (url, warc_ts, html, text,
     * lang): response records only, WARC-Date parsed as the ISO-8601
-    * instant the spec mandates (ANSI mode makes a malformed date a loud
-    * failure), text via the codegen'd HTML extractor, lang via the
-    * stopword voter — so a crawl ingests straight into every dedupe /
-    * curation operator downstream. */
-  def readWarc(spark: SparkSession, path: String): DataFrame = {
+    * instant the spec mandates — including WARC 1.1's optional fractional
+    * seconds (ANSI mode makes a genuinely malformed date a loud failure),
+    * text via the codegen'd HTML extractor, lang via the stopword voter —
+    * so a crawl ingests straight into every dedupe / curation operator
+    * downstream. `glob` keeps sidecar files (_SUCCESS markers, manifests,
+    * checksums) commonly co-located with crawl output out of the scan. */
+  def readWarc(spark: SparkSession, path: String,
+      glob: String = "*.warc"): DataFrame = {
     import graft.textops.TextOps
     val recs = records(
-      spark.read.format("binaryFile").load(path), "content")
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob).load(path), "content")
     recs.filter(col("record_type") === "response")
       .select(col("url"),
-        to_timestamp(col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX").as("warc_ts"),
+        to_timestamp(col("warc_date"),
+          "yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS]X").as("warc_ts"),
         col("body").as("html"))
       .withColumn("text", TextOps.extractHtmlText(col("html")))
       .withColumn("lang", TextOps.langId(col("text")))

@@ -268,23 +268,33 @@ object TextOps {
    * weight) for modest corpora — same documented 2^-64-per-pair caveat
    * as [[exactDupes]].
    *
-   * corpusBloom (from [[corpusTextBloom]], built ONCE offline and reused
-   * across batches like StreamMatch's persisted canon index) prefilters
-   * the batch's distinct hashes map-side before the membership probe:
-   * bloom-negative hashes are DEFINITIVELY absent from the corpus (a
-   * bloom has no false negatives), so the broadcast/semi-join side
-   * shrinks from |batch-distinct| to |batch∩corpus| + fpp·|batch| — the
-   * regime where the batch itself is broadcast-hostile but its
-   * corpus-overlap is not. Bloom false positives are eliminated by the
-   * unchanged exact hash semi-join behind the gate, so the output is
-   * bit-identical with and without the bloom (asserted in TextOpsSpec;
-   * both twinned by the same DuckDB oracle, q_incr_dedup[_bloom]).
+   * corpusBloom (from [[corpusTextBloom]]) prefilters the batch's
+   * distinct hashes map-side before the membership probe: bloom-negative
+   * hashes are DEFINITIVELY absent from the corpus (a bloom has no false
+   * negatives), so the broadcast/semi-join side shrinks from
+   * |batch-distinct| to |batch∩corpus| + fpp·|batch| — the regime where
+   * the batch itself is broadcast-hostile but its corpus-overlap is not.
+   * Bloom false positives are eliminated by the unchanged exact hash
+   * semi-join behind the gate, so the output is bit-identical with and
+   * without the bloom (asserted in TextOpsSpec; both twinned by the same
+   * DuckDB oracle, q_incr_dedup[_bloom]). VALIDITY CONTRACT: the
+   * no-false-negative guarantee holds only for a bloom covering the
+   * corpus state actually passed — after appending a batch's kept docs to
+   * the corpus, extend the bloom too ([[CorpusBloom.merge]] with the
+   * batch's own bloom, or rebuild); probing corpus@t+1 with bloom@t
+   * silently re-ingests duplicates of the appended docs. The bloom also
+   * carries its hash mode and this method fails loudly on a mismatch —
+   * mismatched key domains would make every probe a false negative.
    */
   def dedupeAgainstCorpus(batch: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String,
       broadcastBatchHashes: Boolean = true,
       strongHash: Boolean = true,
-      corpusBloom: Option[Array[Byte]] = None): DataFrame = {
+      corpusBloom: Option[CorpusBloom] = None): DataFrame = {
+    corpusBloom.foreach(cb => require(cb.strongHash == strongHash,
+      s"corpusBloom was built with strongHash=${cb.strongHash} but this " +
+        s"dedupe uses strongHash=$strongHash: the bloom key domains " +
+        "differ, every probe would be a silent false negative"))
     def th(c: Column) = if (strongHash) unhex(sha2(c, 256)) else xxhash64(c)
     // bh feeds three consumers (winner groupBy, distinct broadcast, final
     // probe): snapshot so the full-text hash scan runs once, not 3×
@@ -299,9 +309,9 @@ object TextOps {
     // corpus bloom is supplied (negatives are truly absent — skipping
     // them cannot change in_corpus; positives still face the exact join)
     val probe = corpusBloom match {
-      case Some(bf) => bh.select("th").distinct()
+      case Some(cb) => bh.select("th").distinct()
         .filter(org.apache.spark.sql.GraftBridge.bloomMightContain(
-          bf, xxhash64(col("th"))))
+          cb.filter, xxhash64(col("th"))))
       case None => bh.select("th").distinct()
     }
     // hashes present in BOTH batch and corpus; distinct because the
@@ -322,11 +332,34 @@ object TextOps {
           .as("keep"))
   }
 
+  /** A serialized corpus bloom filter TAGGED with the hash mode it was
+    * built under, so [[dedupeAgainstCorpus]] can reject a mismatched
+    * probe loudly instead of returning silent false negatives. */
+  case class CorpusBloom(filter: Array[Byte], strongHash: Boolean) {
+    /** OR-merge with a bloom built over appended texts (same strongHash
+      * AND the same expectedItems/fpp sizing, so the bit arrays line up —
+      * the sketch library rejects incompatible layouts loudly). This is
+      * how the filter tracks a growing corpus without a rebuild: bloom
+      * bits only ever turn on, so the merge preserves no-false-negatives
+      * over the union. */
+    def merge(other: CorpusBloom): CorpusBloom = {
+      require(other.strongHash == strongHash,
+        "cannot merge blooms built under different hash modes")
+      import org.apache.spark.util.sketch.BloomFilter
+      val a = BloomFilter.readFrom(filter)
+      a.mergeInPlace(BloomFilter.readFrom(other.filter))
+      val out = new java.io.ByteArrayOutputStream()
+      a.writeTo(out)
+      CorpusBloom(out.toByteArray, strongHash)
+    }
+  }
+
   /**
    * One-pass corpus bloom filter over text hashes for
    * [[dedupeAgainstCorpus]]'s bloom gate. The filter key is
    * xxhash64(th(text)) — derived from the SAME th the exact join uses, so
-   * the two stay consistent for either strongHash setting. Sized by
+   * the two stay consistent for either strongHash setting (and the
+   * returned [[CorpusBloom]] records which one). Sized by
    * expectedItems/fpp via the sketch library's own optimal-bits formula;
    * at 10^9 corpus texts and 1% fpp that is ~1.2 GB — at that point build
    * per-partition-range blooms instead, but the driver-literal shape here
@@ -334,17 +367,45 @@ object TextOps {
    * is a map-side TypedImperativeAggregate: the corpus scan emits one
    * serialized filter per partition and the merge ORs bit vectors — no
    * row ever shuffles.
+   *
+   * Two silent-degradation modes of the raw Catalyst aggregate are closed
+   * here: (a) it Math.min-caps items/bits at
+   * spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits
+   * (defaults 4M items / 8 MB) — a 10^9-item request would silently
+   * saturate to fpp≈1 and the gate would degrade to pure overhead, so the
+   * confs are raised to the requested size for the build and restored
+   * after; (b) it returns NULL over an empty corpus — callers persisting
+   * the filter would NPE later, so an empty corpus yields a valid empty
+   * filter (every probe negative: correct, nothing is in the corpus).
    */
   def corpusTextBloom(corpus: DataFrame, textCol: String,
       expectedItems: Long, fpp: Double = 0.01,
-      strongHash: Boolean = true): Array[Byte] = {
+      strongHash: Boolean = true): CorpusBloom = {
     def th(c: Column) = if (strongHash) unhex(sha2(c, 256)) else xxhash64(c)
-    val numBits = org.apache.spark.util.sketch.BloomFilter
-      .optimalNumOfBits(expectedItems, fpp)
-    corpus.filter(col(textCol).isNotNull)
-      .select(org.apache.spark.sql.GraftBridge.bloomAgg(
-        xxhash64(th(col(textCol))), expectedItems, numBits).as("bf"))
-      .head().getAs[Array[Byte]](0)
+    import org.apache.spark.util.sketch.BloomFilter
+    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val conf = corpus.sparkSession.conf
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (oldItems, oldBits) = (conf.get(itemsKey), conf.get(bitsKey))
+    val bytes = try {
+      conf.set(itemsKey, math.max(oldItems.toLong, expectedItems).toString)
+      conf.set(bitsKey, math.max(oldBits.toLong, numBits).toString)
+      corpus.filter(col(textCol).isNotNull)
+        .select(org.apache.spark.sql.GraftBridge.bloomAgg(
+          xxhash64(th(col(textCol))), expectedItems, numBits).as("bf"))
+        .head().getAs[Array[Byte]](0)
+    } finally {
+      conf.set(itemsKey, oldItems)
+      conf.set(bitsKey, oldBits)
+    }
+    val safe = if (bytes != null) bytes else {
+      val empty = BloomFilter.create(expectedItems, fpp)
+      val out = new java.io.ByteArrayOutputStream()
+      empty.writeTo(out)
+      out.toByteArray
+    }
+    CorpusBloom(safe, strongHash)
   }
 
   /**

@@ -468,7 +468,7 @@ class TextOpsSpec extends SparkSpec {
     val bf = TextOps.corpusTextBloom(corpus, "text",
       expectedItems = 2000L, fpp = 0.01)
     val probe = org.apache.spark.sql.GraftBridge.bloomMightContain(
-      bf, xxhash64(unhex(sha2(col("text"), 256))))
+      bf.filter, xxhash64(unhex(sha2(col("text"), 256))))
     // every corpus text MUST probe positive (bloom guarantee)
     assert(corpus.filter(!probe).count() == 0)
     // disjoint probes: positives are bloom false positives only; at 1%
@@ -476,6 +476,57 @@ class TextOpsSpec extends SparkSpec {
     val disjoint = (0 until 10000).map(i => s"novel probe $i").toDF("text")
     val fp = disjoint.filter(probe).count()
     assert(fp < 300, s"false-positive count $fp out of 10000 at fpp=0.01")
+  }
+
+  test("corpusTextBloom hardening: hash-mode mismatch fails loudly, " +
+      "oversize requests don't silently saturate, empty corpus gives a " +
+      "valid all-negative filter, merge tracks an appended corpus") {
+    import spark.implicits._
+    import graft.textops.TextOps
+    val corpus = (0 until 100).map(i => (i.toLong, s"seed text $i"))
+      .toDF("id", "text")
+    val batch = Seq((900L, Some("seed text 1")), (901L, Some("brand new")))
+      .toDF("id", "text")
+    // (a) strongHash mismatch must be rejected, not silently all-negative
+    val weak = TextOps.corpusTextBloom(corpus, "text", 100L,
+      strongHash = false)
+    val e = intercept[IllegalArgumentException] {
+      TextOps.dedupeAgainstCorpus(batch, corpus, "id", "text",
+        corpusBloom = Some(weak))
+    }
+    assert(e.getMessage.contains("strongHash"))
+    // (b) expectedItems above the runtime-filter conf cap (4M) must keep
+    // its fpp: 100 items in a 10M-sized filter can't all-positive a
+    // disjoint probe set (a silently 8MB-capped filter would be fine too
+    // — the real assertion is that the build doesn't throw and stays
+    // correct; saturation is impossible at this count either way)
+    val big = TextOps.corpusTextBloom(corpus, "text", 10_000_000L, 0.01)
+    val probeBig = org.apache.spark.sql.GraftBridge.bloomMightContain(
+      big.filter, xxhash64(unhex(sha2(col("text"), 256))))
+    assert(corpus.filter(!probeBig).count() == 0)
+    val disjoint = (0 until 2000).map(i => s"other $i").toDF("text")
+    assert(disjoint.filter(probeBig).count() < 60)
+    // conf restored after the build
+    assert(spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+      <= 4000000L)
+    // (c) empty corpus: valid filter, everything negative, dedupe output
+    // identical to the no-bloom path (nothing is in the corpus)
+    val emptyCorpus = Seq.empty[(Long, String)].toDF("id", "text")
+    val ebf = TextOps.corpusTextBloom(emptyCorpus, "text", 100L)
+    assert(ebf.filter != null && ebf.filter.nonEmpty)
+    val got = TextOps.dedupeAgainstCorpus(batch, emptyCorpus, "id", "text",
+        corpusBloom = Some(ebf))
+      .as[(Long, Boolean, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((900L, false, 900L, true), (901L, false, 901L, true)))
+    // (d) corpus append: merging the appended texts' bloom (same sizing)
+    // restores no-false-negatives over the union
+    val appended = Seq((900L, "appended text")).toDF("id", "text")
+    val merged = TextOps.corpusTextBloom(corpus, "text", 100L)
+      .merge(TextOps.corpusTextBloom(appended, "text", 100L))
+    val probeM = org.apache.spark.sql.GraftBridge.bloomMightContain(
+      merged.filter, xxhash64(unhex(sha2(col("text"), 256))))
+    assert(corpus.unionByName(appended).filter(!probeM).count() == 0)
   }
 
   test("spanDedupe: hashGrams scale path returns the identical result") {

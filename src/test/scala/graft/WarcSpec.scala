@@ -64,26 +64,39 @@ class WarcSpec extends SparkSpec {
   }
 
   test("readWarc: *.warc files land as the canonical page table " +
-      "(url, warc_ts, html, text, lang) — responses only, timestamp " +
-      "parsed, text extracted, lang voted") {
+      "(url, warc_ts, html, text, lang) — responses only, timestamps " +
+      "with and without WARC 1.1 fractional seconds, LF-only http " +
+      "envelopes stripped, sidecar files ignored") {
     val html = "<html><body><p>the cat is in the house and it is warm</p></body></html>"
+    val html2 = "<html><body><p>der hund ist nicht auf der wiese und das ist gut</p></body></html>"
     val blob =
       rec("warcinfo", "software: graft\r\n") +
       rec("response",
         "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html,
         Map("WARC-Target-URI" -> "https://x.example/page",
-          "WARC-Date" -> "2024-03-01T10:15:42Z"))
+          "WARC-Date" -> "2024-03-01T10:15:42Z")) +
+      // WARC 1.1 fractional-second date + a bare-LF http envelope (WARC
+      // preserves raw bytes; non-CRLF servers exist)
+      rec("response",
+        "HTTP/1.1 200 OK\nContent-Type: text/html\n\n" + html2,
+        Map("WARC-Target-URI" -> "https://x.example/page2",
+          "WARC-Date" -> "2024-03-01T10:15:43.335Z"))
     val dir = java.nio.file.Files.createTempDirectory("warc_spec")
-    val f = dir.resolve("part-0.warc")
-    java.nio.file.Files.write(f, blob.getBytes(StandardCharsets.UTF_8))
+    java.nio.file.Files.write(dir.resolve("part-0.warc"),
+      blob.getBytes(StandardCharsets.UTF_8))
+    // crawl-output sidecar: must not abort the scan
+    java.nio.file.Files.write(dir.resolve("_SUCCESS"), Array.emptyByteArray)
     try {
       val got = Warc.readWarc(spark, dir.toString)
       assert(got.columns.toSeq == Seq("url", "warc_ts", "html", "text", "lang"))
-      val row = got.select(col("url"), col("warc_ts").cast("string"),
+      val rows = got.select(col("url"), col("warc_ts").cast("string"),
           decode(col("html"), "UTF-8"), col("text"), col("lang"))
-        .as[(String, String, String, String, String)].collect().toSeq
-      assert(row == Seq(("https://x.example/page", "2024-03-01 10:15:42",
-        html, "the cat is in the house and it is warm", "en")))
+        .as[(String, String, String, String, String)].collect().sortBy(_._1).toSeq
+      assert(rows == Seq(
+        ("https://x.example/page", "2024-03-01 10:15:42",
+          html, "the cat is in the house and it is warm", "en"),
+        ("https://x.example/page2", "2024-03-01 10:15:43.335",
+          html2, "der hund ist nicht auf der wiese und das ist gut", "de")))
     } finally {
       java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => java.nio.file.Files.delete(p))
