@@ -290,7 +290,13 @@ object TextOps {
       idCol: String, textCol: String,
       broadcastBatchHashes: Boolean = true,
       strongHash: Boolean = true,
-      corpusBloom: Option[CorpusBloom] = None): DataFrame = {
+      corpusBloom: Option[CorpusBloom] = None,
+      // the corpus side never contributes anything but hashes, so callers
+      // maintaining a persistent hash index (streaming.StreamIngest) name
+      // its PRECOMPUTED th column (same strongHash encoding) here and the
+      // full-text corpus never rescans; the batch side still hashes its
+      // own textCol
+      corpusHashCol: Option[String] = None): DataFrame = {
     corpusBloom.foreach(cb => require(cb.strongHash == strongHash,
       s"corpusBloom was built with strongHash=${cb.strongHash} but this " +
         s"dedupe uses strongHash=$strongHash: the bloom key domains " +
@@ -302,8 +308,11 @@ object TextOps {
       batch.filter(col(textCol).isNotNull)
         .select(col(idCol).as("id"), th(col(textCol)).as("th")),
       "incr_dedup_batch")
-    val ch = corpus.filter(col(textCol).isNotNull)
-      .select(th(col(textCol)).as("th"))
+    val ch = corpusHashCol match {
+      case Some(hc) => corpus.filter(col(hc).isNotNull).select(col(hc).as("th"))
+      case None => corpus.filter(col(textCol).isNotNull)
+        .select(th(col(textCol)).as("th"))
+    }
     val reps = bh.groupBy("th").agg(min("id").as("rep"))
     // probe side: the batch's distinct hashes, bloom-prefiltered when a
     // corpus bloom is supplied (negatives are truly absent — skipping
@@ -380,8 +389,16 @@ object TextOps {
    */
   def corpusTextBloom(corpus: DataFrame, textCol: String,
       expectedItems: Long, fpp: Double = 0.01,
-      strongHash: Boolean = true): CorpusBloom = {
-    def th(c: Column) = if (strongHash) unhex(sha2(c, 256)) else xxhash64(c)
+      strongHash: Boolean = true): CorpusBloom =
+    corpusTextBloomImpl(corpus, textCol, expectedItems, fpp, strongHash,
+      identityTh = false)
+
+  private def corpusTextBloomImpl(corpus: DataFrame, textCol: String,
+      expectedItems: Long, fpp: Double, strongHash: Boolean,
+      identityTh: Boolean): CorpusBloom = {
+    def th(c: Column) =
+      if (identityTh) c
+      else if (strongHash) unhex(sha2(c, 256)) else xxhash64(c)
     import org.apache.spark.util.sketch.BloomFilter
     val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
     val conf = corpus.sparkSession.conf
@@ -406,6 +423,22 @@ object TextOps {
       out.toByteArray
     }
     CorpusBloom(safe, strongHash)
+  }
+
+  /** [[corpusTextBloom]] over a PRECOMPUTED hash column (the th encoding
+    * of the given strongHash mode) instead of raw text — the restart path
+    * of a persistent hash index: the bloom key xxhash64(th) is identical,
+    * so a filter rebuilt here merges with / substitutes for one built
+    * from the original texts. */
+  def hashBloom(hashes: DataFrame, thCol: String,
+      expectedItems: Long, fpp: Double = 0.01,
+      strongHash: Boolean = true): CorpusBloom = {
+    val renamed = hashes.filter(col(thCol).isNotNull)
+      .select(col(thCol).as("__bloom_th"))
+    // reuse the hardened builder (conf raise, empty-corpus fallback) by
+    // treating the hash column as the "text" with an identity th
+    corpusTextBloomImpl(renamed, "__bloom_th", expectedItems, fpp,
+      strongHash, identityTh = true)
   }
 
   /**
