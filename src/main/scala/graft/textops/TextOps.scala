@@ -293,21 +293,30 @@ object TextOps {
       corpusBloom: Option[CorpusBloom] = None,
       // the corpus side never contributes anything but hashes, so callers
       // maintaining a persistent hash index (streaming.StreamIngest) name
-      // its PRECOMPUTED th column (same strongHash encoding) here and the
-      // full-text corpus never rescans; the batch side still hashes its
-      // own textCol
-      corpusHashCol: Option[String] = None): DataFrame = {
+      // its PRECOMPUTED th ([[textHash]]) column here and the full-text
+      // corpus never rescans; the batch side still hashes its own textCol
+      corpusHashCol: Option[String] = None,
+      // likewise for the batch side: a PRECOMPUTED th column the caller
+      // has already pinned (localCheckpoint/snapshot) — hashing and the
+      // multi-consumer snapshot below are then the caller's job, so text
+      // hashes exactly once even across several operator calls
+      batchHashCol: Option[String] = None): DataFrame = {
     corpusBloom.foreach(cb => require(cb.strongHash == strongHash,
       s"corpusBloom was built with strongHash=${cb.strongHash} but this " +
         s"dedupe uses strongHash=$strongHash: the bloom key domains " +
         "differ, every probe would be a silent false negative"))
-    def th(c: Column) = if (strongHash) unhex(sha2(c, 256)) else xxhash64(c)
+    def th(c: Column) = textHash(c, strongHash)
     // bh feeds three consumers (winner groupBy, distinct broadcast, final
     // probe): snapshot so the full-text hash scan runs once, not 3×
-    val bh = graft.pipeline.Dedupe.snapshotIfResolvable(batch.sparkSession,
-      batch.filter(col(textCol).isNotNull)
-        .select(col(idCol).as("id"), th(col(textCol)).as("th")),
-      "incr_dedup_batch")
+    val bh = batchHashCol match {
+      case Some(hc) => batch.filter(col(hc).isNotNull)
+        .select(col(idCol).as("id"), col(hc).as("th"))
+      case None => graft.pipeline.Dedupe.snapshotIfResolvable(
+        batch.sparkSession,
+        batch.filter(col(textCol).isNotNull)
+          .select(col(idCol).as("id"), th(col(textCol)).as("th")),
+        "incr_dedup_batch")
+    }
     val ch = corpusHashCol match {
       case Some(hc) => corpus.filter(col(hc).isNotNull).select(col(hc).as("th"))
       case None => corpus.filter(col(textCol).isNotNull)
@@ -340,6 +349,14 @@ object TextOps {
         (!coalesce(col("in_corpus"), lit(false)) && col("id") === col("rep"))
           .as("keep"))
   }
+
+  /** THE text-hash encoding of the incremental-dedup family — the single
+    * definition [[dedupeAgainstCorpus]], [[corpusTextBloom]] and
+    * streaming.StreamIngest's persistent hash index all share. Any
+    * divergence between producers and probers of these hashes is a
+    * silent-false-negative factory, so there is exactly one copy. */
+  def textHash(c: Column, strongHash: Boolean): Column =
+    if (strongHash) unhex(sha2(c, 256)) else xxhash64(c)
 
   /** A serialized corpus bloom filter TAGGED with the hash mode it was
     * built under, so [[dedupeAgainstCorpus]] can reject a mismatched
@@ -396,9 +413,7 @@ object TextOps {
   private def corpusTextBloomImpl(corpus: DataFrame, textCol: String,
       expectedItems: Long, fpp: Double, strongHash: Boolean,
       identityTh: Boolean): CorpusBloom = {
-    def th(c: Column) =
-      if (identityTh) c
-      else if (strongHash) unhex(sha2(c, 256)) else xxhash64(c)
+    def th(c: Column) = if (identityTh) c else textHash(c, strongHash)
     import org.apache.spark.util.sketch.BloomFilter
     val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
     val conf = corpus.sparkSession.conf

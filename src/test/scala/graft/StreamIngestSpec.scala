@@ -46,7 +46,7 @@ class StreamIngestSpec extends SparkSpec {
       val verdicts = scala.collection.mutable.Map.empty[Long, Set[(Long, Boolean, Long, Boolean)]]
       q = StreamIngest.start(spark, stream, "id", "text", stateDir,
           bloom0, 1000L, queryName = "graft_ingest_t1",
-          checkpointDir = Some(ckDir)) { (v, bid) =>
+          checkpointDir = ckDir) { (v, bid) =>
         verdicts(bid) = v.select("id", "in_corpus", "rep", "keep")
           .as[(Long, Boolean, Long, Boolean)].collect().toSet
       }
@@ -79,7 +79,7 @@ class StreamIngestSpec extends SparkSpec {
       val stream2 = spark.readStream.schema(schema).parquet(inDir)
       q = StreamIngest.start(spark, stream2, "id", "text", stateDir,
           bloom1, 1000L, queryName = "graft_ingest_t1r",
-          checkpointDir = Some(ckDir)) { (v, bid) =>
+          checkpointDir = ckDir) { (v, bid) =>
         verdicts(bid) = v.select("id", "in_corpus", "rep", "keep")
           .as[(Long, Boolean, Long, Boolean)].collect().toSet
       }
@@ -114,7 +114,8 @@ class StreamIngestSpec extends SparkSpec {
       q = StreamIngest.start(spark,
           spark.readStream.schema(schema).parquet(s"$root/in"),
           "id", "text", s"$root/state", bloom, 1000L,
-          queryName = "graft_ingest_t2") { (v, _) =>
+          queryName = "graft_ingest_t2",
+          checkpointDir = s"$root/ck") { (v, _) =>
         got ++= v.select("id", "in_corpus", "rep", "keep")
           .as[(Long, Boolean, Long, Boolean)].collect()
       }
@@ -127,6 +128,42 @@ class StreamIngestSpec extends SparkSpec {
       assert(got.toSet == expected)
     } finally {
       if (q != null && q.isActive) q.stop()
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
+  test("crash-replay guard: a replayed batch must not probe its own " +
+      "half-committed index subdir (upTo bound), while rebuildBloom's " +
+      "superset over the orphan stays safe") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest3")
+    try {
+      val stateDir = s"$root/state"
+      val seed = Seq((1L, "seed one")).toDF("id", "text")
+      StreamIngest.init(spark, stateDir, seed, "text")
+      // simulate a crash after batch 0's index commit but before the
+      // checkpoint commit: an orphan batch=1 subdir exists and batch 0
+      // will be replayed
+      Seq("orphan text").toDF("text")
+        .select(TextOps.textHash(col("text"), strongHash = true).as("th"))
+        .write.parquet(s"$stateDir/hash_index/batch=1")
+      // the replayed batch 0 probes only batch <= 0: the orphan hash is
+      // invisible (its own output), the seed hash is visible
+      val visible = StreamIngest.hashIndex(spark, stateDir, upTo = Some(0L))
+      assert(visible.count() == 1)
+      val all = StreamIngest.hashIndex(spark, stateDir)
+      assert(all.count() == 2)
+      // a verdict computed through the guard re-admits the orphan text
+      // (it was never durably committed from the checkpoint's view)
+      val batch = Seq((10L, "orphan text"), (11L, "seed one"))
+        .toDF("id", "text")
+      val bloom = StreamIngest.rebuildBloom(spark, stateDir, 100L)
+      val got = TextOps.dedupeAgainstCorpus(batch, visible, "id", "text",
+          corpusBloom = Some(bloom), corpusHashCol = Some("th"))
+        .select("id", "in_corpus", "rep", "keep")
+        .as[(Long, Boolean, Long, Boolean)].collect().toSet
+      assert(got == Set((10L, false, 10L, true), (11L, true, 11L, false)))
+    } finally {
       java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => java.nio.file.Files.delete(p))
     }
