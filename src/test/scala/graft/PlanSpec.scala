@@ -276,6 +276,58 @@ class PlanSpec extends SparkSpec {
         s"exchange carries a string payload column: ${a.name}")
   }
 
+  test("bloom gate is a map-side prefilter: might_contain sits below the " +
+      "distinct's exchange, on the partial-aggregate side") {
+    // the scale claim behind q_incr_dedup_bloom: the bloom probe runs in
+    // the scan stage BEFORE the batch's distinct-hash shuffle, so bloom
+    // negatives never enter an exchange. Catalyst pushes the
+    // deterministic filter below the aggregate; assert it actually did.
+    import graft.textops.TextOps
+    val plain = spark.newSession()
+    plain.conf.set("spark.sql.adaptive.enabled", "false")
+    val docs = plain.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    val bloom = TextOps.corpusTextBloom(docs, "text", 10000L)
+    val out = TextOps.dedupeAgainstCorpus(batch, docs, "doc_id", "text",
+      corpusBloom = Some(bloom))
+    val lines = out.queryExecution.executedPlan.toString.linesIterator.toSeq
+    val probeIdx = lines.indexWhere(_.contains("might_contain"))
+    assert(probeIdx >= 0, "bloom probe missing from the physical plan")
+    // deeper in the printed tree = closer to the scan; the probe filter
+    // must appear below at least one Exchange (the distinct's shuffle)
+    assert(lines.take(probeIdx).exists(_.contains("Exchange")),
+      s"bloom probe was not pushed below the distinct exchange:\n" +
+        lines.mkString("\n"))
+  }
+
+  test("extractHtmlText fuses with the scan: one codegen stage, no " +
+      "exchange, no codegen fallback") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = docs.select(col("doc_id"),
+      graft.textops.TextOps.extractHtmlText(
+        encode(col("text"), "UTF-8")).as("t"))
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"pure per-row extraction shuffled:\n$p")
+    assert(!p.contains("CodegenFallback"))
+    val projectLine = p.split('\n').find(_.contains("regexp_replace")).get
+    assert(projectLine.trim.startsWith("*("),
+      s"extraction chain must stay in whole-stage codegen: $projectLine")
+  }
+
+  test("Warc.records is a narrow per-file flatMap: no exchange anywhere") {
+    import java.nio.charset.StandardCharsets
+    val blob = ("WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: 4\r\n" +
+      "\r\nbody\r\n\r\n").getBytes(StandardCharsets.UTF_8)
+    import spark.implicits._
+    val df = Seq(blob).toDF("blob")
+    val out = graft.io.Warc.records(df, "blob")
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"record explosion must stay partition-local:\n$p")
+  }
+
   test("line-dedup hot-line anti join goes broadcast under AQE") {
     // dedupeLines' census side is the zipf head — small by construction.
     // The static planner can't know that (it's an aggregate), so the
