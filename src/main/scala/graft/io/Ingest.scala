@@ -39,7 +39,11 @@ object Ingest {
     // called record_id (leaving two identical synthetic columns after the
     // final select → AMBIGUOUS_REFERENCE downstream) and drop("_dup_seq")
     // would delete user data — fail fast with a clear message instead
-    val reserved = Seq("record_id", "_dup_seq").filter(cols.contains)
+    // case-INSENSITIVE: withColumn/drop resolve case-insensitively under
+    // the default spark.sql.caseSensitive=false, so 'Record_ID' would
+    // slip a case-sensitive guard and still get silently replaced
+    val reserved = Seq("record_id", "_dup_seq")
+      .filter(r => cols.exists(_.equalsIgnoreCase(r)))
     require(reserved.isEmpty,
       s"CSV header uses reserved column name(s) ${reserved.mkString(", ")}; " +
         "rename them before upload (record_id is synthesized from content)")

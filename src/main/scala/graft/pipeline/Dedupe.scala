@@ -134,14 +134,40 @@ object Dedupe {
   /** ephemeralSnapshot when a scratch base is resolvable, the input
     * unchanged otherwise — for library transformations (the TextOps dupe-
     * pair builders) where a missing scratch conf on a non-local master
-    * must degrade to recompute-per-consumer, not throw at plan-build time. */
+    * must degrade to recompute-per-consumer, not throw at plan-build time.
+    * Every path taken here is also recorded for [[reclaimLibraryScratch]]
+    * so long-lived drivers can reclaim between logical runs instead of
+    * waiting for JVM-exit deleteOnExit. */
   private[graft] def snapshotIfResolvable(spark: SparkSession, df: DataFrame,
       tag: String): DataFrame =
     scala.util.Try(resolveScratchBase(spark.sparkContext.master,
         spark.conf.getOption("spark.graft.scratchDir").filter(_.nonEmpty)))
       .toOption
-      .map(base => ephemeralSnapshot(spark, df, tag, Some(base)))
+      .map { base =>
+        val (out, path) = ephemeralSnapshotWithPath(spark, df, tag, Some(base))
+        librarySnapshots.synchronized { librarySnapshots += path }
+        out
+      }
       .getOrElse(df)
+
+  private val librarySnapshots = scala.collection.mutable.ListBuffer[String]()
+
+  /**
+   * Delete every scratch snapshot the TextOps-style library operators
+   * (minhash/simhash/span dedup, packShards, dedupeAgainstCorpus without
+   * the hash-col seams) have written so far in this JVM. deleteOnExit
+   * only reclaims at exit, so a long-lived driver (service, streaming
+   * job, repeated Bench rounds) calling these operators repeatedly leaks
+   * an input-sized dir per call until it invokes this between logical
+   * runs — ONLY when no DataFrame returned by those operators is still
+   * to be consumed (they read from these paths lazily).
+   */
+  def reclaimLibraryScratch(spark: SparkSession): Unit = {
+    val paths = librarySnapshots.synchronized {
+      val p = librarySnapshots.toList; librarySnapshots.clear(); p
+    }
+    paths.foreach(deleteScratchPath(spark, _))
+  }
 
   /**
    * Delete a run's ephemeral scratch directory (`Result.scratchDir`).

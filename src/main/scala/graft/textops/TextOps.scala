@@ -183,7 +183,11 @@ object TextOps {
       transform(sequence(lit(1), ng - window + 1),
         i => array_min(slice(grams, i, lit(window)))))
       .otherwise(array(array_min(grams)))
-    array_sort(array_distinct(mins))
+    // null text → null fingerprints, NOT [xxhash64 seed]: xxhash64 skips
+    // null children, so without the guard every extraction-failed page
+    // would share one fingerprint and score 1.0 against every other
+    when(text.isNotNull, array_sort(array_distinct(mins)))
+      .otherwise(lit(null).cast("array<bigint>"))
   }
 
   /** Winnowing overlap similarity = |A ∩ B| / |A ∪ B| over fingerprint
@@ -294,7 +298,13 @@ object TextOps {
       // the corpus side never contributes anything but hashes, so callers
       // maintaining a persistent hash index (streaming.StreamIngest) name
       // its PRECOMPUTED th ([[textHash]]) column here and the full-text
-      // corpus never rescans; the batch side still hashes its own textCol
+      // corpus never rescans; the batch side still hashes its own textCol.
+      // PRECONDITION for both hash-col seams: drop null-TEXT rows BEFORE
+      // hashing (StreamIngest does) — with strongHash=false a null text
+      // hashes to the xxhash64 seed, which is non-null and undetectable
+      // here, and every null page would alias into one dedup group; the
+      // isNotNull guard below can only catch strongHash=true, where
+      // sha2(null) stays null
       corpusHashCol: Option[String] = None,
       // likewise for the batch side: a PRECOMPUTED th column the caller
       // has already pinned (localCheckpoint/snapshot) — hashing and the

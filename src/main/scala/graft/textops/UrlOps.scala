@@ -96,7 +96,10 @@ object UrlOps {
     import org.apache.spark.sql.expressions.Window
     val ord = Seq(score.desc, col(idCol).asc)
     val withHost = df.withColumn("host", host(col(urlCol)))
-    val key = coalesce(col("host"), col(urlCol))
+    // disjoint namespaces: a schemeless raw url 'example.com' must NOT
+    // share a quota bucket with the real host example.com
+    val key = coalesce(concat(lit("h:"), col("host")),
+      concat(lit("u:"), col(urlCol)))
     val pruned = if (salts > 1) {
       val shard = Window.partitionBy(key,
         pmod(xxhash64(col(idCol)), lit(salts))).orderBy(ord: _*)

@@ -47,6 +47,13 @@ class IngestSpec extends SparkSpec {
         "_dup_seq,name", "1,Acme")))
     }
     assert(e2.getMessage.contains("_dup_seq"))
+    // case-INSENSITIVE: withColumn resolves case-insensitively, so
+    // 'Record_ID' would be silently replaced too — the guard must catch it
+    val e3 = intercept[IllegalArgumentException] {
+      Ingest.rawTable(spark, writeCsv(Seq(
+        "Record_ID,name", "x1,Acme")))
+    }
+    assert(e3.getMessage.contains("record_id"))
   }
 
   test("record ids are reproducible across re-ingests of the same file") {

@@ -128,6 +128,43 @@ class TextOpsSpec extends SparkSpec {
       .select(TextOps.winnowFingerprints(col("text")).as("fp"))
       .as[Seq[Long]].collect()
     assert(short(0).length == 1)
+    // null text → null fingerprints, NOT a shared [seed] print (which
+    // would make all extraction-failed pages mutual perfect near-dups)
+    val nulls = Seq((10L, None: Option[String]), (11L, None: Option[String]))
+      .toDF("id", "text")
+    val nfp = nulls.select(TextOps.winnowFingerprints(col("text")).as("fp"))
+      .as[Option[Seq[Long]]].collect().toSeq
+    assert(nfp == Seq(None, None))
+    assert(nulls.as("a").crossJoin(nulls.as("b"))
+      .select(TextOps.winnowSimilarity(
+        TextOps.winnowFingerprints(col("a.text")),
+        TextOps.winnowFingerprints(col("b.text"))).as("s"))
+      .filter(col("s").isNotNull).count() == 0)
+  }
+
+  test("reclaimLibraryScratch deletes operator snapshots and is " +
+      "idempotent; operators keep working afterwards") {
+    import spark.implicits._
+    import graft.pipeline.Dedupe
+    val df = (1 to 30).map(i =>
+      (i.toLong, (1 to 40).map(j => s"t${i % 3}x$j").mkString(" ")))
+      .toDF("id", "text")
+    // drain any snapshots earlier tests left registered
+    Dedupe.reclaimLibraryScratch(spark)
+    def scratchDirs(): Int = {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      Option(tmp.listFiles()).map(
+        _.count(_.getName.startsWith("graft_minhash_sigs"))).getOrElse(0)
+    }
+    val before = scratchDirs()
+    TextOps.minhashDupePairs(df, "id", "text").count()
+    assert(scratchDirs() > before, "expected a minhash signature snapshot")
+    Dedupe.reclaimLibraryScratch(spark)
+    assert(scratchDirs() == before, "snapshot dir not reclaimed")
+    Dedupe.reclaimLibraryScratch(spark) // idempotent
+    // operator still functional after reclaim (fresh snapshots)
+    assert(TextOps.minhashDupePairs(df, "id", "text").count() > 0)
+    Dedupe.reclaimLibraryScratch(spark)
   }
 
   test("property: winnowing guarantee on 30 random pairs with a planted " +

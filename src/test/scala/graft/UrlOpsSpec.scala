@@ -71,6 +71,14 @@ class UrlOpsSpec extends SparkSpec {
       .toDF("id", "url", "score")
     assert(UrlOps.domainCap(dup, "url", "id", $"score", maxPerHost = 2)
       .count() == 2)
+    // namespace collision: a schemeless raw url EQUAL to a real hostname
+    // must not share that host's quota bucket
+    val clash = ((0 until 5).map(i =>
+        (i.toLong, s"http://collide.example/p$i", 10L)) :+
+        (50L, "collide.example", 0L)).toDF("id", "url", "score")
+    val capped = UrlOps.domainCap(clash, "url", "id", $"score", maxPerHost = 5)
+    assert(capped.count() == 6, "the raw-url row must keep its own bucket")
+    assert(capped.filter($"id" === 50L).count() == 1)
   }
 
   test("domainCap: two-stage salted top-k equals the single-window top-k") {
