@@ -404,6 +404,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // per-lang token-budget sampling (data mixing): each lang's 2000-token
+    // budget fills with its highest-scored docs; deterministic synthetic
+    // score so the DuckDB twin reproduces the total order exactly
+    "q_budget_sample" -> ((s, dir) => {
+      import graft.textops.TextOps
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("lang"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
+          ((col("doc_id") * 37) % 101).as("score"))
+      TextOps.budgetSample(docs, Seq("lang"), "n_tok",
+          col("score"), "doc_id", budgetTokens = 2000L)
+        .select(col("lang"), col("doc_id"), col("n_tok"), col("cum_tokens"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     // per-(source, lang) best-representative pick: highest quality wins,
     // ties break to the smaller doc_id — a max_by aggregate, no window
     "q_keep_best" -> ((s, dir) => {
@@ -1516,6 +1532,24 @@ object SparkEntry {
         |        sum(n_tok) OVER (ORDER BY doc_id) AS cum FROM d)
         |SELECT doc_id, n_tok, CAST((cum - n_tok) // 4096 AS BIGINT) AS shard
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // independent rebuild of the budget sampler: one global window cumsum
+    // per lang over the identical (score desc, doc_id asc) total order —
+    // the single-window twin of the salted two-stage prefix-sum prune
+    "q_budget_sample" ->
+      raw"""WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'),
+        |      x -> length(x) > 0)) AS BIGINT) AS n_tok,
+        |    (doc_id * 37) % 101 AS score
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |        sum(n_tok) OVER (PARTITION BY lang
+        |          ORDER BY score DESC, doc_id ASC) AS cum
+        |      FROM d)
+        |SELECT lang, doc_id, n_tok, CAST(cum AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum - n_tok < 2000
+        |ORDER BY lang, doc_id""".stripMargin,
 
     // independent rebuild of the per-host quota: single-window
     // row_number twin of the salted two-stage top-k (same total order:

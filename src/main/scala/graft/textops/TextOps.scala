@@ -743,6 +743,55 @@ object TextOps {
       .select(col("id").as(idCol), col("n_tok").as(nTokCol), col("shard"))
   }
 
+  /**
+   * Per-group token-budget sampling — the data-MIXING op: fill each
+   * group's token budget (a target mixture ratio expressed in tokens,
+   * e.g. per lang or per source) with its highest-quality documents.
+   * Greedy prefix of the (score desc, id asc) total order: a doc is kept
+   * iff the cumulative tokens of the docs ranked BEFORE it are under
+   * budget — so the doc that crosses the line is kept (every non-empty
+   * group keeps >= 1 doc) and everything after it is dropped. Output:
+   * the kept rows plus `cum_tokens` (inclusive running total within the
+   * group, in the kept order).
+   *
+   * Scale shape — same salted two-stage as UrlOps.domainCap, adapted
+   * from top-k to prefix sums: stage 1 computes the running sum within
+   * (group, salt-of-id) shards and prunes rows whose SHARD preceding sum
+   * already reaches the budget — exact, because a row's true preceding
+   * sum is >= its shard preceding sum (the shard order is a suborder of
+   * the group order, tokens are non-negative), so a pruned row could
+   * never have been kept. Survivors are bounded per shard by the budget,
+   * so the stage-2 exact window sorts at most salts × (budget-filling
+   * prefix) rows per group — no single-reducer sort of a hot group's
+   * full membership. Oracle equality with the single-window rebuild
+   * (q_budget_sample's DuckDB twin) proves the decomposition exact.
+   */
+  def budgetSample(df: DataFrame, groupCols: Seq[String], nTokCol: String,
+      score: Column, idCol: String, budgetTokens: Long,
+      salts: Int = 16): DataFrame = {
+    require(groupCols.nonEmpty, "budgetSample needs at least one group column")
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    val clash = Seq("cum_tokens", "_shard_cum").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"budgetSample adds ${clash.mkString(", ")}; input already has it — " +
+        "rename or drop it first")
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq(score.desc, col(idCol).asc)
+    val toks = col(nTokCol).cast("long")
+    val pruned = if (salts > 1) {
+      val shard = Window
+        .partitionBy((groupCols.map(col) :+
+          pmod(xxhash64(col(idCol)), lit(salts))): _*)
+        .orderBy(ord: _*)
+      df.withColumn("_shard_cum", sum(toks).over(shard))
+        .filter(col("_shard_cum") - toks < budgetTokens)
+        .drop("_shard_cum")
+    } else df
+    val global = Window.partitionBy(groupCols.map(col): _*).orderBy(ord: _*)
+    pruned.withColumn("cum_tokens", sum(toks).over(global))
+      .filter(col("cum_tokens") - toks < budgetTokens)
+  }
+
   // PII patterns kept deliberately ASCII-simple so Java regex (Spark) and
   // RE2 (DuckDB oracle) agree token-for-token: \d and \b are ASCII in
   // both engines on ASCII text; no lookarounds (RE2 has none).

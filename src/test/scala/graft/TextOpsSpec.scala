@@ -142,6 +142,36 @@ class TextOpsSpec extends SparkSpec {
       .filter(col("s").isNotNull).count() == 0)
   }
 
+  test("budgetSample: greedy prefix per group, boundary doc kept, every " +
+      "non-empty group keeps one, salted two-stage equals single-window") {
+    import spark.implicits._
+    // group A: scores force order 3,2,1 with tokens 900,900,900 at budget
+    // 2000 → docs 3 and 2 kept (cum 900, 1800), doc 1 crosses at 2700:
+    // preceding 1800 < 2000 so the BOUNDARY doc is kept; doc 0 dropped.
+    // group B: one oversized doc (5000 > budget) still kept.
+    val df = Seq(
+      (1L, "A", 900L, 10L), (2L, "A", 900L, 20L), (3L, "A", 900L, 30L),
+      (0L, "A", 900L, 5L),
+      (9L, "B", 5000L, 1L)).toDF("id", "g", "n_tok", "score")
+    val got = TextOps.budgetSample(df, Seq("g"), "n_tok",
+        col("score"), "id", budgetTokens = 2000L)
+      .select("g", "id", "cum_tokens")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("A", 3L, 900L), ("A", 2L, 1800L), ("A", 1L, 2700L),
+      ("B", 9L, 5000L)))
+    // property: skew-proof two-stage == single-window on a hot group
+    val rnd = new scala.util.Random(11)
+    val big = (1 to 3000).map { i =>
+      (i.toLong, if (i % 10 == 0) s"g${i % 7}" else "hot",
+        (1 + rnd.nextInt(50)).toLong, rnd.nextInt(1000).toLong)
+    }.toDF("id", "g", "n_tok", "score")
+    def run(s: Int) = TextOps.budgetSample(big, Seq("g"), "n_tok",
+        col("score"), "id", budgetTokens = 500L, salts = s)
+      .select("g", "id", "cum_tokens")
+      .as[(String, Long, Long)].collect().toSet
+    assert(run(16) == run(0))
+  }
+
   test("reclaimLibraryScratch deletes operator snapshots and is " +
       "idempotent; operators keep working afterwards") {
     import spark.implicits._
