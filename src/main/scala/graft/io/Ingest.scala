@@ -41,9 +41,12 @@ object Ingest {
     // would delete user data — fail fast with a clear message instead
     // case-INSENSITIVE: withColumn/drop resolve case-insensitively under
     // the default spark.sql.caseSensitive=false, so 'Record_ID' would
-    // slip a case-sensitive guard and still get silently replaced
-    val reserved = Seq("record_id", "_dup_seq")
-      .filter(r => cols.exists(_.equalsIgnoreCase(r)))
+    // slip a case-sensitive guard and still get silently replaced. The
+    // names stay reserved under caseSensitive=true too (simpler contract
+    // than a conf-dependent schema). Report the USER'S spelling so the
+    // message matches their header.
+    val reservedCanon = Seq("record_id", "_dup_seq")
+    val reserved = cols.filter(c => reservedCanon.exists(_.equalsIgnoreCase(c)))
     require(reserved.isEmpty,
       s"CSV header uses reserved column name(s) ${reserved.mkString(", ")}; " +
         "rename them before upload (record_id is synthesized from content)")

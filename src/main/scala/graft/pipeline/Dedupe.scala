@@ -160,13 +160,20 @@ object Dedupe {
    * job, repeated Bench rounds) calling these operators repeatedly leaks
    * an input-sized dir per call until it invokes this between logical
    * runs — ONLY when no DataFrame returned by those operators is still
-   * to be consumed (they read from these paths lazily).
+   * to be consumed (they read from these paths lazily). The registry is
+   * JVM-global: a driver interleaving CONCURRENT logical runs must not
+   * call this mid-flight (it would delete the other run's live
+   * snapshots) — serialize reclamation, or use the per-run
+   * `cleanupScratch(Result)` handle for pipeline runs. A path is
+   * unregistered only AFTER its delete succeeds, so a transient FS
+   * failure leaves the remainder registered for a retry.
    */
   def reclaimLibraryScratch(spark: SparkSession): Unit = {
-    val paths = librarySnapshots.synchronized {
-      val p = librarySnapshots.toList; librarySnapshots.clear(); p
+    val paths = librarySnapshots.synchronized { librarySnapshots.toList }
+    paths.foreach { p =>
+      deleteScratchPath(spark, p)
+      librarySnapshots.synchronized { librarySnapshots -= p }
     }
-    paths.foreach(deleteScratchPath(spark, _))
   }
 
   /**

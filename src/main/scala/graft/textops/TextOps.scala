@@ -200,9 +200,14 @@ object TextOps {
 
   /** Exact dedup (hash-groupBy): per text-hash group pick min-id rep.
     * Output: (id, rep, is_dup). Scale: one hash aggregate, no strings
-    * shuffled — only (hash, id). */
+    * shuffled — only (hash, id). Null-text rows are DROPPED scan-side —
+    * xxhash64 maps every null to the seed, so without the filter all
+    * extraction-failed pages would collapse into one dup group (the null
+    * aliasing [[dedupeAgainstCorpus]] documents); dropping also matches
+    * the DuckDB twin, whose JOIN USING (text) never matches NULL. */
   def exactDupes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val h = df.select(col(idCol).as("id"), xxhash64(col(textCol)).as("th"))
+    val h = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), xxhash64(col(textCol)).as("th"))
     val reps = h.groupBy("th").agg(min("id").as("rep"), count("*").as("n"))
     h.join(reps, "th")
       .select(col("id"), col("rep"), (col("id") =!= col("rep")).as("is_dup"))
@@ -777,7 +782,16 @@ object TextOps {
         "rename or drop it first")
     import org.apache.spark.sql.expressions.Window
     val ord = Seq(score.desc, col(idCol).asc)
-    val toks = col(nTokCol).cast("long")
+    // the two-stage prune proof requires NON-NULL, NON-NEGATIVE tokens
+    // (a negative count could pull a later global prefix back under
+    // budget after the shard already pruned, making output salts-
+    // dependent; a null silently vanishes from sums) — token COUNTS
+    // satisfy this by construction, but the public API can't assume it:
+    // fail loudly in-plan, one codegen'd branch per row
+    val raw = col(nTokCol).cast("long")
+    val toks = when(assert_true(raw.isNotNull && raw >= 0,
+      lit(s"budgetSample: token column '$nTokCol' must be non-null and " +
+        "non-negative")).isNull, raw)
     val pruned = if (salts > 1) {
       val shard = Window
         .partitionBy((groupCols.map(col) :+

@@ -53,7 +53,8 @@ class IngestSpec extends SparkSpec {
       Ingest.rawTable(spark, writeCsv(Seq(
         "Record_ID,name", "x1,Acme")))
     }
-    assert(e3.getMessage.contains("record_id"))
+    // the message reports the USER'S spelling, not the canonical name
+    assert(e3.getMessage.contains("Record_ID"))
   }
 
   test("record ids are reproducible across re-ingests of the same file") {

@@ -39,12 +39,17 @@ class TextOpsSpec extends SparkSpec {
     assert(got.forall(s => s >= 0.0 && s <= 1.0))
   }
 
-  test("exact dedup groups identical texts") {
+  test("exact dedup groups identical texts; null texts dropped, never " +
+      "aliased into one group") {
     val df = Seq(
-      (1L, "same text"), (2L, "same text"), (3L, "other"), (4L, "same text"))
+      (1L, Some("same text")), (2L, Some("same text")), (3L, Some("other")),
+      (4L, Some("same text")), (5L, None: Option[String]),
+      (6L, None: Option[String]))
       .toDF("id", "text")
     val got = TextOps.exactDupes(df, "id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // ids 5 and 6 (null text) are absent — xxhash64 would alias them to
+    // one seed-hash group and mark 6 a "duplicate" of 5
     assert(got == Set((1L, 1L, false), (2L, 1L, true), (3L, 3L, false), (4L, 1L, true)))
   }
 
