@@ -1141,6 +1141,23 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // SemDeDup (Abbas et al. 2023†): centroid-clustered embedding dedup —
+    // the SCALE path for q_embed_neardup's exact O(n²) baseline. Seed
+    // centroids are modulus-sampled (vec_id % 50) so the DuckDB twin
+    // reproduces the clustering and the WHOLE path — assignment argmax,
+    // within-cluster pairs, CC duplicate groups, low-centroid-sim keeper —
+    // is hash-checked end to end. tau = 0.4 matches q_embed_neardup's
+    // near-dup threshold, so the two queries also document the method's
+    // recall tradeoff on the same data (within-cluster pairs ⊂ global).
+    "q_semdedup" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+      graft.ann.Ann.semDedup(emb, cents, tau = 0.4)
+        .orderBy(col("item_id"))
+    }),
+
     // the blocking-key zoo over a literal fixture: token, prefix, acronym,
     // fingerprint and char-4-gram predicates all hash-checked against
     // DuckDB list/regex twins (B-family was previously unit-only)
@@ -1886,6 +1903,44 @@ object SparkEntry {
         |                           ORDER BY cos DESC, item_id) AS "rank" FROM s)
         |SELECT query_id, "rank", item_id, round(cos, 5) AS cos
         |FROM r WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+
+    // SemDeDup twin: same modulus-sampled centroids, argmax assignment
+    // (ties: cos desc, cent_id asc — mirrors max_by(_, struct(cos_c,
+    // -cent_id))), within-cluster pairs, recursive-CTE connected
+    // components (component = min reachable id = CC.run's label
+    // contract), keeper = lowest cos-to-centroid then lowest id
+    "q_semdedup" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT id AS cent_id, v AS cvec FROM e WHERE id % 50 = 0),
+        |sc AS (SELECT e.id, c.cent_id,
+        |         list_cosine_similarity(e.v, c.cvec) AS cos_c FROM e, c),
+        |asg AS (
+        |  SELECT id, cent_id, cos_c FROM (
+        |    SELECT id, cent_id, cos_c,
+        |           row_number() OVER (PARTITION BY id
+        |                              ORDER BY cos_c DESC, cent_id) AS rn
+        |    FROM sc) WHERE rn = 1),
+        |dup AS (
+        |  SELECT a.id AS id1, b.id AS id2
+        |  FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.id < b.id
+        |  JOIN e ea ON ea.id = a.id JOIN e eb ON eb.id = b.id
+        |  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4),
+        |edges AS (SELECT id1 AS u, id2 AS v FROM dup
+        |          UNION SELECT id2, id1 FROM dup),
+        |reach(id, n) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.id, e2.v FROM reach r JOIN edges e2 ON r.n = e2.u),
+        |grp AS (SELECT id, least(min(n), id) AS group_id FROM reach GROUP BY id),
+        |lab AS (
+        |  SELECT asg.id, asg.cent_id, asg.cos_c,
+        |         coalesce(grp.group_id, asg.id) AS group_id
+        |  FROM asg LEFT JOIN grp ON asg.id = grp.id)
+        |SELECT id AS item_id, cent_id, round(cos_c, 5) AS cos_c, group_id,
+        |       (row_number() OVER (PARTITION BY group_id
+        |                           ORDER BY cos_c ASC, id) = 1) AS keep
+        |FROM lab ORDER BY item_id""".stripMargin,
 
     "q_blocking_keys" ->
       """WITH recs AS (

@@ -184,4 +184,83 @@ object Ann {
       .select(col("query_id"), col("item_id"), cosine(col("ivec"), col("qvec")).as("cos"))
     topKPerQuery(scored, k)
   }
+
+  /**
+   * SemDeDup — semantic deduplication over an embedding column (Abbas et
+   * al., "SemDeDup: Data-efficient learning at web-scale through semantic
+   * deduplication", arXiv 2303.09540, 2023†): assign every item to its
+   * nearest centroid, compare pairs ONLY within a cluster (the global
+   * O(n²) cosine matrix becomes ~O(n²/k) and each cluster's quadratic
+   * expansion runs through the skew-proof grid self-join), mark pairs with
+   * cosine ≥ tau as semantic duplicates, form duplicate groups by
+   * connected components, and keep ONE item per group. Keeper = the
+   * paper's best-performing rule (its §4 "low similarity to centroid"):
+   * the group member with the LOWEST cosine to its centroid, ties broken
+   * by id. Singletons (no duplicate edge) keep themselves.
+   *
+   * Approximation contract, inherited from the paper: a near-dup pair
+   * whose members land in different clusters is never compared — recall
+   * is governed by centroid count vs corpus diversity (measured on the
+   * test embeddings: k=10 centroids over 500 vectors see 24 of the 59
+   * global tau=0.4 pairs). Given the centroids the output is exact and
+   * deterministic — oracle-checked end-to-end (q_semdedup) with
+   * modulus-sampled seed centroids the DuckDB twin reproduces.
+   *
+   * Scale shape: centroid assignment is the IVF broadcast + map-side
+   * max_by (no corpus×k shuffle); within-cluster pair generation reuses
+   * [[graft.pairs.PairGen.candidatePairs]] (plural filter, size cap,
+   * triangle grid — a mega-cluster parallelizes instead of serializing
+   * one join group); CC runs on duplicate EDGES only (thresholded, sparse
+   * by construction); the keeper window partitions by duplicate group.
+   *
+   * @param items     (id: long, vec: array<float|double>) corpus
+   * @param centroids (cent_id: long, cvec) — must be broadcastable;
+   *                  callers pick k (paper: k ~ sqrt(n) order)
+   * @param tau       duplicate threshold on cosine (1 - eps in the paper)
+   * @param maxClusterSize clusters larger than this are dropped from pair
+   *                  generation (PairGen's oversize-cap contract — count
+   *                  them via PairGen.blockMetrics; their members then
+   *                  keep themselves). Bounds the worst cluster's cost.
+   * @return one row per item: (item_id, cent_id, cos_c = cosine to its
+   *         centroid rounded to 5, group_id = min item id of its duplicate
+   *         group, keep)
+   */
+  def semDedup(items: DataFrame, centroids: DataFrame, tau: Double,
+      maxClusterSize: Int = 1 << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val i = items.select(col(items.columns(0)).as("item_id"), col(items.columns(1)).as("ivec"))
+    val c = centroids.select(col(centroids.columns(0)).as("cent_id"),
+      col(centroids.columns(1)).cast("array<double>").as("cvec"))
+    // nearest centroid + its cosine, via map-side-combining max_by (ties:
+    // highest cos, then lowest cent_id — mirrored in the oracle's window)
+    val assigned = i.crossJoin(broadcast(c))
+      .withColumn("cos_c", cosine(col("ivec"), col("cvec")))
+      .groupBy(col("item_id"))
+      .agg(
+        max_by(struct(col("cent_id"), col("cos_c")),
+          struct(col("cos_c"), -col("cent_id"))).as("best"),
+        first(col("ivec")).as("ivec")) // all k copies carry the same vec
+      .select(col("item_id"), col("best").getField("cent_id").as("cent_id"),
+        col("best").getField("cos_c").as("cos_c"), col("ivec"))
+    val blocks = assigned.select(
+      col("cent_id").cast("string").as("block_key"), col("item_id").as("id"))
+    val pairs = graft.pairs.PairGen.candidatePairs(blocks,
+      maxBlockSize = maxClusterSize)
+    val vecs = assigned.select(col("item_id"), col("ivec"))
+    val edges = pairs
+      .join(vecs.select(col("item_id").as("id1"), col("ivec").as("v1")), "id1")
+      .join(vecs.select(col("item_id").as("id2"), col("ivec").as("v2")), "id2")
+      .filter(cosine(col("v1"), col("v2")) >= tau)
+      .select(col("id1"), col("id2"))
+    val labels = graft.cluster.ConnectedComponents.run(edges).labels
+    val grouped = assigned
+      .join(labels.select(col("id").as("item_id"), col("component")),
+        Seq("item_id"), "left")
+      .withColumn("group_id", coalesce(col("component"), col("item_id")))
+    val w = Window.partitionBy(col("group_id"))
+      .orderBy(col("cos_c").asc, col("item_id").asc)
+    grouped.withColumn("keep", row_number().over(w) === 1)
+      .select(col("item_id"), col("cent_id"),
+        round(col("cos_c"), 5).as("cos_c"), col("group_id"), col("keep"))
+  }
 }

@@ -86,4 +86,41 @@ class AnnSpec extends SparkSpec {
     assert(self.forall(r => r.getLong(0) == r.getLong(1)))
     assert(self.forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-4))
   }
+
+  test("semDedup: groups within clusters, paper keeper rule, singletons " +
+      "kept, cross-cluster near-dups NOT compared (documented recall gap)") {
+    // two orthogonal centroids; items 1,2,3 form one duplicate group in
+    // cluster 0 (pairwise cos >= 0.95); 4 is a cluster-1 singleton; 5 and 6
+    // are near-dups of EACH OTHER (cos ~ 0.999) but straddle the centroid
+    // boundary — SemDeDup's approximation must keep both
+    val cents = Seq((0L, vec(1, 0, 0, 0)), (100L, vec(0, 1, 0, 0)))
+      .toDF("cent_id", "cvec")
+    val its = Seq(
+      (1L, vec(1, 0, 0, 0)),
+      (2L, vec(0.995, 0.0999, 0, 0)),
+      (3L, vec(0.99, 0.141, 0, 0)),
+      (4L, vec(0, 1, 0, 0)),
+      (5L, vec(0.72, 0.69, 0, 0)),
+      (6L, vec(0.69, 0.72, 0, 0))).toDF("vec_id", "embedding")
+    val out = Ann.semDedup(its, cents, tau = 0.95)
+      .select($"item_id", $"cent_id", $"group_id", $"keep")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // assignment: 1,2,3,5 -> centroid 0; 4,6 -> centroid 100
+    assert(out.map(_._2).toSeq == Seq(0L, 0L, 0L, 100L, 0L, 100L))
+    // duplicate group {1,2,3} labeled by its min id; 4,5,6 singletons
+    assert(out.map(_._3).toSeq == Seq(1L, 1L, 1L, 4L, 5L, 6L))
+    // keeper in {1,2,3} = lowest cos-to-centroid = item 3 (most peripheral)
+    assert(out.map(_._4).toSeq == Seq(false, false, true, true, true, true))
+  }
+
+  test("semDedup oversize-cluster cap drops pair generation for the hot " +
+      "cluster; its members then keep themselves") {
+    val cents = Seq((0L, vec(1, 0, 0, 0))).toDF("cent_id", "cvec")
+    val its = (1L to 10L).map(i => (i, vec(1, 0.0001 * i, 0, 0)))
+      .toDF("vec_id", "embedding")
+    val out = Ann.semDedup(its, cents, tau = 0.9, maxClusterSize = 5)
+      .select($"keep").as[Boolean].collect()
+    assert(out.length == 10 && out.forall(identity))
+  }
 }
