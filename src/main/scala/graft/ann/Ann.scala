@@ -134,16 +134,9 @@ object Ann {
     while (j > 0 && surv(j) < want) j -= 1
     val step = 1L << j
     def sample(st: Long) = i.filter(pmod(xxhash64(col("item_id")), lit(st)) === 0)
-    // assign items to nearest centroid: broadcast nlist centroids, then a
-    // map-side-combining max_by aggregate — NOT a per-item window over the
-    // corpus×nlist expansion (that shuffled every expanded row full-width)
-    def assign(cs: DataFrame): DataFrame = i.crossJoin(broadcast(cs))
-      .withColumn("cos_c", cosine(col("ivec"), col("cvec")))
-      .groupBy(col("item_id"))
-      .agg(
-        max_by(col("cent_id"), struct(col("cos_c"), -col("cent_id"))).as("cent_id"),
-        first(col("ivec")).as("ivec"))
-      .select(col("cent_id"), col("item_id"), col("ivec"))
+    // assign items to nearest centroid (shared helper; cos_c not needed)
+    def assign(cs: DataFrame): DataFrame =
+      assignNearest(i, cs).select(col("cent_id"), col("item_id"), col("ivec"))
     var cents = sample(step)
       .sort(col("item_id")).limit(nlist)
       .select(col("item_id").as("cent_id"), col("ivec").cast("array<double>").as("cvec"))
@@ -185,6 +178,24 @@ object Ann {
     topKPerQuery(scored, k)
   }
 
+  /** Nearest-centroid assignment: broadcast the centroid list, then a
+    * map-side-combining max_by aggregate — NOT a per-item window over the
+    * corpus×k expansion (that shuffled every expanded row full-width).
+    * Ties: highest cosine, then lowest cent_id (the `-cent_id` struct
+    * field) — mirrored by every oracle twin's `ORDER BY cos_c DESC,
+    * cent_id` window. One row per item: (cent_id, item_id, cos_c, ivec).
+    * Expects the normalized column names (item_id, ivec) / (cent_id, cvec). */
+  private def assignNearest(i: DataFrame, cs: DataFrame): DataFrame =
+    i.crossJoin(broadcast(cs))
+      .withColumn("cos_c", cosine(col("ivec"), col("cvec")))
+      .groupBy(col("item_id"))
+      .agg(
+        max_by(struct(col("cent_id"), col("cos_c")),
+          struct(col("cos_c"), -col("cent_id"))).as("best"),
+        first(col("ivec")).as("ivec")) // all k copies carry the same vec
+      .select(col("best").getField("cent_id").as("cent_id"), col("item_id"),
+        col("best").getField("cos_c").as("cos_c"), col("ivec"))
+
   /**
    * SemDeDup — semantic deduplication over an embedding column (Abbas et
    * al., "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -214,34 +225,37 @@ object Ann {
    * by construction); the keeper window partitions by duplicate group.
    *
    * @param items     (id: long, vec: array<float|double>) corpus
-   * @param centroids (cent_id: long, cvec) — must be broadcastable;
-   *                  callers pick k (paper: k ~ sqrt(n) order)
+   * @param centroids (cent_id: long, cvec) — must be non-empty (an empty
+   *                  set would silently drop the whole corpus; rejected)
+   *                  and broadcastable; callers pick k (paper: k ~
+   *                  sqrt(n) order)
    * @param tau       duplicate threshold on cosine (1 - eps in the paper)
    * @param maxClusterSize clusters larger than this are dropped from pair
-   *                  generation (PairGen's oversize-cap contract — count
-   *                  them via PairGen.blockMetrics; their members then
-   *                  keep themselves). Bounds the worst cluster's cost.
+   *                  generation (PairGen's oversize-cap contract). Their
+   *                  members come back keep=true, indistinguishable from
+   *                  genuine singletons in the output — callers needing
+   *                  the skipped count run [[semDedupClusterMetrics]]
+   *                  (same assignment, PairGen's metrics aggregate).
+   *                  Bounds the worst cluster's cost.
+   * @param persist   cache the assignment frame (default): it feeds pair
+   *                  generation, edge scoring and the final output — 3-4
+   *                  corpus×k recomputes without it. Call `unpersist()`
+   *                  (or let eviction handle it) once the result is
+   *                  consumed; one-shot callers can pass false.
    * @return one row per item: (item_id, cent_id, cos_c = cosine to its
    *         centroid rounded to 5, group_id = min item id of its duplicate
    *         group, keep)
    */
   def semDedup(items: DataFrame, centroids: DataFrame, tau: Double,
-      maxClusterSize: Int = 1 << 20): DataFrame = {
+      maxClusterSize: Int = 1 << 20, persist: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val i = items.select(col(items.columns(0)).as("item_id"), col(items.columns(1)).as("ivec"))
     val c = centroids.select(col(centroids.columns(0)).as("cent_id"),
       col(centroids.columns(1)).cast("array<double>").as("cvec"))
-    // nearest centroid + its cosine, via map-side-combining max_by (ties:
-    // highest cos, then lowest cent_id — mirrored in the oracle's window)
-    val assigned = i.crossJoin(broadcast(c))
-      .withColumn("cos_c", cosine(col("ivec"), col("cvec")))
-      .groupBy(col("item_id"))
-      .agg(
-        max_by(struct(col("cent_id"), col("cos_c")),
-          struct(col("cos_c"), -col("cent_id"))).as("best"),
-        first(col("ivec")).as("ivec")) // all k copies carry the same vec
-      .select(col("item_id"), col("best").getField("cent_id").as("cent_id"),
-        col("best").getField("cos_c").as("cos_c"), col("ivec"))
+    require(!c.isEmpty, "semDedup: centroids must be non-empty — an empty " +
+      "set would assign nothing and silently drop every item")
+    val assigned0 = assignNearest(i, c)
+    val assigned = if (persist) assigned0.persist() else assigned0
     val blocks = assigned.select(
       col("cent_id").cast("string").as("block_key"), col("item_id").as("id"))
     val pairs = graft.pairs.PairGen.candidatePairs(blocks,
@@ -262,5 +276,20 @@ object Ann {
     grouped.withColumn("keep", row_number().over(w) === 1)
       .select(col("item_id"), col("cent_id"),
         round(col("cos_c"), 5).as("cos_c"), col("group_id"), col("keep"))
+  }
+
+  /** Metrics companion to [[semDedup]] (PairGen's "never silent" cap
+    * contract): the same assignment, fed to PairGen.blockMetrics —
+    * cappedKeys = clusters whose dedup was skipped by `maxClusterSize`,
+    * droppedRows = how many items that exempted. */
+  def semDedupClusterMetrics(items: DataFrame, centroids: DataFrame,
+      maxClusterSize: Int = 1 << 20): graft.pairs.PairGen.BlockMetrics = {
+    val i = items.select(col(items.columns(0)).as("item_id"), col(items.columns(1)).as("ivec"))
+    val c = centroids.select(col(centroids.columns(0)).as("cent_id"),
+      col(centroids.columns(1)).cast("array<double>").as("cvec"))
+    graft.pairs.PairGen.blockMetrics(
+      assignNearest(i, c).select(
+        col("cent_id").cast("string").as("block_key"), col("item_id").as("id")),
+      maxBlockSize = maxClusterSize)
   }
 }

@@ -115,12 +115,25 @@ class AnnSpec extends SparkSpec {
   }
 
   test("semDedup oversize-cluster cap drops pair generation for the hot " +
-      "cluster; its members then keep themselves") {
+      "cluster; its members then keep themselves; the metrics companion " +
+      "surfaces the skip (never silent)") {
     val cents = Seq((0L, vec(1, 0, 0, 0))).toDF("cent_id", "cvec")
     val its = (1L to 10L).map(i => (i, vec(1, 0.0001 * i, 0, 0)))
       .toDF("vec_id", "embedding")
     val out = Ann.semDedup(its, cents, tau = 0.9, maxClusterSize = 5)
       .select($"keep").as[Boolean].collect()
     assert(out.length == 10 && out.forall(identity))
+    val m = Ann.semDedupClusterMetrics(its, cents, maxClusterSize = 5)
+    assert(m.cappedKeys == 1 && m.droppedRows == 10 && m.maxBlockSize == 10)
+  }
+
+  test("semDedup rejects an empty centroid set instead of silently " +
+      "dropping the corpus") {
+    val its = Seq((1L, vec(1, 0, 0, 0))).toDF("vec_id", "embedding")
+    val none = Seq.empty[(Long, Array[Float])].toDF("cent_id", "cvec")
+    val e = intercept[IllegalArgumentException] {
+      Ann.semDedup(its, none, tau = 0.9)
+    }
+    assert(e.getMessage.contains("centroids must be non-empty"))
   }
 }
