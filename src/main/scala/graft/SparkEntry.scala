@@ -344,6 +344,24 @@ object SparkEntry {
       UrlOps.latestCapture(caps).orderBy(col("canon_url"))
     }),
 
+    // crawl-to-crawl snapshot diff: old = every page but doc_id%10==0,
+    // new = every page but doc_id%7==0 with doc_id%5==0 texts revised —
+    // all four statuses (added/removed/changed/unchanged) in the output
+    "q_snapshot_diff" -> ((s, dir) => {
+      import graft.textops.UrlOps
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("text"))
+      val url = concat(lit("https://"), col("source"), lit("/"),
+        col("doc_id").cast("string"))
+      val oldSnap = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(url.as("url"), col("text"))
+      val newSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(url.as("url"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      UrlOps.snapshotDiff(oldSnap, newSnap).orderBy(col("url"))
+    }),
+
     // per-host quota sampling (domain balancing): zipf-skewed synthetic
     // hosts (host 0 carries half the pages), deterministic score; keep
     // the top 5 per host by (score desc, id asc). salts=4 exercises the
@@ -495,6 +513,48 @@ object SparkEntry {
       TextOps.dedupeAgainstCorpus(batch, corpus, "doc_id", "text",
         corpusBloom = Some(bloom))
         .orderBy(col("doc_id"))
+    }),
+
+    // incremental batch-vs-corpus NEAR dedup over the persisted MinHash
+    // index: every doc_id%4==0 page borrows its successor's corpus text —
+    // verbatim (recrawl), with an appended tail (near-dup), or keeps its
+    // own (novel). Rows-only: banding + the Jaccard estimate run on
+    // internal xxhash64 minhashes (green fixture twin:
+    // q_incr_neardup_fixture)
+    "q_incr_neardup" -> ((s, dir) => {
+      import graft.textops.TextOps
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+      val donors = docs.filter(col("doc_id") % 4 === 1)
+        .select((col("doc_id") - 1).as("doc_id"), col("text").as("dtext"))
+      val batch = docs.filter(col("doc_id") % 4 === 0).join(donors, Seq("doc_id"))
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          when(col("doc_id") % 3 === 0, col("dtext"))
+            .when(col("doc_id") % 3 === 1,
+              concat(col("dtext"), lit(" appended recrawl banner tail")))
+            .otherwise(col("text")).as("text"))
+      val corpusSigs = TextOps.minhashSignatures(corpus, "doc_id", "text")
+      TextOps.neardupAgainstCorpus(batch, corpusSigs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // fixture twin of q_incr_neardup over the shared 5-doc corpus: one
+    // exact recrawl, one near-dup, one novel batch doc. xxhash64-based,
+    // so the oracle freezes the expected constant table
+    "q_incr_neardup_fixture" -> ((s, dir) => {
+      import graft.textops.TextOps
+      import s.implicits._
+      val corpus = nearDupFixtureDocs(s)
+      val batch = Seq(
+        (101L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (102L, "completely different content about spark clusters and shuffles here this morning"),
+        (103L, "a wholly novel batch document about tensor compilers and kernel fusion passes"))
+        .toDF("id", "text")
+      val sigs = TextOps.minhashSignatures(corpus, "id", "text")
+      TextOps.neardupAgainstCorpus(batch, sigs, "id", "text",
+          estThreshold = 0.35)
+        .orderBy(col("id"))
     }),
 
     // WARC ingest framing: each doc becomes a two-record WARC blob
@@ -1635,6 +1695,26 @@ object SparkEntry {
         |                       ORDER BY warc_ts DESC, url DESC) AS rk
         |  FROM c6) WHERE rk = 1 ORDER BY canon_url""".stripMargin,
 
+    // independent rebuild of the snapshot diff: DuckDB compares the texts
+    // directly (exactly the equality the md5 projection stands in for)
+    // with null-safe IS NOT DISTINCT FROM mirroring the engine's <=>
+    "q_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT 'https://' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+        |         text
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |n AS (
+        |  SELECT 'https://' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+        |         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0)
+        |SELECT coalesce(o.url, n.url) AS url,
+        |  CASE WHEN o.url IS NULL THEN 'added'
+        |       WHEN n.url IS NULL THEN 'removed'
+        |       WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.url = n.url
+        |ORDER BY url""".stripMargin,
+
     // independent rebuild of the per-group best pick: the SHARED quality
     // CTE chain (qualityCtes — the same strings the green q_text_stats
     // row pins, so the formula cannot fork between the two oracles),
@@ -1811,6 +1891,20 @@ object SparkEntry {
 
     // frozen constants (hamming runs on internal 64-bit simhashes, not
     // SQL-reproducible): regression guard for simhash64 + band keys
+    // frozen observed table (MinHash agreement runs on internal xxhash64
+    // signatures, not SQL-reproducible): 101 = exact recrawl of corpus
+    // doc 1, 102 = near-dup of doc 3 at 47/64 agreeing components, 103 =
+    // novel. Regression guard for signatures + band keys + the
+    // batch-vs-index probe + the estimate
+    "q_incr_neardup_fixture" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(101 AS BIGINT), true, CAST(1 AS BIGINT),
+        |   CAST(1.0 AS DOUBLE), false),
+        |  (102, true, 3, 0.734375, false),
+        |  (103, false, NULL, NULL, true))
+        |  AS t(id, near_dup, dup_of, est_jaccard, keep)
+        |ORDER BY id""".stripMargin,
+
     "q_simhash_fixture" ->
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(9 AS BIGINT)),

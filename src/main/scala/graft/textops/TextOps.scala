@@ -511,6 +511,117 @@ object TextOps {
   }
 
   /**
+   * (id, sig) MinHash signatures — the PERSISTABLE unit of the
+   * incremental near-dup index. A signature is k longs = 8k bytes per
+   * document regardless of length, so a 10^12-document corpus index is
+   * ~0.5 PB at k=64 where the shingle sets it summarizes are unbounded
+   * (the whole reason [[neardupAgainstCorpus]] verifies on signature
+   * agreement, not exact Jaccard). Shingling matches [[minhashDupePairs]]
+   * exactly: lowercase → tokens → distinct 3-token shingles.
+   */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 64): DataFrame =
+    df.filter(col(textCol).isNotNull).select(col(idCol).as("id"),
+      minhash(token_shingles(tokens(lower(col(textCol))), 3), k).as("sig"))
+
+  /**
+   * Banded LSH keys over signatures: (id, block_key) rows — the
+   * corpus-side index table of the incremental near-dup family. Callers
+   * persist this partitioned/bucketed by `block_key` so a batch probe is
+   * a key-pruned scan, and append the novel rows of each batch back into
+   * it. Key construction matches [[minhashDupePairs]] bit for bit (band
+   * ordinal prefix + xxhash64 of the band's signature slice), so an
+   * index built here finds exactly the pairs the batch-mode operator
+   * would.
+   */
+  def minhashBandKeys(sigs: DataFrame, k: Int = 64, bands: Int = 16): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val width = k / bands
+    val keys = (0 until bands).map { b =>
+      concat(lit(s"$b#"), xxhash64(slice(col("sig"), b * width + 1, width)))
+    }
+    sigs.select(col("id"), explode(array(keys: _*)).as("block_key"))
+  }
+
+  /**
+   * Incremental near-dup: classify a (small) batch of new documents
+   * against a persisted corpus signature index — the continuous-crawl
+   * analogue of [[dedupeAgainstCorpus]] for NEAR duplicates. Returns one
+   * row per batch document: (id, near_dup, dup_of, est_jaccard, keep)
+   * where `dup_of` is the best-matching corpus id, `est_jaccard` the
+   * fraction of agreeing MinHash components (the unbiased Jaccard
+   * estimator†, Broder 1997 — exact shingles are NOT stored at corpus
+   * scale, see [[minhashSignatures]]) and `keep = !near_dup`. Novel
+   * rows' band keys (`minhashBandKeys` over their signatures) are what
+   * the caller appends to the index for the next batch.
+   *
+   * Scale shape — everything is batch-bounded except one key-pruned
+   * index scan:
+   *   1. batch signatures snapshot once (multi-consumer);
+   *   2. the corpus index is probed with a BROADCAST semi-join on the
+   *      batch's distinct band keys — no corpus-side shuffle, and a
+   *      block_key-partitioned index prunes the scan itself;
+   *   3. hot-bucket guard: probed keys whose corpus frequency exceeds
+   *      `maxBucketSize` (boilerplate bands) are dropped AFTER the probe,
+   *      so the census aggregates only the batch-hit subset — never the
+   *      full index;
+   *   4. candidate (corpus id, batch id) pairs join corpus signatures by
+   *      broadcasting the candidates into the signature table — again no
+   *      corpus-side shuffle;
+   *   5. per-batch-id best match is a map-side `max_by` aggregate.
+   */
+  def neardupAgainstCorpus(batch: DataFrame, corpusSigs: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16, estThreshold: Double = 0.7,
+      maxBucketSize: Int = 200,
+      // a pre-built minhashBandKeys(corpusSigs) table (the persisted
+      // index); derived from corpusSigs when absent. MUST have been
+      // built with the same k/bands.
+      corpusIndex: Option[DataFrame] = None): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val bSigs = graft.pipeline.Dedupe.snapshotIfResolvable(
+      batch.sparkSession, minhashSignatures(batch, idCol, textCol, k),
+      "incr_neardup_batch")
+    val bKeys = minhashBandKeys(bSigs, k, bands)
+      .withColumnsRenamed(Map("id" -> "bid"))
+    val cKeys = corpusIndex.getOrElse(minhashBandKeys(corpusSigs, k, bands))
+    // (2) probe: corpus-index rows whose key some batch doc shares
+    val probed = cKeys.join(
+      broadcast(bKeys.select("block_key").distinct()), Seq("block_key"))
+    // (3) census over the PROBED subset only (batch-bounded by
+    // construction), then the hot-bucket filter
+    val coldKeys = probed.groupBy("block_key").count()
+      .filter(col("count") <= maxBucketSize).select("block_key")
+    val cands = probed.join(broadcast(coldKeys), Seq("block_key"))
+      .join(broadcast(bKeys), Seq("block_key"))
+      .select(col("bid"), col("id").as("cid")).distinct()
+    // (4) attach both signatures; the corpus side stays shuffle-free.
+    // Every non-corpus side below is batch-bounded by the operator's
+    // contract (a crawl batch vs a 10^12-doc corpus), so the hints are
+    // structural, not a tuning guess.
+    val withB = cands.join(broadcast(bSigs.withColumnsRenamed(
+      Map("id" -> "bid", "sig" -> "bsig"))), Seq("bid"))
+    val scored = corpusSigs.join(broadcast(withB),
+        col("id") === col("cid"))
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig"), col("bsig"),
+            (a, b) => (a === b).cast("int")),
+          lit(0), (acc, v) => acc + v).cast("double") / k)
+      .filter(col("est_jaccard") >= estThreshold)
+    // (5) best corpus match per batch doc; largest corpus id breaks
+    // est ties deterministically (no numeric assumption on the id type)
+    val best = scored.groupBy("bid").agg(
+      max_by(col("cid"), struct(col("est_jaccard"), col("cid"))).as("dup_of"),
+      max(col("est_jaccard")).as("est_jaccard"))
+    bSigs.select(col("id")).join(broadcast(best), col("id") === col("bid"), "left")
+      .select(col("id").as(idCol),
+        col("dup_of").isNotNull.as("near_dup"),
+        col("dup_of"),
+        round(col("est_jaccard"), 6).as("est_jaccard"),
+        col("dup_of").isNull.as("keep"))
+  }
+
+  /**
    * Train/eval n-gram decontamination — the benchmark-leak check a
    * training-data pipeline runs before shipping a corpus (the n-gram
    * overlap methodology published with GPT-2/GPT-3 and PaLM†: flag a

@@ -131,4 +131,37 @@ object UrlOps {
       .select(col("canon_url") +: df.columns.map(c => col(s"w.$c")) :+
         col("n_captures"): _*)
   }
+
+  /**
+   * Crawl-to-crawl snapshot diff: classify every URL across two corpus
+   * snapshots as `added` (new crawl only), `removed` (old crawl only),
+   * `changed` (both, different text) or `unchanged` (both, identical
+   * text) — the change-detection step that decides which pages re-enter
+   * the curation pipeline after an incremental recrawl, and the census a
+   * crawl operator watches for coverage regressions.
+   *
+   * Scale shape: each side projects to (url, md5(text)) BEFORE the
+   * full-outer join, so the shuffle carries a 32-char digest per row
+   * instead of multi-KB page text — at 10^12 URLs the join is the
+   * unavoidable url-keyed shuffle and this projection is the minimum
+   * possible width for it. Presence is tracked with explicit flags, not
+   * hash nullability, so rows with NULL text still classify by presence
+   * (two NULL texts compare `unchanged` via null-safe equality).
+   *
+   * PRECONDITION: one row per URL per snapshot (run [[latestCapture]]
+   * first); duplicate URLs multiply through the join like any key join.
+   */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      urlCol: String = "url", textCol: String = "text"): DataFrame = {
+    val o = oldSnap.select(col(urlCol).as("url"),
+      md5(col(textCol)).as("old_h"), lit(true).as("in_old"))
+    val n = newSnap.select(col(urlCol).as("url"),
+      md5(col(textCol)).as("new_h"), lit(true).as("in_new"))
+    o.join(n, Seq("url"), "full_outer")
+      .select(col("url"),
+        when(!coalesce(col("in_old"), lit(false)), lit("added"))
+          .when(!coalesce(col("in_new"), lit(false)), lit("removed"))
+          .when(col("old_h") <=> col("new_h"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

@@ -106,6 +106,46 @@ class UrlOpsSpec extends SparkSpec {
     // every kept row ranks within the cap
     assert(oneStage.forall(_._2 <= 7))
   }
+
+  test("snapshotDiff: added/removed/changed/unchanged, null-text rows") {
+    val oldSnap = Seq(
+      ("http://a.com/1", "alpha"),
+      ("http://a.com/2", "beta"),
+      ("http://a.com/3", "gamma"),
+      ("http://a.com/4", null),
+      ("http://a.com/5", null)).toDF("url", "text")
+    val newSnap = Seq(
+      ("http://a.com/1", "alpha"),          // unchanged
+      ("http://a.com/2", "beta v2"),        // changed
+      // /3 absent → removed
+      ("http://a.com/4", null),             // null == null → unchanged
+      ("http://a.com/5", "now has text"),   // null → text = changed
+      ("http://a.com/6", "fresh")).toDF("url", "text") // added
+    val got = UrlOps.snapshotDiff(oldSnap, newSnap)
+      .as[(String, String)].collect().toSet
+    assert(got == Set(
+      ("http://a.com/1", "unchanged"),
+      ("http://a.com/2", "changed"),
+      ("http://a.com/3", "removed"),
+      ("http://a.com/4", "unchanged"),
+      ("http://a.com/5", "changed"),
+      ("http://a.com/6", "added")))
+  }
+
+  test("snapshotDiff: the join shuffles digests, not page text") {
+    val oldSnap = Seq(("u1", "x" * 64)).toDF("url", "text")
+    val newSnap = Seq(("u1", "y" * 64)).toDF("url", "text")
+    val plan = UrlOps.snapshotDiff(oldSnap, newSnap)
+      .queryExecution.optimizedPlan
+    // the md5 projection must sit BELOW the join: no raw `text`
+    // attribute may enter the join from either side
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.nonEmpty, "expected a join in the optimized plan")
+    for (j <- joins; c <- j.children)
+      assert(!c.output.exists(_.name == "text"),
+        s"raw text column crossed the join: ${c.output.mkString(", ")}")
+  }
 }
 
 private object UrlOpsSpecHelp {
