@@ -1889,8 +1889,6 @@ object SparkEntry {
         |SELECT id1, id2, round(j, 6) AS jaccard FROM p WHERE j >= 0.5
         |ORDER BY id1, id2""".stripMargin,
 
-    // frozen constants (hamming runs on internal 64-bit simhashes, not
-    // SQL-reproducible): regression guard for simhash64 + band keys
     // frozen observed table (MinHash agreement runs on internal xxhash64
     // signatures, not SQL-reproducible): 101 = exact recrawl of corpus
     // doc 1, 102 = near-dup of doc 3 at 47/64 agreeing components, 103 =
@@ -1905,6 +1903,8 @@ object SparkEntry {
         |  AS t(id, near_dup, dup_of, est_jaccard, keep)
         |ORDER BY id""".stripMargin,
 
+    // frozen constants (hamming runs on internal 64-bit simhashes, not
+    // SQL-reproducible): regression guard for simhash64 + band keys
     "q_simhash_fixture" ->
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(9 AS BIGINT)),

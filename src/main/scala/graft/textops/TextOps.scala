@@ -488,9 +488,7 @@ object TextOps {
       // the lazy recompute plan when no scratch base is resolvable
       // (non-local master without spark.graft.scratchDir) or when false.
       materializeSignatures: Boolean = true): DataFrame = {
-    val rows = bands
     require(k % bands == 0, "k must divide into bands")
-    val width = k / bands
     val sigs = df.select(
         col(idCol).as("id"),
         token_shingles(tokens(lower(col(textCol))), 3).as("shingles"))
@@ -499,10 +497,9 @@ object TextOps {
       if (materializeSignatures)
         graft.pipeline.Dedupe.snapshotIfResolvable(df.sparkSession, sigs, "minhash_sigs")
       else sigs
-    val bucketKeys = (0 until rows).map { b =>
-      concat(lit(s"$b#"), xxhash64(slice(col("sig"), b * width + 1, width)))
-    }
-    val blocks = shingled.select(col("id"), explode(array(bucketKeys: _*)).as("block_key"))
+    // band keys via THE shared definition (minhashBandKeys), so the
+    // incremental index and the batch operator cannot desynchronize
+    val blocks = minhashBandKeys(shingled, k, bands)
     val pairs = PairGen.candidatePairs(blocks, maxBucketSize)
     PairGen.attachFields(pairs, shingled.select(col("id"), col("shingles")), "id", Seq("shingles"))
       .withColumn("jaccard", jaccard(col("shingles_1"), col("shingles_2")))
@@ -518,29 +515,53 @@ object TextOps {
    * (the whole reason [[neardupAgainstCorpus]] verifies on signature
    * agreement, not exact Jaccard). Shingling matches [[minhashDupePairs]]
    * exactly: lowercase → tokens → distinct 3-token shingles.
+   *
+   * One row per input row; `sig` is NULL when the text is NULL or
+   * yields no shingle (< 3 tokens). A null, NOT the kernel's untouched
+   * all-Long.MaxValue sentinel: under the sentinel every shingle-less
+   * document carries the IDENTICAL signature, so any two short pages
+   * ("ok thanks" vs "error 404") would band together and estimate
+   * Jaccard 1.0. [[minhashDupePairs]] tolerates that aliasing because
+   * its exact-Jaccard verify kills the pairs; the incremental path has
+   * no shingles to verify with, so the aliasing must die at signature
+   * time.
    */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 64): DataFrame =
-    df.filter(col(textCol).isNotNull).select(col(idCol).as("id"),
-      minhash(token_shingles(tokens(lower(col(textCol))), 3), k).as("sig"))
+      k: Int = 64): DataFrame = {
+    val sh = token_shingles(tokens(lower(col(textCol))), 3)
+    df.select(col(idCol).as("id"),
+      when(size(sh) > 0, minhash(sh, k)).as("sig"))
+  }
 
   /**
    * Banded LSH keys over signatures: (id, block_key) rows — the
    * corpus-side index table of the incremental near-dup family. Callers
    * persist this partitioned/bucketed by `block_key` so a batch probe is
    * a key-pruned scan, and append the novel rows of each batch back into
-   * it. Key construction matches [[minhashDupePairs]] bit for bit (band
-   * ordinal prefix + xxhash64 of the band's signature slice), so an
-   * index built here finds exactly the pairs the batch-mode operator
-   * would.
+   * it. This is the SINGLE band-key definition — [[minhashDupePairs]]
+   * calls it too — so an index built here finds exactly the pairs the
+   * batch-mode operator would; any edit changes both sides together.
+   *
+   * NULL signatures ([[minhashSignatures]] on shingle-less text) emit no
+   * key rows: xxhash64(NULL slice) would return the seed, handing every
+   * signature-less document one shared bogus bucket per band.
+   *
+   * `carrySig = true` adds the `sig` column to every key row (~16× the
+   * index bytes at the default banding) so a probe can score matches
+   * from the probed rows alone — the single-corpus-scan layout
+   * [[neardupAgainstCorpus]] builds when deriving keys on the fly.
    */
-  def minhashBandKeys(sigs: DataFrame, k: Int = 64, bands: Int = 16): DataFrame = {
+  def minhashBandKeys(sigs: DataFrame, k: Int = 64, bands: Int = 16,
+      carrySig: Boolean = false): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val width = k / bands
     val keys = (0 until bands).map { b =>
       concat(lit(s"$b#"), xxhash64(slice(col("sig"), b * width + 1, width)))
     }
-    sigs.select(col("id"), explode(array(keys: _*)).as("block_key"))
+    val withKey = sigs.filter(col("sig").isNotNull)
+      .withColumn("block_key", explode(array(keys: _*)))
+    if (carrySig) withKey.select("id", "sig", "block_key")
+    else withKey.select("id", "block_key")
   }
 
   /**
@@ -551,23 +572,36 @@ object TextOps {
    * where `dup_of` is the best-matching corpus id, `est_jaccard` the
    * fraction of agreeing MinHash components (the unbiased Jaccard
    * estimator†, Broder 1997 — exact shingles are NOT stored at corpus
-   * scale, see [[minhashSignatures]]) and `keep = !near_dup`. Novel
-   * rows' band keys (`minhashBandKeys` over their signatures) are what
-   * the caller appends to the index for the next batch.
+   * scale, see [[minhashSignatures]]) and `keep = !near_dup`. EVERY
+   * batch row comes back — NULL-text and shingle-less (< 3 tokens)
+   * documents have no signature to match with and return as novel —
+   * so callers can append exactly the `keep` ids' band keys to the
+   * index for the next batch. A signature-less corpus row likewise
+   * never matches anything (see [[minhashBandKeys]] on the sentinel
+   * aliasing both guards kill).
    *
    * Scale shape — everything is batch-bounded except one key-pruned
    * index scan:
    *   1. batch signatures snapshot once (multi-consumer);
    *   2. the corpus index is probed with a BROADCAST semi-join on the
-   *      batch's distinct band keys — no corpus-side shuffle, and a
-   *      block_key-partitioned index prunes the scan itself;
+   *      batch's distinct band keys — no corpus-side shuffle, a
+   *      block_key-partitioned index prunes the scan itself, and the
+   *      probed rows (batch-bounded) snapshot once for their three
+   *      consumers below. Index rows carry the corpus signature
+   *      (carrySig layout), so this is the ONLY corpus access: scoring
+   *      reads signatures off the probed rows. A caller-supplied
+   *      (id, block_key)-only index works too, at the cost of a second
+   *      corpus access — an id-keyed signature lookup that stays cheap
+   *      only if the signature table is bucketed by id
+   *      (io.TableIO.writeBucketed);
    *   3. hot-bucket guard: probed keys whose corpus frequency exceeds
    *      `maxBucketSize` (boilerplate bands) are dropped AFTER the probe,
    *      so the census aggregates only the batch-hit subset — never the
    *      full index;
-   *   4. candidate (corpus id, batch id) pairs join corpus signatures by
-   *      broadcasting the candidates into the signature table — again no
-   *      corpus-side shuffle;
+   *   4. candidate (corpus id, batch id) pairs attach the batch
+   *      signature by broadcast — every non-corpus side is
+   *      batch-bounded by the operator's contract (a crawl batch vs a
+   *      10^12-doc corpus), so the hints are structural, not tuning;
    *   5. per-batch-id best match is a map-side `max_by` aggregate.
    */
   def neardupAgainstCorpus(batch: DataFrame, corpusSigs: DataFrame,
@@ -575,34 +609,47 @@ object TextOps {
       k: Int = 64, bands: Int = 16, estThreshold: Double = 0.7,
       maxBucketSize: Int = 200,
       // a pre-built minhashBandKeys(corpusSigs) table (the persisted
-      // index); derived from corpusSigs when absent. MUST have been
-      // built with the same k/bands.
+      // index), with or without the carrySig column; derived from
+      // corpusSigs (carrySig layout) when absent. MUST have been built
+      // with the same k/bands.
       corpusIndex: Option[DataFrame] = None): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
+    val spark = batch.sparkSession
     val bSigs = graft.pipeline.Dedupe.snapshotIfResolvable(
-      batch.sparkSession, minhashSignatures(batch, idCol, textCol, k),
+      spark, minhashSignatures(batch, idCol, textCol, k),
       "incr_neardup_batch")
     val bKeys = minhashBandKeys(bSigs, k, bands)
       .withColumnsRenamed(Map("id" -> "bid"))
-    val cKeys = corpusIndex.getOrElse(minhashBandKeys(corpusSigs, k, bands))
-    // (2) probe: corpus-index rows whose key some batch doc shares
-    val probed = cKeys.join(
-      broadcast(bKeys.select("block_key").distinct()), Seq("block_key"))
-    // (3) census over the PROBED subset only (batch-bounded by
-    // construction), then the hot-bucket filter
+    val cKeys = corpusIndex.getOrElse(
+      minhashBandKeys(corpusSigs, k, bands, carrySig = true))
+    // (2) probe — the one corpus access; snapshot the (batch-bounded)
+    // result so the census, candidate build and scoring don't re-run it
+    val probed = graft.pipeline.Dedupe.snapshotIfResolvable(spark,
+      cKeys.join(broadcast(bKeys.select("block_key").distinct()),
+        Seq("block_key")),
+      "incr_neardup_probe")
+    // (3) census over the PROBED subset only, then the hot-bucket filter
     val coldKeys = probed.groupBy("block_key").count()
       .filter(col("count") <= maxBucketSize).select("block_key")
-    val cands = probed.join(broadcast(coldKeys), Seq("block_key"))
-      .join(broadcast(bKeys), Seq("block_key"))
-      .select(col("bid"), col("id").as("cid")).distinct()
-    // (4) attach both signatures; the corpus side stays shuffle-free.
-    // Every non-corpus side below is batch-bounded by the operator's
-    // contract (a crawl batch vs a 10^12-doc corpus), so the hints are
-    // structural, not a tuning guess.
-    val withB = cands.join(broadcast(bSigs.withColumnsRenamed(
-      Map("id" -> "bid", "sig" -> "bsig"))), Seq("bid"))
-    val scored = corpusSigs.join(broadcast(withB),
-        col("id") === col("cid"))
+    val cold = probed.join(broadcast(coldKeys), Seq("block_key"))
+    // candidate pairs; sig is functionally dependent on the corpus id,
+    // so distinct-ing it alongside changes nothing but keeps it attached
+    val cands =
+      if (cold.columns.contains("sig"))
+        cold.join(broadcast(bKeys), Seq("block_key"))
+          .select(col("bid"), col("id").as("cid"), col("sig")).distinct()
+      else {
+        // signature-less index layout: second corpus access (id-keyed
+        // signature lookup — bucket-prunable when the sig table is
+        // bucketed by id; see scaladoc)
+        val thin = cold.join(broadcast(bKeys), Seq("block_key"))
+          .select(col("bid"), col("id").as("cid")).distinct()
+        corpusSigs.join(broadcast(thin), col("id") === col("cid"))
+          .select(col("bid"), col("cid"), col("sig"))
+      }
+    // (4) attach the batch signature, estimate agreement
+    val scored = cands.join(broadcast(bSigs.withColumnsRenamed(
+        Map("id" -> "bid", "sig" -> "bsig"))), Seq("bid"))
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig"), col("bsig"),
             (a, b) => (a === b).cast("int")),

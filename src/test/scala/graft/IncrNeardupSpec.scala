@@ -19,28 +19,37 @@ class IncrNeardupSpec extends SparkSpec {
     (11L, "completely different corpus content about spark shuffles and " +
       "partitions written for the second corpus entry here today"),
     (12L, "a third unrelated corpus document covering sailing knots and " +
-      "maritime navigation across the northern atlantic passage route"))
+      "maritime navigation across the northern atlantic passage route"),
+    (13L, "error 404"))  // shingle-less (< 3 tokens): must match nothing
     .toDF("doc_id", "text")
 
-  test("neardupAgainstCorpus: exact, near, novel, and null-text batches") {
+  test("neardupAgainstCorpus: exact, near, novel, null-text and " +
+      "shingle-less batches — one row per batch doc") {
     val batch = Seq(
       (1L, base),                               // exact dup of 10 → est 1.0
       (2L, base.replace("lazy", "sleepy")),     // near dup of 10
       (3L, "entirely novel text about quantum chemistry simulations on " +
-        "distributed accelerator clusters with tensor contraction engines"))
+        "distributed accelerator clusters with tensor contraction engines"),
+      (4L, null),                               // null text → novel, kept
+      // shingle-less: must NOT alias to corpus doc 13 (the all-sentinel
+      // signature both sides would share without the null-sig guard)
+      (5L, "ok thanks"))
       .toDF("doc_id", "text")
     val sigs = TextOps.minhashSignatures(corpus, "doc_id", "text")
     val got = TextOps.neardupAgainstCorpus(batch, sigs, "doc_id", "text",
         estThreshold = 0.5)
       .as[(Long, Boolean, Option[Long], Option[Double], Boolean)]
       .collect().sortBy(_._1)
-    assert(got.length == 3)
-    val Array(exact, near, novel) = got
+    assert(got.length == 5, s"one row per batch doc, got ${got.toSeq}")
+    val Array(exact, near, novel, nullText, shingleless) = got
     assert(exact == ((1L, true, Some(10L), Some(1.0), false)))
     assert(near._2 && near._3.contains(10L) && !near._5)
     assert(near._4.exists(e => e >= 0.5 && e < 1.0),
       s"near-dup estimate out of band: $near")
     assert(novel == ((3L, false, None, None, true)))
+    assert(nullText == ((4L, false, None, None, true)))
+    assert(shingleless == ((5L, false, None, None, true)),
+      "shingle-less docs must never match (sentinel aliasing)")
   }
 
   test("a pre-built band-key index finds exactly what derived keys find") {
