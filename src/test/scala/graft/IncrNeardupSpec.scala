@@ -89,6 +89,33 @@ class IncrNeardupSpec extends SparkSpec {
     assert(got.toSeq == Seq(21L))
   }
 
+  test("index lifecycle: appending a batch's novel rows catches the " +
+      "next batch's recrawl of them") {
+    val corpusSigs = TextOps.minhashSignatures(corpus, "doc_id", "text")
+    val novelText = "entirely new page about container scheduling and " +
+      "bin packing heuristics for heterogeneous accelerator fleets"
+    val b1 = Seq((100L, novelText)).toDF("doc_id", "text")
+    val r1 = TextOps.neardupAgainstCorpus(b1, corpusSigs, "doc_id", "text")
+      .as[(Long, Boolean, Option[Long], Option[Double], Boolean)].collect()
+    assert(r1.toSeq == Seq((100L, false, None, None, true)))
+    // the documented caller workflow: keep ids' signatures append to the
+    // corpus signature table (and their band keys to the index)
+    val b1Sigs = TextOps.minhashSignatures(b1, "doc_id", "text")
+    val grown = corpusSigs.unionByName(b1Sigs)
+    val idx2 = TextOps.minhashBandKeys(grown, carrySig = true)
+    val b2 = Seq((200L, novelText),                       // recrawl of 100
+      (201L, base.replace("dog", "cat")))                 // near dup of 10
+      .toDF("doc_id", "text")
+    val r2 = TextOps.neardupAgainstCorpus(b2, grown, "doc_id", "text",
+        estThreshold = 0.5, corpusIndex = Some(idx2))
+      .as[(Long, Boolean, Option[Long], Option[Double], Boolean)]
+      .collect().sortBy(_._1)
+    assert(r2(0) == ((200L, true, Some(100L), Some(1.0), false)),
+      s"appended index must catch the recrawl: ${r2.toSeq}")
+    assert(r2(1)._2 && r2(1)._3.contains(10L),
+      s"pre-existing corpus must still match: ${r2.toSeq}")
+  }
+
   test("the corpus side of the probe join is never shuffled") {
     val sigs = TextOps.minhashSignatures(corpus, "doc_id", "text")
     val batch = Seq((1L, base)).toDF("doc_id", "text")
