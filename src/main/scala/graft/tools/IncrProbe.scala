@@ -31,7 +31,7 @@ object IncrProbe {
             concat(col("dtext"), lit(" appended recrawl banner tail")))
           .otherwise(col("text")).as("text"))
     time("batch_build") { batch.write.format("noop").mode("overwrite").save() }
-    var corpusSigs = TextOps.minhashSignatures(corpus, "doc_id", "text")
+    val corpusSigs = TextOps.minhashSignatures(corpus, "doc_id", "text")
     time("corpus_sigs") { corpusSigs.write.format("noop").mode("overwrite").save() }
     time("full_op") {
       TextOps.neardupAgainstCorpus(batch, corpusSigs, "doc_id", "text")
@@ -41,7 +41,10 @@ object IncrProbe {
       TextOps.neardupAgainstCorpus(batch, corpusSigs, "doc_id", "text")
         .write.format("noop").mode("overwrite").save()
     }
-    graft.SparkEntry.clearSnapshotCaches()
+    // the operator's state is snapshotIfResolvable scratch, reclaimed
+    // here (SparkEntry's pairCache/scoredCache are never populated by
+    // this probe, so clearing those would be a no-op)
+    graft.pipeline.Dedupe.reclaimLibraryScratch(spark)
     // prebuilt thin index path for comparison
     val idx = TextOps.minhashBandKeys(corpusSigs)
     time("prebuilt_thin") {

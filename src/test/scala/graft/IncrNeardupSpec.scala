@@ -110,6 +110,7 @@ class IncrNeardupSpec extends SparkSpec {
         estThreshold = 0.5, corpusIndex = Some(idx2))
       .as[(Long, Boolean, Option[Long], Option[Double], Boolean)]
       .collect().sortBy(_._1)
+    assert(r2.length == 2, s"one row per batch doc, got ${r2.toSeq}")
     assert(r2(0) == ((200L, true, Some(100L), Some(1.0), false)),
       s"appended index must catch the recrawl: ${r2.toSeq}")
     assert(r2(1)._2 && r2(1)._3.contains(10L),
