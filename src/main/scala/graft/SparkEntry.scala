@@ -158,6 +158,24 @@ object SparkEntry {
     "q_block_pairs" -> ((s, dir) =>
       attachedNamePairs(s, dir).select(col("id1"), col("id2"))),
 
+    // meta-blocking (Papadakis TKDE'14 / SparkER EDBT'19): block
+    // filtering (ratio 0.75 — exact in binary, so ceil(nb*ratio) is
+    // engine-independent) → CBS comparison weights → weighted node
+    // pruning, over the same token blocking q_block_pairs uses. Every
+    // decision is counts + exact integer arithmetic, so the whole
+    // pruned comparison set is oracle-checked
+    "q_meta_blocking" -> ((s, dir) => {
+      import graft.block.{Blocking, MetaBlocking}
+      val recs = s.read.parquet(s"$dir/part.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("p_partkey").as("id"),
+          normalize_text(col("p_name")).as("name"))
+      val blocks = Blocking.blockingMap(
+        recs, Seq(PredicateSpec("token", "name")), "id")
+      MetaBlocking.prune(blocks, ratio = 0.75, maxBlockSize = 1000000)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // §2.5 C1: Jaro-Winkler + Levenshtein comparators on name pairs
     "q_score_pairs" -> ((s, dir) => {
       scoredNamePairs(s, dir)
@@ -1398,6 +1416,43 @@ object SparkEntry {
         |SELECT DISTINCT a.id AS id1, b.id AS id2
         |FROM blocks a JOIN blocks b USING (block_key)
         |WHERE a.id < b.id
+        |ORDER BY id1, id2""".stripMargin,
+
+    // independent rebuild of the meta-blocking pipeline: same blocking
+    // CTE as q_block_pairs, then block filtering via SQL windows, CBS by
+    // plain group-count, WNP in the identical exact-integer form
+    // (w*n >= s) the engine uses — no floating mean on either side
+    "q_meta_blocking" ->
+      """WITH recs AS (
+        |  SELECT p_partkey AS id,
+        |         lower(trim(regexp_replace(p_name, '\s+', ' ', 'g'))) AS name
+        |  FROM part),
+        |blocks AS (
+        |  SELECT id, tok AS block_key FROM recs,
+        |    unnest(regexp_split_to_array(name, '[^\p{L}\p{N}]+')) AS t(tok)
+        |  WHERE length(tok) > 0
+        |  GROUP BY id, tok),
+        |sized AS (
+        |  SELECT b.id, b.block_key,
+        |    row_number() OVER (PARTITION BY b.id
+        |                       ORDER BY s.bsize, b.block_key) AS rk,
+        |    count(*) OVER (PARTITION BY b.id) AS nb
+        |  FROM blocks b JOIN (
+        |    SELECT block_key, count(*) AS bsize FROM blocks
+        |    GROUP BY block_key) s USING (block_key)),
+        |filt AS (SELECT id, block_key FROM sized WHERE rk <= ceil(nb * 0.75)),
+        |w AS (
+        |  SELECT a.id AS id1, b.id AS id2, count(*) AS w
+        |  FROM filt a JOIN filt b USING (block_key)
+        |  WHERE a.id < b.id
+        |  GROUP BY a.id, b.id),
+        |nodes AS (
+        |  SELECT id, sum(w) AS s, count(*) AS n FROM (
+        |    SELECT id1 AS id, w FROM w UNION ALL SELECT id2 AS id, w FROM w)
+        |  GROUP BY id)
+        |SELECT w.id1, w.id2, w.w
+        |FROM w JOIN nodes n1 ON w.id1 = n1.id JOIN nodes n2 ON w.id2 = n2.id
+        |WHERE w.w * n1.n >= n1.s OR w.w * n2.n >= n2.s
         |ORDER BY id1, id2""".stripMargin,
 
     "q_score_pairs" ->

@@ -53,6 +53,24 @@ object PairGen {
    */
   def candidatePairs(blocks: DataFrame, maxBlockSize: Int = 200,
       chunkTarget: Int = 256): DataFrame = {
+    val (perBlock, cells) = perBlockPairs(blocks, maxBlockSize, chunkTarget)
+    perBlock
+      // same reasoning as the cell repartition: keep the pair set spread
+      // at full width so every downstream comparator pass is parallel
+      .repartition(cells, col("id1"), col("id2"))
+      .dropDuplicates("id1", "id2") // J3: score each pair once
+  }
+
+  /**
+   * The pre-dedup pair stream: one (id1, id2) row PER SHARED ELIGIBLE
+   * BLOCK (each block emits a pair in exactly one of its grid cells), so
+   * downstream can either dedup ([[candidatePairs]], J3) or COUNT the
+   * multiplicity — the CBS comparison weight meta-blocking prunes on
+   * (block.MetaBlocking.weightedPairs). Also returns the explicit
+   * partition width for callers' follow-up shuffles.
+   */
+  private[graft] def perBlockPairs(blocks: DataFrame, maxBlockSize: Int,
+      chunkTarget: Int): (DataFrame, Int) = {
     val sizes = blocks.groupBy("block_key")
       .agg(count("*").as("block_size"))
     // plural + under-cap keys only (J2 + cap)
@@ -80,16 +98,18 @@ object PairGen {
     val cellKey = Seq(col("block_key"), col("i"), col("j"))
     // canonicalize to id1 < id2 AFTER the join: a pair whose smaller id
     // hashes to the LARGER chunk meets only as (bigger, smaller) — a plain
-    // id1 < id2 filter would drop it.
-    left.repartition(cells, cellKey: _*)
+    // id1 < id2 filter would drop it. Exception: in a DIAGONAL cell
+    // (i == j, both records in the same chunk) the join produces BOTH
+    // orientations, so there — and only there — the ordered filter is
+    // exactly the dedup that makes multiplicity = one row per shared
+    // block (the CBS contract; also halves the J3 dedup's input).
+    val perBlock = left.repartition(cells, cellKey: _*)
       .join(right.repartition(cells, cellKey: _*), Seq("block_key", "i", "j"))
       .filter(col("id1") =!= col("id2"))
+      .filter(col("i") =!= col("j") || col("id1") < col("id2"))
       .select(least(col("id1"), col("id2")).as("id1"),
         greatest(col("id1"), col("id2")).as("id2"))
-      // same reasoning for the dedup shuffle: keep the pair set spread at
-      // full width so every downstream comparator pass is parallel
-      .repartition(cells, col("id1"), col("id2"))
-      .dropDuplicates("id1", "id2") // J3: score each pair once
+    (perBlock, cells)
   }
 
   /** Metrics companion to [[candidatePairs]] (same first-pass aggregate). */
