@@ -73,16 +73,24 @@ object SparkEntry {
     scoredCache.clear()
   }
 
+  /** THE token blocking over part names — q_block_pairs/q_score_pairs
+    * (via [[attachedNamePairs]]) and q_meta_blocking share this single
+    * construction, so "same blocking surface" holds structurally, not by
+    * copy. Returns (records, blocking map). */
+  private def nameTokenBlocks(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // repartition: part.parquet is one row group — without it the NFKC
+    // normalize + token explode feeding the census run single-threaded
+    val recs = s.read.parquet(s"$dir/part.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("p_partkey").as("id"), normalize_text(col("p_name")).as("name"))
+    (recs, graft.block.Blocking.blockingMap(
+      recs, Seq(PredicateSpec("token", "name")), "id"))
+  }
+
   private def attachedNamePairs(s: SparkSession, dir: String): DataFrame =
     pairCache.computeIfAbsent((s, dir), { _ =>
       evictOnStop(s)
-      // repartition: part.parquet is one row group — without it the NFKC
-      // normalize + token explode feeding the census run single-threaded
-      val recs = s.read.parquet(s"$dir/part.parquet")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("p_partkey").as("id"), normalize_text(col("p_name")).as("name"))
-      val blocks = graft.block.Blocking.blockingMap(
-        recs, Seq(PredicateSpec("token", "name")), "id")
+      val (recs, blocks) = nameTokenBlocks(s, dir)
       val pairs = graft.pairs.PairGen.candidatePairs(blocks, maxBlockSize = 1000000)
       // partitioning: PairGen emits the pair set at full width (explicit
       // repartition, AQE-coalesce-exempt) and the attach joins broadcast
@@ -165,14 +173,8 @@ object SparkEntry {
     // decision is counts + exact integer arithmetic, so the whole
     // pruned comparison set is oracle-checked
     "q_meta_blocking" -> ((s, dir) => {
-      import graft.block.{Blocking, MetaBlocking}
-      val recs = s.read.parquet(s"$dir/part.parquet")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("p_partkey").as("id"),
-          normalize_text(col("p_name")).as("name"))
-      val blocks = Blocking.blockingMap(
-        recs, Seq(PredicateSpec("token", "name")), "id")
-      MetaBlocking.prune(blocks, ratio = 0.75, maxBlockSize = 1000000)
+      val (_, blocks) = nameTokenBlocks(s, dir)
+      graft.block.MetaBlocking.prune(blocks, ratio = 0.75, maxBlockSize = 1000000)
         .orderBy(col("id1"), col("id2"))
     }),
 

@@ -38,11 +38,11 @@ object MetaBlocking {
    */
   def filterBlocks(blocks: DataFrame, ratio: Double = 0.8): DataFrame = {
     require(ratio > 0 && ratio <= 1, s"ratio must be in (0,1]: $ratio")
-    val sizes = blocks.groupBy("block_key").agg(count(lit(1)).as("bsize"))
+    val sizes = Blocking.blockStats(blocks) // THE block-size census
     val byId = Window.partitionBy("id")
     blocks.join(sizes, "block_key")
-      .withColumn("rk",
-        row_number().over(byId.orderBy(col("bsize").asc, col("block_key").asc)))
+      .withColumn("rk", row_number().over(
+        byId.orderBy(col("block_size").asc, col("block_key").asc)))
       .withColumn("nb", count(lit(1)).over(byId))
       .filter(col("rk") <= ceil(col("nb") * ratio))
       .select("id", "block_key")
@@ -70,12 +70,25 @@ object MetaBlocking {
    * dependent and a boundary pair could flip between engines (the DuckDB
    * oracle runs the identical integer form). Two narrow joins against a
    * per-record (sum, count) aggregate; nothing here is quadratic.
+   *
+   * `weighted` feeds THREE consumers (two node-stat union legs + the
+   * outer join side); with `materializeWeights` (default) it snapshots
+   * once — a scratch parquet write AT CALL TIME, same pattern as
+   * minhashDupePairs' signatures — otherwise the full pair-stream
+   * aggregate re-executes per consumer (~3×). Degrades to the lazy plan
+   * when no scratch base is resolvable.
    */
-  def wnpPrune(weighted: DataFrame): DataFrame = {
-    val nodes = weighted.select(col("id1").as("id"), col("w"))
-      .unionByName(weighted.select(col("id2").as("id"), col("w")))
+  def wnpPrune(weighted: DataFrame,
+      materializeWeights: Boolean = true): DataFrame = {
+    val wdf =
+      if (materializeWeights)
+        graft.pipeline.Dedupe.snapshotIfResolvable(
+          weighted.sparkSession, weighted, "metablock_weights")
+      else weighted
+    val nodes = wdf.select(col("id1").as("id"), col("w"))
+      .unionByName(wdf.select(col("id2").as("id"), col("w")))
       .groupBy("id").agg(sum(col("w")).as("s"), count(lit(1)).as("n"))
-    weighted
+    wdf
       .join(nodes.withColumnsRenamed(Map("id" -> "id1", "s" -> "s1", "n" -> "n1")), Seq("id1"))
       .join(nodes.withColumnsRenamed(Map("id" -> "id2", "s" -> "s2", "n" -> "n2")), Seq("id2"))
       .filter(col("w") * col("n1") >= col("s1") ||
@@ -85,6 +98,7 @@ object MetaBlocking {
 
   /** The full published pipeline: filter → weight → prune. */
   def prune(blocks: DataFrame, ratio: Double = 0.8, maxBlockSize: Int = 200,
-      chunkTarget: Int = 256): DataFrame =
-    wnpPrune(weightedPairs(filterBlocks(blocks, ratio), maxBlockSize, chunkTarget))
+      chunkTarget: Int = 256, materializeWeights: Boolean = true): DataFrame =
+    wnpPrune(weightedPairs(filterBlocks(blocks, ratio), maxBlockSize, chunkTarget),
+      materializeWeights)
 }
