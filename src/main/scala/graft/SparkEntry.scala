@@ -229,6 +229,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // BM25 inverted-index retrieval: every 50th doc queries the corpus
+    // (df-prune at 0.75 — exact in binary — drops the stopword-ish head
+    // half of the synthetic vocabulary, exercising the prune)
+    "q_bm25_topk" -> ((s, dir) => {
+      import graft.textops.Retrieval
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+      val queries = docs.filter(pmod(col("doc_id"), lit(50L)) === 0L)
+        .select(col("doc_id").as("qid"), col("text"))
+      Retrieval.bm25Search(docs, "doc_id", "text", queries, "qid", "text",
+          k = 5, maxDfRatio = 0.75)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Gopher-style repetition stats (one-pass kernel). The corpus is
     // single-line, so the query splices each doc into three lines —
     // prefix(60), middle(61..260), prefix(60) again — giving every doc a
@@ -1503,6 +1517,50 @@ object SparkEntry {
         |       ELSE 'de' END AS lang_guess,
         |  $qualityExpr AS quality
         |FROM qq ORDER BY doc_id""".stripMargin,
+
+    // BM25: every scalar input is exact integer arithmetic (tf, dl, df,
+    // N; avgdl = exact-int-sum / count), constants are spelled as the
+    // same IEEE expressions Spark evaluates ((1.2 + 1.0), not 2.2), and
+    // the ln 1-ulp licence is absorbed by the per-term 1e-6 quantization;
+    // the per-doc score sums exact bigint micro-units (order-independent
+    // on both engines) and ties break on doc_id, so top-5 is engine-exact
+    "q_bm25_topk" ->
+      raw"""WITH tf AS (
+        |  SELECT doc_id, tok AS term, count(*) AS tf
+        |  FROM documents,
+        |    unnest(regexp_split_to_array(text, '[^\p{L}\p{N}]+')) AS t(tok)
+        |  WHERE length(tok) > 0
+        |  GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |stats AS (
+        |  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |  FROM dl),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |terms AS (
+        |  SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
+        |  FROM dfreq, stats WHERE df <= n_docs * 0.75),
+        |post AS (
+        |  SELECT tf.term, tf.doc_id, tf.tf, dl.dl, t.idf, t.avgdl
+        |  FROM tf JOIN terms t USING (term) JOIN dl USING (doc_id)),
+        |qterms AS (
+        |  SELECT DISTINCT doc_id AS qid, tok AS term
+        |  FROM documents,
+        |    unnest(regexp_split_to_array(text, '[^\p{L}\p{N}]+')) AS t(tok)
+        |  WHERE doc_id % 50 = 0 AND length(tok) > 0),
+        |scored AS (
+        |  SELECT q.qid, p.doc_id,
+        |    sum(CAST(round(p.idf * (p.tf * (1.2 + 1.0)) /
+        |      (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / p.avgdl))
+        |      * 1e6, 0) AS BIGINT)) / 1e6 AS score
+        |  FROM qterms q JOIN post p USING (term)
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT qid, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank, score
+        |  FROM scored)
+        |SELECT qid, doc_id, rank, score FROM ranked
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     // independent rebuild of the repetition kernel: same spliced 3-line
     // text, line stats from a per-line count census, gram stats from the
