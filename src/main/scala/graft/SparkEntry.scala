@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.gfunctions._
 import graft.fixtures.PagesGen
@@ -40,6 +40,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private val scoredCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val fsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Evict memoized snapshots when their session ends — the caches would
     * otherwise pin localCheckpoint blocks for the JVM lifetime in a
@@ -50,6 +52,7 @@ object SparkEntry {
           e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
         pairCache.keySet.removeIf(_._1 eq s)
         scoredCache.keySet.removeIf(_._1 eq s)
+        fsCache.keySet.removeIf(_._1 eq s)
       }
     })
 
@@ -71,6 +74,7 @@ object SparkEntry {
   private[graft] def clearSnapshotCaches(): Unit = {
     pairCache.clear()
     scoredCache.clear()
+    fsCache.clear()
   }
 
   /** THE token blocking over part names — q_block_pairs/q_score_pairs
@@ -111,6 +115,47 @@ object SparkEntry {
           levenshtein(col("name_1"), col("name_2")).cast("long").as("lev"),
           levenshtein_sim(col("name_1"), col("name_2")).as("lev_sim")),
         "scored", dir)
+    })
+
+  /** Same-nation customer self-pairs with per-side attribute columns
+    * (suffixes `_1`/`_2`) — the ONE copy of the expansion scaffolding
+    * shared by q_feature_pairs and the Fellegi–Sunter queries. The
+    * explicit width on the join key keeps the 9M-row expansion parallel:
+    * a 15k-row dimension self-join has tiny shuffle INPUT, so AQE
+    * coalesces it to ~1 partition and the expansion runs single-threaded
+    * (measured 72 s; same expansion-blindness as pair-gen). */
+  private def customerPairs(s: SparkSession, dir: String,
+      attrs: Seq[(String, Column)]): DataFrame = {
+    val c = s.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("id") +: col("c_nationkey").as("nat") +:
+        attrs.map { case (n, e) => e.as(n) }: _*)
+    val a = c.select(col("id").as("id1") +: col("nat") +:
+      attrs.map { case (n, _) => col(n).as(s"${n}_1") }: _*)
+    val b = c.select(col("id").as("id2") +: col("nat") +:
+      attrs.map { case (n, _) => col(n).as(s"${n}_2") }: _*)
+    val width = s.sparkContext.defaultParallelism * 4
+    a.repartition(width, col("nat"))
+      .join(b.repartition(width, col("nat")), "nat")
+      .filter(col("id1") < col("id2"))
+  }
+
+  /** Same-nation customer pairs with three discrete agreement gammas —
+    * memoized snapshot shared by q_fs_patterns and q_fs_classify (exact
+    * segment match, last-2-of-name match, balance-sign match: all
+    * integer/string comparisons, so both engines derive identical 0/1
+    * indicators). */
+  private def fsCustomerGammas(s: SparkSession, dir: String): DataFrame =
+    fsCache.computeIfAbsent((s, dir), { _ =>
+      evictOnStop(s)
+      snapshot(s, customerPairs(s, dir, Seq(
+          "seg" -> col("c_mktsegment"),
+          "n2" -> substring(col("c_name"), -2, 2),
+          "pos" -> (col("c_acctbal") > 0)))
+        .select(col("id1"), col("id2"),
+          (col("seg_1") === col("seg_2")).cast("int").as("g_seg"),
+          (col("n2_1") === col("n2_2")).cast("int").as("g_name2"),
+          (col("pos_1") === col("pos_2")).cast("int").as("g_bal")),
+        "fsgamma", dir)
     })
 
   /** Shared 5-doc near-dup fixture for the minhash/simhash fixture
@@ -1048,22 +1093,9 @@ object SparkEntry {
     // interaction, C8 missing dummy) over same-nation customer pairs
     "q_feature_pairs" -> ((s, dir) => {
       import graft.score.Scoring.featureColumn
-      val c = s.read.parquet(s"$dir/customer.parquet")
-        .select(col("c_custkey").as("id"), col("c_nationkey").as("nat"),
-          col("c_mktsegment").as("seg"),
-          when(col("c_acctbal") > 0, col("c_acctbal").cast("double")).as("bal"))
-      val a = c.select(col("id").as("id1"), col("nat"),
-        col("seg").as("seg_1"), col("bal").as("bal_1"))
-      val b = c.select(col("id").as("id2"), col("nat"),
-        col("seg").as("seg_2"), col("bal").as("bal_2"))
-      // explicit width on the join key: a 15k-row dimension self-join has
-      // tiny shuffle INPUT, so AQE coalesces it to ~1 partition and the
-      // 9M-row expansion runs single-threaded (measured 72 s; same
-      // expansion-blindness as pair-gen)
-      val width = s.sparkContext.defaultParallelism * 4
-      a.repartition(width, col("nat"))
-        .join(b.repartition(width, col("nat")), "nat")
-        .filter(col("id1") < col("id2"))
+      customerPairs(s, dir, Seq(
+          "seg" -> col("c_mktsegment"),
+          "bal" -> when(col("c_acctbal") > 0, col("c_acctbal").cast("double"))))
         .select(col("id1"), col("id2"),
           featureColumn("exact_seg").as("f_exact"),
           featureColumn("missing_bal").as("f_missing"),
@@ -1071,6 +1103,46 @@ object SparkEntry {
           featureColumn("cat_seg__BUILDING__AUTOMOBILE").as("f_cat_ba"),
           featureColumn("cat_seg__BUILDING__BUILDING").as("f_cat_bb"),
           featureColumn("inter_exact_seg__missing_bal").as("f_inter"))
+    }),
+
+    // Fellegi–Sunter sufficient statistics: the ONE distributed step of
+    // unsupervised weight learning — same-nation customer pairs collapse
+    // into the 2^3 agreement-pattern histogram (discrete gammas only, so
+    // the oracle carries no float-threshold boundary risk)
+    "q_fs_patterns" -> ((s, dir) => {
+      graft.score.FellegiSunter
+        .agreementPatterns(fsCustomerGammas(s, dir), Seq("g_seg", "g_name2", "g_bal"))
+        .orderBy(col("g_seg"), col("g_name2"), col("g_bal"))
+    }),
+
+    // Fellegi–Sunter EM on a literal 100-pair histogram: expected
+    // parameters independently recomputed (separate float EM, same IEEE
+    // ops; converged values sit ≥4e-8 from every round-6 boundary) and
+    // frozen in the VALUES oracle — regression-guards the estimator
+    "q_fs_weights" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Seq.fill(20)((1, 1)) ++ Seq.fill(5)((1, 0)) ++
+        Seq.fill(5)((0, 1)) ++ Seq.fill(70)((0, 0))
+      val p = graft.score.FellegiSunter.fit(rows.toDF("g1", "g2"), Seq("g1", "g2"))
+      Seq(("g1", p.m(0), p.u(0), p.lambda), ("g2", p.m(1), p.u(1), p.lambda))
+        .toDF("field", "m", "u", "lam")
+        .select(col("field"), round(col("m"), 6).as("m"),
+          round(col("u"), 6).as("u"), round(col("lam"), 6).as("lam"))
+        .orderBy("field")
+    }),
+
+    // Fellegi–Sunter posterior scoring: fitted weights re-enter the plan
+    // as literals in a codegen'd column (model params exact in binary so
+    // the oracle's decimal literals parse to the identical doubles)
+    "q_fs_classify" -> ((s, dir) => {
+      import graft.score.FellegiSunter
+      val p = FellegiSunter.FsParams(0.25,
+        Array(0.75, 0.875, 0.625), Array(0.125, 0.25, 0.375))
+      fsCustomerGammas(s, dir)
+        .select(col("id1"), col("id2"),
+          round(FellegiSunter.posterior(p, Seq("g_seg", "g_name2", "g_bal")), 6)
+            .as("post"))
+        .orderBy(col("id1"), col("id2"))
     }),
 
     // datetime comparator (C5) over same-customer order pairs
@@ -2325,6 +2397,61 @@ object SparkEntry {
         |    * CAST(a.bal IS NULL OR b.bal IS NULL AS DOUBLE) AS f_inter
         |FROM c a JOIN c b ON a.nat = b.nat AND a.id < b.id
         |ORDER BY id1, id2""".stripMargin,
+
+    // FS gammas are exact string/sign comparisons; count(*) is BIGINT on
+    // both engines, CAST(bool AS INT) is int32 on both
+    "q_fs_patterns" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS id, c_nationkey AS nat, c_mktsegment AS seg,
+        |    right(c_name, 2) AS n2, c_acctbal > 0 AS pos
+        |  FROM customer),
+        |g AS (
+        |  SELECT CAST(a.seg = b.seg AS INT) AS g_seg,
+        |    CAST(a.n2 = b.n2 AS INT) AS g_name2,
+        |    CAST(a.pos = b.pos AS INT) AS g_bal
+        |  FROM c a JOIN c b ON a.nat = b.nat AND a.id < b.id)
+        |SELECT g_seg, g_name2, g_bal, count(*) AS n
+        |FROM g GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // frozen from an independent float-EM recomputation of the literal
+    // 100-pair fixture (20×(1,1), 5×(1,0), 5×(0,1), 70×(0,0); 20 iters,
+    // λ0=0.1 m0=0.9 u0=0.1): converged params land ≥4e-8 away from every
+    // round-6 boundary, so the decimal literals are engine-safe
+    "q_fs_weights" ->
+      """SELECT * FROM (VALUES
+        |  ('g1', CAST(0.978831 AS DOUBLE), CAST(0.061342 AS DOUBLE),
+        |   CAST(0.205625 AS DOUBLE)),
+        |  ('g2', CAST(0.978831 AS DOUBLE), CAST(0.061342 AS DOUBLE),
+        |   CAST(0.205625 AS DOUBLE))
+        |) t(field, m, u, lam) ORDER BY field""".stripMargin,
+
+    // model params (λ=0.25, m=(0.75,0.875,0.625), u=(0.125,0.25,0.375))
+    // and their complements are all exact in binary, and the product tree
+    // mirrors the Spark foldLeft's left-nesting — bit-identical doubles
+    "q_fs_classify" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS id, c_nationkey AS nat, c_mktsegment AS seg,
+        |    right(c_name, 2) AS n2, c_acctbal > 0 AS pos
+        |  FROM customer),
+        |g AS (
+        |  SELECT a.id AS id1, b.id AS id2,
+        |    CAST(a.seg = b.seg AS INT) AS g_seg,
+        |    CAST(a.n2 = b.n2 AS INT) AS g_name2,
+        |    CAST(a.pos = b.pos AS INT) AS g_bal
+        |  FROM c a JOIN c b ON a.nat = b.nat AND a.id < b.id),
+        |s AS (
+        |  SELECT id1, id2,
+        |    ((CAST(0.25 AS DOUBLE)
+        |      * CASE WHEN g_seg = 1 THEN CAST(0.75 AS DOUBLE) ELSE CAST(0.25 AS DOUBLE) END)
+        |      * CASE WHEN g_name2 = 1 THEN CAST(0.875 AS DOUBLE) ELSE CAST(0.125 AS DOUBLE) END)
+        |      * CASE WHEN g_bal = 1 THEN CAST(0.625 AS DOUBLE) ELSE CAST(0.375 AS DOUBLE) END AS pm,
+        |    ((CAST(0.75 AS DOUBLE)
+        |      * CASE WHEN g_seg = 1 THEN CAST(0.125 AS DOUBLE) ELSE CAST(0.875 AS DOUBLE) END)
+        |      * CASE WHEN g_name2 = 1 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.75 AS DOUBLE) END)
+        |      * CASE WHEN g_bal = 1 THEN CAST(0.375 AS DOUBLE) ELSE CAST(0.625 AS DOUBLE) END AS pu
+        |  FROM g)
+        |SELECT id1, id2, round(pm / (pm + pu), 6) AS post
+        |FROM s ORDER BY id1, id2""".stripMargin,
 
     "q_dt_pairs" ->
       """SELECT a.o_orderkey AS id1, b.o_orderkey AS id2,
