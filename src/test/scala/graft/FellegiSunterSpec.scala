@@ -92,4 +92,37 @@ class FellegiSunterSpec extends SparkSpec {
     val p = FsParams(0.2, Array(0.9), Array(0.1))
     assert(p.agreeWeight(0) > 0 && p.disagreeWeight(0) < 0)
   }
+
+  test("UNSUPERVISED dedupe clears the north rule's F1>=0.99 bar: EM " +
+    "weights (no labels) score the flagship candidate set at F1=1.0 on " +
+    "the 500-base golden fixture") {
+    // labels are used ONLY for judging — fit sees gammas alone.
+    // (tools.FsProbe measured 1.0 / 1.0 / 0.999954 at 500/2000/10000.)
+    import graft.gfunctions._
+    import graft.model.PredicateSpec
+    import graft.pipeline.{Dedupe, Eval}
+    val (pages, truth) = graft.fixtures.PagesGen.generate(spark, nBase = 500, seed = 42L)
+    val recs = Dedupe.prepare(pages.toDF())
+    val blocks = graft.block.Blocking.blockingMap(recs, Seq(
+      PredicateSpec("token", "text_norm"),
+      PredicateSpec("simhash", "text", bands = 4)), "id")
+    val pairs = graft.pairs.PairGen.candidatePairs(blocks, maxBlockSize = 500)
+    val gcols = Seq("g_jw", "g_lev", "g_lang")
+    val gammas = graft.pairs.PairGen
+      .attachFields(pairs, recs, "id", Seq("text_norm", "lang"))
+      .select(col("id1"), col("id2"),
+        (jaro_winkler(col("text_norm_1"), col("text_norm_2")) >= 0.9)
+          .cast("int").as("g_jw"),
+        (levenshtein_sim(col("text_norm_1"), col("text_norm_2")) >= 0.75)
+          .cast("int").as("g_lev"),
+        (col("lang_1") === col("lang_2")).cast("int").as("g_lang"))
+      .localCheckpoint()
+    val params = FellegiSunter.fit(gammas, gcols)
+    val scored = gammas.withColumn("score", FellegiSunter.posterior(params, gcols))
+    val idTruth = recs.select(col("id"), col("url"))
+      .join(truth.toDF(), "url")
+      .select(col("id"), col("cluster_id").as("cluster"))
+    val prf = Eval.pairwiseF1(scored.select("id1", "id2", "score"), idTruth, 0.5)
+    assert(prf.f1 >= 0.99, s"unsupervised F1 ${prf.f1} (p=${prf.precision} r=${prf.recall})")
+  }
 }
