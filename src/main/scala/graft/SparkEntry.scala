@@ -151,7 +151,7 @@ object SparkEntry {
           "seg" -> col("c_mktsegment"),
           "n2" -> substring(col("c_name"), -2, 2),
           "pos" -> (col("c_acctbal") > 0)))
-        .select(col("id1"), col("id2"),
+        .select(col("id1"), col("id2"), col("n2_1"),
           (col("seg_1") === col("seg_2")).cast("int").as("g_seg"),
           (col("n2_1") === col("n2_2")).cast("int").as("g_name2"),
           (col("pos_1") === col("pos_2")).cast("int").as("g_bal")),
@@ -1142,6 +1142,25 @@ object SparkEntry {
         .select(col("id1"), col("id2"),
           round(FellegiSunter.posterior(p, Seq("g_seg", "g_name2", "g_bal")), 6)
             .as("post"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // Fellegi–Sunter with term-frequency adjustment: agreeing on a RARE
+    // last-2-of-name is worth more than a frequent one — the shared
+    // value's corpus frequency replaces the global u via a broadcast
+    // join against the vocabulary-sized frequency table
+    "q_fs_tf" -> ((s, dir) => {
+      import graft.score.FellegiSunter
+      val p = FellegiSunter.FsParams(0.25,
+        Array(0.75, 0.875, 0.625), Array(0.125, 0.25, 0.375))
+      val freqs = FellegiSunter.valueFrequencies(
+        s.read.parquet(s"$dir/customer.parquet")
+          .select(substring(col("c_name"), -2, 2).as("n2")), "n2")
+      fsCustomerGammas(s, dir)
+        .join(broadcast(freqs.withColumnRenamed("value", "n2_1")), Seq("n2_1"), "left")
+        .select(col("id1"), col("id2"),
+          round(FellegiSunter.posteriorTf(p, Seq("g_seg", "g_name2", "g_bal"),
+            Map("g_name2" -> col("tf_freq"))), 6).as("post"))
         .orderBy(col("id1"), col("id2"))
     }),
 
@@ -2450,6 +2469,44 @@ object SparkEntry {
         |      * CASE WHEN g_name2 = 1 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.75 AS DOUBLE) END)
         |      * CASE WHEN g_bal = 1 THEN CAST(0.375 AS DOUBLE) ELSE CAST(0.625 AS DOUBLE) END AS pu
         |  FROM g)
+        |SELECT id1, id2, round(pm / (pm + pu), 6) AS post
+        |FROM s ORDER BY id1, id2""".stripMargin,
+
+    // tf adjustment: f_v = CAST(cnt AS DOUBLE)/total (exact integers in,
+    // one double division), clamp spelled (1.0 - 1e-6) so both engines
+    // compute the identical IEEE bound; coalesce precedes the clamp
+    "q_fs_tf" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS id, c_nationkey AS nat, c_mktsegment AS seg,
+        |    right(c_name, 2) AS n2, c_acctbal > 0 AS pos
+        |  FROM customer),
+        |tot AS (SELECT count(*) AS total FROM c),
+        |f AS (
+        |  SELECT n2 AS value,
+        |    CAST(count(*) AS DOUBLE) / (SELECT total FROM tot) AS tf_freq
+        |  FROM c GROUP BY 1),
+        |g AS (
+        |  SELECT a.id AS id1, b.id AS id2, a.n2 AS n2_1,
+        |    CAST(a.seg = b.seg AS INT) AS g_seg,
+        |    CAST(a.n2 = b.n2 AS INT) AS g_name2,
+        |    CAST(a.pos = b.pos AS INT) AS g_bal
+        |  FROM c a JOIN c b ON a.nat = b.nat AND a.id < b.id),
+        |j AS (
+        |  SELECT g.*, f.tf_freq FROM g LEFT JOIN f ON g.n2_1 = f.value),
+        |s AS (
+        |  SELECT id1, id2,
+        |    ((CAST(0.25 AS DOUBLE)
+        |      * CASE WHEN g_seg = 1 THEN CAST(0.75 AS DOUBLE) ELSE CAST(0.25 AS DOUBLE) END)
+        |      * CASE WHEN g_name2 = 1 THEN CAST(0.875 AS DOUBLE) ELSE CAST(0.125 AS DOUBLE) END)
+        |      * CASE WHEN g_bal = 1 THEN CAST(0.625 AS DOUBLE) ELSE CAST(0.375 AS DOUBLE) END AS pm,
+        |    ((CAST(0.75 AS DOUBLE)
+        |      * CASE WHEN g_seg = 1 THEN CAST(0.125 AS DOUBLE) ELSE CAST(0.875 AS DOUBLE) END)
+        |      * CASE WHEN g_name2 = 1
+        |          THEN greatest(least(coalesce(tf_freq, CAST(0.25 AS DOUBLE)),
+        |            1.0 - 1e-6), 1e-6)
+        |          ELSE CAST(0.75 AS DOUBLE) END)
+        |      * CASE WHEN g_bal = 1 THEN CAST(0.375 AS DOUBLE) ELSE CAST(0.625 AS DOUBLE) END AS pu
+        |  FROM j)
         |SELECT id1, id2, round(pm / (pm + pu), 6) AS post
         |FROM s ORDER BY id1, id2""".stripMargin,
 

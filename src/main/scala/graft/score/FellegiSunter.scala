@@ -118,16 +118,59 @@ object FellegiSunter {
    * fields.
    */
   def posterior(params: FsParams, gammaCols: Seq[String],
-                nullAsDisagreement: Boolean = true): Column = {
-    def side(prior: Double, p: Int => Double) =
+                nullAsDisagreement: Boolean = true): Column =
+    posteriorTf(params, gammaCols, Map.empty, nullAsDisagreement)
+
+  /**
+   * [[posterior]] with term-frequency adjustment (Winkler 1988†; the
+   * mechanism Splink calls tf adjustment†): for a field whose gamma
+   * column appears in `tfCols`, agreement on a SPECIFIC value v swaps
+   * the global u_k for that value's relative frequency f_v — under
+   * class-conditional independence, f_v IS P(the other record also
+   * carries v | non-match) — so agreeing on a rare name is worth more
+   * than agreeing on a frequent one. `tfCols(g)` must be a column
+   * holding f_v for the pair's shared value (attach it with a broadcast
+   * join against [[valueFrequencies]]); it is clamped into
+   * [1e-6, 1-1e-6] and falls back to the global u_k when null. The
+   * m-side and the disagreement branch are unchanged.
+   */
+  def posteriorTf(params: FsParams, gammaCols: Seq[String],
+                  tfCols: Map[String, Column],
+                  nullAsDisagreement: Boolean = true): Column = {
+    def side(prior: Double, p: Int => Double, useTf: Boolean) =
       gammaCols.zipWithIndex.foldLeft(lit(prior)) {
-        case (acc, (g, i)) => acc * when(col(g).isNull,
-            lit(if (nullAsDisagreement) 1.0 - p(i) else 1.0))
-          .when(col(g).cast("int") === 1, lit(p(i)))
-          .otherwise(lit(1.0 - p(i)))
+        case (acc, (g, i)) =>
+          // coalesce BEFORE clamping: least/greatest skip nulls (both
+          // engines), so clamping a null tf first would yield the clamp
+          // bound instead of the u_k fallback
+          val agree = tfCols.get(g).filter(_ => useTf) match {
+            case Some(tf) =>
+              greatest(least(coalesce(tf, lit(p(i))), lit(1.0 - Eps)), lit(Eps))
+            case None => lit(p(i))
+          }
+          acc * when(col(g).isNull,
+              lit(if (nullAsDisagreement) 1.0 - p(i) else 1.0))
+            .when(col(g).cast("int") === 1, agree)
+            .otherwise(lit(1.0 - p(i)))
       }
-    val pm = side(params.lambda, params.m)
-    val pu = side(1.0 - params.lambda, params.u)
+    val pm = side(params.lambda, params.m, useTf = false)
+    val pu = side(1.0 - params.lambda, params.u, useTf = true)
     pm / (pm + pu)
+  }
+
+  /**
+   * Per-value relative frequencies of `field` over the record table:
+   * `(value, tf_freq)` with Σ tf_freq = 1 over non-null values. The
+   * output is vocabulary-sized — orders of magnitude smaller than the
+   * records — so the attach join onto pairs broadcasts.
+   */
+  def valueFrequencies(records: DataFrame, field: String): DataFrame = {
+    val nn = records.filter(col(field).isNotNull)
+    val counts = nn.groupBy(col(field).as("value")).agg(count(lit(1)).as("cnt"))
+    // global N rides a broadcast 1-row crossJoin — no driver collect
+    val total = nn.agg(count(lit(1)).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("value"),
+        (col("cnt").cast("double") / col("total")).as("tf_freq"))
   }
 }

@@ -93,6 +93,35 @@ class FellegiSunterSpec extends SparkSpec {
     assert(p.agreeWeight(0) > 0 && p.disagreeWeight(0) < 0)
   }
 
+  test("valueFrequencies: relative frequencies over non-null values sum to 1") {
+    val recs = Seq(Some("a"), Some("a"), Some("b"), None).toDF("v")
+    val got = FellegiSunter.valueFrequencies(recs, "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("a" -> 2.0 / 3.0, "b" -> 1.0 / 3.0))
+  }
+
+  test("tf adjustment: rare shared value outranks common; null tf and " +
+    "empty map reduce to the plain posterior") {
+    val p = FsParams(0.25, Array(0.9), Array(0.1))
+    val df = Seq(
+      ("rare", Some(1), Some(0.001)), ("common", Some(1), Some(0.2)),
+      ("clampHi", Some(1), Some(2.0)), ("nullTf", Some(1), None: Option[Double]),
+      ("disagree", Some(0), Some(0.001))
+    ).toDF("tag", "g1", "tf")
+    val out = df.select(col("tag"),
+        FellegiSunter.posteriorTf(p, Seq("g1"), Map("g1" -> col("tf"))).as("tfp"),
+        FellegiSunter.posterior(p, Seq("g1")).as("plain"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out("rare")._1 > out("common")._1)
+    assert(out("common")._1 < out("common")._2) // f_v=0.2 > u=0.1 → posterior drops
+    // clamp keeps a degenerate frequency inside (0,1)
+    assert(out("clampHi")._1 > 0.0 && out("clampHi")._1 < 1.0)
+    // null tf falls back to the global u — identical to plain posterior
+    assert(out("nullTf")._1 == out("nullTf")._2)
+    // disagreement branch is untouched by tf
+    assert(out("disagree")._1 == out("disagree")._2)
+  }
+
   test("UNSUPERVISED dedupe clears the north rule's F1>=0.99 bar: EM " +
     "weights (no labels) score the flagship candidate set at F1=1.0 on " +
     "the 500-base golden fixture") {
