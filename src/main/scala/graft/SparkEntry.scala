@@ -1164,6 +1164,20 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // sorted-neighborhood blocking (Hernández–Stolfo): rank by the
+    // REVERSED name (an id-scrambled, digits-vary-fastest order) via
+    // range partitions + bucket-local windows + driver prefix over the
+    // bucket census (never a global window), pair each record with its
+    // 4 successors; DuckDB's single-window rebuild is the exact oracle
+    "q_snm_pairs" -> ((s, dir) => {
+      // no repartition: withGlobalRank's range exchange redistributes
+      // the scan anyway, so a round-robin shuffle here would be waste
+      val recs = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").cast("long").as("id"), col("c_name"))
+      graft.block.SortedNeighborhood.pairs(recs, "id", reverse(col("c_name")), window = 5)
+        .orderBy("id1", "id2")
+    }),
+
     // datetime comparator (C5) over same-customer order pairs
     "q_dt_pairs" -> ((s, dir) => {
       import graft.score.Scoring.featureColumn
@@ -2509,6 +2523,18 @@ object SparkEntry {
         |  FROM j)
         |SELECT id1, id2, round(pm / (pm + pu), 6) AS post
         |FROM s ORDER BY id1, id2""".stripMargin,
+
+    // ASCII reversed names order identically under Spark's binary UTF8
+    // comparison and DuckDB's default binary collation; ties (none —
+    // names are unique) break on the id
+    "q_snm_pairs" ->
+      """WITH r AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS id,
+        |    row_number() OVER (ORDER BY reverse(c_name), c_custkey) AS rn
+        |  FROM customer)
+        |SELECT least(a.id, b.id) AS id1, greatest(a.id, b.id) AS id2
+        |FROM r a JOIN r b ON b.rn > a.rn AND b.rn < a.rn + 5
+        |ORDER BY id1, id2""".stripMargin,
 
     "q_dt_pairs" ->
       """SELECT a.o_orderkey AS id1, b.o_orderkey AS id2,

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.gfunctions._
 import graft.block.Blocking
@@ -149,6 +149,57 @@ object Dedupe {
         out
       }
       .getOrElse(df)
+
+  /** [[snapshotIfResolvable]] for callers whose CORRECTNESS (not just
+    * cost) depends on the materialization — e.g. a census and a
+    * downstream job that must observe the same nondeterministic
+    * partition assignment. Throws with remediation instead of silently
+    * degrading to recompute-per-consumer. */
+  private[graft] def snapshotRequired(spark: SparkSession, df: DataFrame,
+      tag: String): DataFrame =
+    scala.util.Try(resolveScratchBase(spark.sparkContext.master,
+        spark.conf.getOption("spark.graft.scratchDir").filter(_.nonEmpty)))
+      .toOption
+      .map { base =>
+        val (out, path) = ephemeralSnapshotWithPath(spark, df, tag, Some(base))
+        librarySnapshots.synchronized { librarySnapshots += path }
+        out
+      }
+      .getOrElse(throw new IllegalStateException(
+        s"$tag requires a materialized scratch snapshot (two jobs must see " +
+        "the same partition assignment); set spark.graft.scratchDir to a " +
+        "shared-FS path, or run on a local master"))
+
+  /**
+   * The bounded-census exclusive-prefix recipe shared by the
+   * distributed prefix-sum operators (TextOps.packShards,
+   * SortedNeighborhood.withGlobalRank): aggregate one `weight` per
+   * bucket plus caller validation aggregates, collect it (bounded — one
+   * row per bucket), and return broadcastable exclusive offsets
+   * `(bucket, boff)` in bucket order together with the raw census rows
+   * (layout: bucket, weight, validations...) for caller-side checks.
+   * A null weight (empty/all-null group) contributes 0.
+   */
+  private[graft] def exclusiveBucketOffsets(df: DataFrame, bucketCol: String,
+      weight: Column, validations: Seq[Column] = Nil)
+      : (DataFrame, Array[org.apache.spark.sql.Row]) = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val census = df.groupBy(col(bucketCol))
+      .agg(weight.cast("long").as("_w"), validations: _*)
+      .orderBy(col(bucketCol)).collect()
+    var acc = 0L
+    val rows: Array[Row] = census.map { r =>
+      val o = Row(r.get(0), acc)
+      acc += (if (r.isNullAt(1)) 0L else r.getLong(1))
+      o
+    }
+    val schema = StructType(Seq(
+      df.schema(bucketCol).copy(name = bucketCol),
+      StructField("boff", LongType, nullable = false)))
+    (spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema), census)
+  }
 
   private val librarySnapshots = scala.collection.mutable.ListBuffer[String]()
 

@@ -883,22 +883,15 @@ object TextOps {
     // as a null bucket row, a null token count as n_null > 0 — both are
     // rejected with a clear message instead of a driver-side NPE or a
     // silently-null shard
-    val sums = b.groupBy("bucket")
-      .agg(sum("n_tok").as("bsum"),
-        sum(when(col("n_tok").isNull, 1L).otherwise(0L)).as("n_null"))
-      .orderBy("bucket")
-      .collect()
+    // exclusive prefix over the (bounded) bucket census — the shared
+    // recipe in Dedupe.exclusiveBucketOffsets
+    val (offDf, sums) = graft.pipeline.Dedupe.exclusiveBucketOffsets(
+      b, "bucket", sum("n_tok"),
+      Seq(sum(when(col("n_tok").isNull, 1L).otherwise(0L)).as("n_null")))
     require(sums.forall(r => !r.isNullAt(0)),
       s"packShards: id column '$idCol' contains nulls")
     require(sums.forall(r => r.getLong(2) == 0L),
       s"packShards: token-count column '$nTokCol' contains nulls")
-    // exclusive prefix over the (bounded) bucket census
-    var acc = 0L
-    val offs = sums.map { r =>
-      val o = (r.getLong(0), acc); acc += r.getLong(1); o
-    }.toSeq
-    import spark.implicits._
-    val offDf = offs.toDF("bucket", "boff")
     val w = Window.partitionBy(col("bucket")).orderBy(col("id"))
     b.join(broadcast(offDf), Seq("bucket"))
       .withColumn("cum", col("boff") + sum(col("n_tok")).over(w))
