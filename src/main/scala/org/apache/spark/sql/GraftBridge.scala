@@ -26,4 +26,32 @@ object GraftBridge {
     * false positives, never false negatives. */
   def bloomMightContain(bloom: Array[Byte], value: Column): Column =
     column(BloomFilterMightContain(Literal(bloom, BinaryType), expression(value)))
+
+  /** Register a SQL function into an EXISTING session's function registry
+    * (`sessionState` is private[sql]; builder-time
+    * `SparkSessionExtensions` cannot attach to a session that already
+    * exists — this is the retrofit path GraftExtensions.register uses). */
+  def registerFunction(spark: SparkSession,
+      ident: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(ident, info, builder)
+
+  /** Test-support views over private[sql] SparkSessionExtensions state:
+    * apply injected functions to a registry / list built optimizer rules
+    * — lets ExtensionsSpec verify the builder-path wiring without
+    * constructing a second SparkSession. */
+  def extensionsRegisterInto(ext: SparkSessionExtensions,
+      reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    ext.registerFunctions(reg)
+
+  def extensionsOptimizerRules(ext: SparkSessionExtensions, spark: SparkSession)
+      : Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(spark)
+
+  def builtinRegistryClone(): org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone()
 }
