@@ -71,26 +71,49 @@ object MetaBlocking {
    * oracle runs the identical integer form). Two narrow joins against a
    * per-record (sum, count) aggregate; nothing here is quadratic.
    *
-   * `weighted` feeds THREE consumers (two node-stat union legs + the
-   * outer join side); with `materializeWeights` (default) it snapshots
-   * once — a scratch parquet write AT CALL TIME, same pattern as
+   * `weighted` feeds TWO consumers (the node-stat aggregate + the join
+   * side); with `materializeWeights` (default) it snapshots once — a
+   * scratch parquet write AT CALL TIME, same pattern as
    * minhashDupePairs' signatures — otherwise the full pair-stream
-   * aggregate re-executes per consumer (~3×). Degrades to the lazy plan
-   * when no scratch base is resolvable.
+   * aggregate re-executes per consumer. Degrades to the lazy plan when
+   * no scratch base is resolvable.
+   *
+   * Node stats are ONE ROW PER RECORD (~24 B each): both endpoint joins
+   * against the pair stream want the stats side broadcast, never the
+   * pairs side. Left to AQE, the sf0.01 plan built the 468 k-row
+   * WEIGHTS side of join 1 as the hashed relation and at sf0.1 both
+   * joins fell back to sort-merge, shuffling the 47 M-row pair stream
+   * twice — measured 46 s → the explicit-broadcast form below. The
+   * stats are also snapshotted (tiny) so the aggregate runs once, and
+   * the pair stream feeds it through a single scan (explode of both
+   * endpoints) instead of a two-leg union = two scans. Set
+   * `broadcastNodes = false` past ~10⁸ records (stats outgrow a
+   * broadcast); the joins then shuffle co-partitioned on the endpoint.
    */
   def wnpPrune(weighted: DataFrame,
-      materializeWeights: Boolean = true): DataFrame = {
+      materializeWeights: Boolean = true,
+      broadcastNodes: Boolean = true): DataFrame = {
     val wdf =
       if (materializeWeights)
         graft.pipeline.Dedupe.snapshotIfResolvable(
           weighted.sparkSession, weighted, "metablock_weights")
       else weighted
-    val nodes = wdf.select(col("id1").as("id"), col("w"))
-      .unionByName(wdf.select(col("id2").as("id"), col("w")))
+    val nodesAgg = wdf
+      .select(explode(array(col("id1"), col("id2"))).as("id"), col("w"))
       .groupBy("id").agg(sum(col("w")).as("s"), count(lit(1)).as("n"))
+    val nodes =
+      if (materializeWeights)
+        graft.pipeline.Dedupe.snapshotIfResolvable(
+          wdf.sparkSession, nodesAgg, "metablock_nodes")
+      else nodesAgg
+    def side(k: String) = {
+      val renamed = nodes.withColumnsRenamed(
+        Map("id" -> k, "s" -> s"s${k.last}", "n" -> s"n${k.last}"))
+      if (broadcastNodes) broadcast(renamed) else renamed
+    }
     wdf
-      .join(nodes.withColumnsRenamed(Map("id" -> "id1", "s" -> "s1", "n" -> "n1")), Seq("id1"))
-      .join(nodes.withColumnsRenamed(Map("id" -> "id2", "s" -> "s2", "n" -> "n2")), Seq("id2"))
+      .join(side("id1"), Seq("id1"))
+      .join(side("id2"), Seq("id2"))
       .filter(col("w") * col("n1") >= col("s1") ||
         col("w") * col("n2") >= col("s2"))
       .select(col("id1"), col("id2"), col("w"))
