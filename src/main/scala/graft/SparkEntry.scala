@@ -223,6 +223,46 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // §2.4 J7: exact set-similarity self-join via prefix filtering —
+    // every document pair with token-3-shingle Jaccard >= 1/2, no LSH
+    // recall loss; verified in exact integer arithmetic, oracle = the
+    // brute-force O(n²) DuckDB twin in the identical integer form
+    "q_ssjoin" -> ((s, dir) => {
+      val toks = s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id").as("id"),
+          array_distinct(token_shingles(tokens(lower(col("text"))), 3)).as("toks"))
+      graft.pairs.SetSimJoin.jaccardSelfJoin(toks, 1, 2)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // §2.3 blocking quality metrics (RR / PC / PQ): token-name blocking
+    // judged against the same-brand-and-type truth rule — every ratio
+    // input an exact integer count
+    "q_block_quality" -> ((s, dir) => {
+      val cand = attachedNamePairs(s, dir).select("id1", "id2")
+      val parts = s.read.parquet(s"$dir/part.parquet")
+      val recs = parts.select(col("p_partkey").as("id"), col("p_brand"), col("p_type"))
+      val truth = recs.as("a").join(recs.as("b"),
+          col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_type") === col("b.p_type") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      graft.block.BlockingEval.quality(cand, truth, parts.count())
+        .select(col("n_candidates"), col("n_truth"), col("n_hit"),
+          round(col("reduction_ratio"), 6).as("reduction_ratio"),
+          round(col("pair_completeness"), 6).as("pair_completeness"),
+          round(col("pairs_quality"), 6).as("pairs_quality"))
+    }),
+
+    // §2.5 hybrid comparator: Monge-Elkan mean-of-max Jaro-Winkler over
+    // token sets, on a deterministic 1/20 slice of the candidate pairs
+    "q_monge_elkan" -> ((s, dir) => {
+      attachedNamePairs(s, dir).filter(col("id1") % 20 === 0)
+        .select(col("id1"), col("id2"),
+          round(monge_elkan(tokens(col("name_1")), tokens(col("name_2"))), 6).as("me"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // §2.5 C1: Jaro-Winkler + Levenshtein comparators on name pairs
     "q_score_pairs" -> ((s, dir) => {
       scoredNamePairs(s, dir)
@@ -1574,6 +1614,89 @@ object SparkEntry {
         |SELECT w.id1, w.id2, w.w
         |FROM w JOIN nodes n1 ON w.id1 = n1.id JOIN nodes n2 ON w.id2 = n2.id
         |WHERE w.w * n1.n >= n1.s OR w.w * n2.n >= n2.s
+        |ORDER BY id1, id2""".stripMargin,
+
+    // brute-force O(n²) twin of the prefix-filtered set-similarity join —
+    // identical shingling and the identical exact-integer verification
+    // (q·|∩| >= p·(|a|+|b|−|∩|)), so the filtered plan must reproduce the
+    // exhaustive answer bit-for-bit
+    "q_ssjoin" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id AS id, list_filter(
+        |    regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |    t -> length(t) > 0) AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT id, list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS ts
+        |  FROM toks WHERE len(tk) >= 3),
+        |pairs AS (
+        |  SELECT a.id AS id1, b.id AS id2,
+        |         len(list_intersect(a.ts, b.ts)) AS inter,
+        |         len(a.ts) AS len1, len(b.ts) AS len2
+        |  FROM sh a JOIN sh b ON a.id < b.id)
+        |SELECT id1, id2, inter, len1, len2 FROM pairs
+        |WHERE 2*inter >= 1*(len1 + len2 - inter)
+        |ORDER BY id1, id2""".stripMargin,
+
+    // blocking quality metrics: candidate stream = the q_block_pairs
+    // surface; truth rule = same brand AND type; ratios are single IEEE
+    // divisions of exact integer counts on both engines
+    "q_block_quality" ->
+      raw"""WITH recs AS (
+        |  SELECT p_partkey AS id,
+        |         lower(trim(regexp_replace(p_name, '\s+', ' ', 'g'))) AS name
+        |  FROM part),
+        |blocks AS (
+        |  SELECT id, tok AS block_key FROM recs,
+        |    unnest(regexp_split_to_array(name, '[^\p{L}\p{N}]+')) AS t(tok)
+        |  WHERE length(tok) > 0
+        |  GROUP BY id, tok),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2
+        |  FROM blocks a JOIN blocks b USING (block_key) WHERE a.id < b.id),
+        |truth AS (
+        |  SELECT a.p_partkey AS id1, b.p_partkey AS id2 FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+        |    AND a.p_partkey < b.p_partkey),
+        |nn AS (SELECT count(*) AS n FROM part),
+        |c AS (SELECT count(*) AS n_candidates FROM cand),
+        |t AS (SELECT count(*) AS n_truth FROM truth),
+        |h AS (SELECT count(*) AS n_hit
+        |      FROM cand SEMI JOIN truth USING (id1, id2))
+        |SELECT n_candidates, n_truth, n_hit,
+        |  round(1 - n_candidates / (nn.n * (nn.n - 1) / 2), 6) AS reduction_ratio,
+        |  round(n_hit / n_truth, 6) AS pair_completeness,
+        |  round(n_hit / n_candidates, 6) AS pairs_quality
+        |FROM c, t, h, nn""".stripMargin,
+
+    // Monge-Elkan mean-of-max: inner max and outer mean run over the
+    // same token order on both engines; jaro_winkler_similarity is the
+    // fuzz-verified parity primitive
+    "q_monge_elkan" ->
+      raw"""WITH recs AS (
+        |  SELECT p_partkey AS id,
+        |         lower(trim(regexp_replace(p_name, '\s+', ' ', 'g'))) AS name
+        |  FROM part),
+        |blocks AS (
+        |  SELECT id, tok AS block_key FROM recs,
+        |    unnest(regexp_split_to_array(name, '[^\p{L}\p{N}]+')) AS t(tok)
+        |  WHERE length(tok) > 0
+        |  GROUP BY id, tok),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2
+        |  FROM blocks a JOIN blocks b USING (block_key) WHERE a.id < b.id),
+        |toks AS (
+        |  SELECT id, list_filter(
+        |    regexp_split_to_array(name, '[^\p{L}\p{N}]+'),
+        |    t -> length(t) > 0) AS ts
+        |  FROM recs)
+        |SELECT c.id1, c.id2,
+        |  round(list_aggregate(list_transform(ta.ts, t ->
+        |    list_aggregate(list_transform(tb.ts,
+        |      u -> jaro_winkler_similarity(t, u)), 'max')), 'avg'), 6) AS me
+        |FROM cand c JOIN toks ta ON ta.id = c.id1 JOIN toks tb ON tb.id = c.id2
+        |WHERE c.id1 % 20 = 0
         |ORDER BY id1, id2""".stripMargin,
 
     "q_score_pairs" ->

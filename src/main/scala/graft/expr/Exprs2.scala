@@ -151,6 +151,58 @@ object ExprKernels2 {
     while (it.hasNext) if (sa.contains(it.next())) inter += 1
     inter.toDouble / (sa.size + sb.size - inter)
   }
+
+  /** Distinct-element intersection count of two array<string> columns —
+    * the integer the set-similarity join's verification compares in exact
+    * arithmetic (q·|∩| ≥ p·(|a|+|b|−|∩|), no floating Jaccard on either
+    * engine). Inputs are already-distinct token arrays in the join path,
+    * but the kernel dedups defensively so it matches DuckDB's
+    * `len(list_intersect(...))` on any input. */
+  def setIntersect(a: ArrayData, b: ArrayData): Long = {
+    val sa = new java.util.HashSet[UTF8String]()
+    var i = 0
+    while (i < a.numElements()) { sa.add(a.getUTF8String(i)); i += 1 }
+    var inter = 0L
+    val seen = new java.util.HashSet[UTF8String]()
+    i = 0
+    while (i < b.numElements()) {
+      val u = b.getUTF8String(i)
+      if (sa.contains(u) && seen.add(u)) inter += 1
+      i += 1
+    }
+    inter
+  }
+
+  /** Monge-Elkan hybrid similarity (Monge & Elkan, KDD 1996†; secondary
+    * comparator = the engine's DuckDB-parity Jaro-Winkler): mean over a's
+    * tokens of the best JW match among b's tokens. Asymmetric by
+    * definition (me(a,b) ≠ me(b,a)); null when either side has no tokens
+    * (mirrors DuckDB's avg-over-empty-list = NULL, so the oracle twin
+    * agrees without a special case). Each token is materialized to a
+    * String ONCE per row (|a|+|b| conversions, not |a|·|b|) and the inner
+    * comparisons run on the zero-alloc char-scratch JW kernel. */
+  def mongeElkan(a: ArrayData, b: ArrayData): Any = {
+    val n = a.numElements(); val m = b.numElements()
+    if (n == 0 || m == 0) return null
+    val bs = new Array[String](m)
+    var j = 0
+    while (j < m) { bs(j) = b.getUTF8String(j).toString; j += 1 }
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      val ai = a.getUTF8String(i).toString
+      var best = 0.0
+      j = 0
+      while (j < m) {
+        val s = Sim.jaroWinkler(ai, bs(j))
+        if (s > best) best = s
+        j += 1
+      }
+      sum += best
+      i += 1
+    }
+    sum / n
+  }
 }
 
 /**
@@ -329,6 +381,44 @@ case class SetJaccardExpr(left: Expression, right: Expression)
       b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.expr.ExprKernels2.setJaccard($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** distinct-element intersection count of two array<string> columns
+  * (set-similarity join verification — see ExprKernels2.setIntersect). */
+case class SetIntersectExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_set_intersect"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels2.setIntersect(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.ExprKernels2.setIntersect($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Monge-Elkan hybrid token-set similarity over two array<string> columns
+  * (see ExprKernels2.mongeElkan; null when either side is empty). */
+case class MongeElkanExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_monge_elkan"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels2.mongeElkan(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      Object r = graft.expr.ExprKernels2.mongeElkan($a, $b);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) r).doubleValue(); }
+    """)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

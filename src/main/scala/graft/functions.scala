@@ -88,6 +88,16 @@ object gfunctions {
   def cosine_sim(a: Column, b: Column): Column =
     c(ArrayCosineExpr(x(a), x(b)))
 
+  /** Distinct-element intersection count of two array<string> columns
+    * (integer-exact set-similarity verification). */
+  def set_intersect_count(a: Column, b: Column): Column =
+    c(SetIntersectExpr(x(a), x(b)))
+
+  /** Monge-Elkan hybrid similarity: mean over a's tokens of the best
+    * Jaro-Winkler match among b's tokens (asymmetric; null on empty). */
+  def monge_elkan(aTokens: Column, bTokens: Column): Column =
+    c(MongeElkanExpr(x(aTokens), x(bTokens)))
+
   /** SQL-expression registration so the same functions are usable from
     * spark.sql strings: graft_jaro_winkler(a,b), graft_simhash64(arr), ... */
   def register(spark: SparkSession): Unit = {
