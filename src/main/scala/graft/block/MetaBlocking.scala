@@ -121,7 +121,8 @@ object MetaBlocking {
 
   /** The full published pipeline: filter → weight → prune. */
   def prune(blocks: DataFrame, ratio: Double = 0.8, maxBlockSize: Int = 200,
-      chunkTarget: Int = 256, materializeWeights: Boolean = true): DataFrame =
+      chunkTarget: Int = 256, materializeWeights: Boolean = true,
+      broadcastNodes: Boolean = true): DataFrame =
     wnpPrune(weightedPairs(filterBlocks(blocks, ratio), maxBlockSize, chunkTarget),
-      materializeWeights)
+      materializeWeights, broadcastNodes)
 }

@@ -317,10 +317,13 @@ case class ArrayCosineExpr(left: Expression, right: Expression)
       isFloat(left), isFloat(right))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val lf = isFloat(left); val rf = isFloat(right)
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      Object r = graft.expr.ExprKernels2.arrayCosine($a, $b, $lf, $rf);
-      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) r).doubleValue(); }
-    """)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("cosResult") // see MongeElkanExpr: fixed names collide across siblings
+      s"""
+      Object $r = graft.expr.ExprKernels2.arrayCosine($a, $b, $lf, $rf);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) $r).doubleValue(); }
+    """
+    })
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -342,10 +345,13 @@ case class ArrayDotExpr(left: Expression, right: Expression)
       isFloat(left), isFloat(right))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val lf = isFloat(left); val rf = isFloat(right)
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      Object r = graft.expr.ExprKernels2.arrayDot($a, $b, $lf, $rf);
-      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) r).doubleValue(); }
-    """)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("dotResult") // see MongeElkanExpr: fixed names collide across siblings
+      s"""
+      Object $r = graft.expr.ExprKernels2.arrayDot($a, $b, $lf, $rf);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) $r).doubleValue(); }
+    """
+    })
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -415,10 +421,17 @@ case class MongeElkanExpr(left: Expression, right: Expression)
       a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
       b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      Object r = graft.expr.ExprKernels2.mongeElkan($a, $b);
-      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) r).doubleValue(); }
-    """)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: nullSafeExec emits no scoping braces for non-nullable
+      // children, so a fixed local name would collide with a sibling
+      // kernel expression in the same codegen scope (janino error ->
+      // silent interpreted fallback)
+      val r = ctx.freshName("meResult")
+      s"""
+      Object $r = graft.expr.ExprKernels2.mongeElkan($a, $b);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) $r).doubleValue(); }
+    """
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

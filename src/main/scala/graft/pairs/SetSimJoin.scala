@@ -58,11 +58,19 @@ object SetSimJoin {
     // a bounded per-row array_sort, NOT a global rank (no partition-less
     // window anywhere; the order is still globally consistent because the
     // (df, tok) key is)
-    val sorted = exploded.join(dfreq, "tok")
-      .groupBy("id")
-      .agg(transform(array_sort(collect_list(struct(col("df"), col("tok")))),
-        x => x.getField("tok")).as("stoks"))
-      .withColumn("len", size(col("stoks")).cast("long"))
+    // `sorted` feeds THREE consumers (the prefix explode + both sides of
+    // attachFields) and the census inside the grid join re-reads blocks —
+    // snapshot once (same multi-consumer pattern and mechanism as
+    // MetaBlocking.wnpPrune); degrades to the lazy plan when no scratch
+    // base is resolvable
+    val sorted = graft.pipeline.Dedupe.snapshotIfResolvable(
+      toks.sparkSession,
+      exploded.join(dfreq, "tok")
+        .groupBy("id")
+        .agg(transform(array_sort(collect_list(struct(col("df"), col("tok")))),
+          x => x.getField("tok")).as("stoks"))
+        .withColumn("len", size(col("stoks")).cast("long")),
+      "ssjoin_sorted")
     // prefix length |t| − ⌈θ|t|⌉ + 1, ⌈⌉ in integer arithmetic
     val prefixLen = (col("len") - floor((p * col("len") + q - lit(1L)) / q) + lit(1L))
       .cast("int")

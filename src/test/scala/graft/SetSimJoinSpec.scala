@@ -78,6 +78,25 @@ class SetSimJoinSpec extends SparkSpec {
     assert(empty(0).isEmpty)
   }
 
+  test("sibling kernel expressions share one codegen scope without collision") {
+    // two monge_elkan + a cosine in ONE projection over NON-NULLABLE
+    // columns: nullSafeExec emits no scoping braces there, so fixed local
+    // names would collide (janino error -> silent interpreted fallback).
+    // fallback=false turns that silent downgrade into a test failure.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq((Seq("acme", "corp"), Seq("acme", "inc"), Seq(1.0, 0.0), Seq(1.0, 0.0)))
+        .toDF("a", "b", "v1", "v2")
+        .select(
+          gfunctions.monge_elkan(col("a"), col("b")).as("me1"),
+          gfunctions.monge_elkan(col("b"), col("a")).as("me2"),
+          gfunctions.cosine_sim(col("v1"), col("v2")).as("cos"))
+      val row = df.collect()(0)
+      assert(row.getDouble(0) > 0.5 && row.getDouble(1) > 0.5)
+      assert(math.abs(row.getDouble(2) - 1.0) < 1e-12)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("blocking quality metrics on a known fixture") {
     val cand = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
     val truth = Seq((1L, 2L), (4L, 5L), (6L, 7L)).toDF("id1", "id2")
