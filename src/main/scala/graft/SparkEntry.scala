@@ -978,6 +978,39 @@ object SparkEntry {
         .orderBy(col("messy_id"), col("rank"))
     }),
 
+    // §2.6 G10: one-to-one record linkage (unique assignment) over the
+    // same gazetteer surface as q_gazetteer_jw — rows-only (iterative
+    // matching is not SQL-expressible); greedy-equality is pinned by the
+    // green fixture twin below + OneToOneSpec's sequential-greedy fuzz
+    "q_one_to_one" -> ((s, dir) => {
+      val recs = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey").as("id"), normalize_text(col("p_name")).as("name"))
+      val messy = recs.filter(col("id") % 2 === 1)
+      val canon = recs.filter(col("id") % 2 === 0)
+      val m = Model(bias = -8.0, weights = Map("jw_name" -> 12.0), threshold = 0.5,
+        predicates = Seq(PredicateSpec("token", "name")))
+      val scored = graft.pipeline.Gazetteer.matchRecords(s, messy, canon,
+          graft.pipeline.Gazetteer.Config(m, nMatches = 2, maxCanonBlockSize = 1000))
+        .select(col("messy_id").as("id1"), col("canon_id").as("id2"), col("score"))
+      graft.cluster.OneToOne.greedyMatch(scored, bipartite = true).pairs
+        .select(col("id1"), col("id2"), round(col("score"), 6).as("score"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // frozen 6-edge fixture: expected output = the sequential greedy
+    // matching under (score desc, id1, id2), a constant — the VALUES
+    // oracle makes the locally-dominant iteration's greedy equality a
+    // green regression guard (same pattern as q_hac_refine)
+    "q_one_to_one_fixture" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Seq(
+        (1L, 10L, 0.9), (1L, 11L, 0.8), (2L, 10L, 0.85),
+        (2L, 11L, 0.7), (3L, 11L, 0.6), (3L, 12L, 0.95))
+        .toDF("id1", "id2", "score")
+      graft.cluster.OneToOne.greedyMatch(edges, bipartite = true).pairs
+        .orderBy(col("id1"))
+    }),
+
     // double-metaphone codes over a literal fixture (B12). DuckDB has no
     // phonetic functions, so the oracle is the frozen expected code table —
     // spot values match the published DoubleMetaphone behavior (smith→SM0,
@@ -2902,6 +2935,12 @@ object SparkEntry {
         |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT)), (2, 1), (3, 3), (4, 3),
         |  (10, 10), (11, 10), (12, 10)) AS t(id, component)
         |ORDER BY id""".stripMargin,
+
+    "q_one_to_one_fixture" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(10 AS BIGINT), CAST(0.9 AS DOUBLE)),
+        |  (2, 11, 0.7), (3, 12, 0.95)) AS t(id1, id2, score)
+        |ORDER BY id1""".stripMargin,
 
     "q_unicode_block" ->
       """WITH recs AS (
