@@ -48,8 +48,7 @@ object ConnectedComponents {
   }
 
   private def checkpointed(df: DataFrame, spark: SparkSession): DataFrame =
-    if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
+    Checkpoints.checkpointed(df, spark)
 
   /**
    * @param edges DataFrame with two long/numeric columns (id1, id2)

@@ -39,13 +39,26 @@ object OneToOne {
    *               (two datasets) keep `bipartite = true`: the id1 and id2
    *               namespaces are tracked separately, so messy id 5 and
    *               canon id 5 never collide. For same-universe matching
-   *               (self-dedupe one-to-one) set `bipartite = false`.
+   *               (self-dedupe one-to-one) set `bipartite = false`;
+   *               reflexive pairs (id1 == id2) are dropped there — a
+   *               record cannot be its own match, and a self-loop can
+   *               never become locally dominant (its two node rows share
+   *               one window partition), so keeping it would stall the
+   *               drain.
+   * @param maxIter runaway bound only — each round matches at least the
+   *               globally best live pair, so progress is guaranteed;
+   *               rounds needed are ~the longest score-descending CHAIN
+   *               (Θ(k) on a k-edge path, not O(log n) — adversarial
+   *               chains converge slowly by the algorithm's nature),
+   *               while similarity graphs with mutual best matches
+   *               drain in a handful.
    * @return matched (id1, id2, score) — a one-to-one matching equal to
    *         the sequential greedy matching under (score desc, id1, id2)
    */
   def greedyMatch(scored: DataFrame, bipartite: Boolean = true,
-      maxIter: Int = 50): MatchResult = {
+      maxIter: Int = 256): MatchResult = {
     val spark = scored.sparkSession
+    val base = scored.select("id1", "id2", "score")
     val side2 = if (bipartite) lit(1) else lit(0)
     def nodes(p: DataFrame): DataFrame =
       p.select(struct(lit(0).as("s"), col("id1").as("i")).as("node"),
@@ -57,24 +70,30 @@ object OneToOne {
     val byNode = Window.partitionBy("node")
       .orderBy(col("score").desc, col("id1").asc, col("id2").asc)
 
-    var live = checkpointed(scored.select("id1", "id2", "score").distinct(), spark)
-    var matched: DataFrame = null
+    var live = Checkpoints.checkpointed(
+      (if (bipartite) base else base.filter(col("id1") =!= col("id2")))
+        .distinct(), spark)
+    // per-round dominants accumulate here and union ONCE at the end —
+    // re-checkpointing a growing matched set every round is O(rounds²)
+    val roundMatches = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var iter = 0
     var done = live.isEmpty
     while (!done && iter < maxIter) {
       // locally dominant = this pair is rank-1 for BOTH of its endpoints
-      // ⇔ it appears twice among the per-node rank-1 rows
-      val dominant = nodes(live)
-        .withColumn("rn", row_number().over(byNode))
-        .filter(col("rn") === 1)
-        .groupBy("id1", "id2", "score").agg(count(lit(1)).as("c"))
-        .filter(col("c") === 2)
-        .select("id1", "id2", "score")
-      matched = checkpointed(
-        if (matched == null) dominant else matched.unionByName(dominant), spark)
+      // ⇔ it appears twice among the per-node rank-1 rows. Materialized
+      // once per round: both the result and the endpoint retirement
+      // consume it.
+      val dominant = Checkpoints.checkpointed(
+        nodes(live)
+          .withColumn("rn", row_number().over(byNode))
+          .filter(col("rn") === 1)
+          .groupBy("id1", "id2", "score").agg(count(lit(1)).as("c"))
+          .filter(col("c") === 2)
+          .select("id1", "id2", "score"), spark)
+      roundMatches += dominant
       // retire both endpoints of every matched pair
       val taken = nodes(dominant).select("node")
-      live = checkpointed(
+      live = Checkpoints.checkpointed(
         nodes(live)
           .join(taken, Seq("node"), "left_anti")
           .groupBy("id1", "id2", "score").agg(count(lit(1)).as("c"))
@@ -84,13 +103,8 @@ object OneToOne {
       done = live.isEmpty
     }
     require(done, s"one-to-one matching did not drain in $maxIter iterations")
-    MatchResult(
-      if (matched == null) spark.emptyDataFrame.select(
-        lit(0L).as("id1"), lit(0L).as("id2"), lit(0.0).as("score")).limit(0)
-      else matched, iter)
+    // empty case: same schema/types as the input, not a fabricated one
+    MatchResult(roundMatches.reduceOption(_ unionByName _)
+      .getOrElse(base.limit(0)), iter)
   }
-
-  private def checkpointed(df: DataFrame, spark: SparkSession): DataFrame =
-    if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
 }

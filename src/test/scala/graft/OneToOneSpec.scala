@@ -36,15 +36,26 @@ class OneToOneSpec extends SparkSpec {
   test("randomized: distributed result == sequential greedy (both modes)") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 3; bipartite <- Seq(true, false)) {
-      // discrete scores force ties -> exercises the (id1, id2) tie-break
-      val edges = (1 to 200).map { _ =>
+      // discrete scores force ties -> exercises the (id1, id2) tie-break.
+      // non-bipartite endpoints draw from ONE overlapping range so nodes
+      // genuinely appear in both roles (the mode's distinguishing case)
+      val edges = (1 to 200).flatMap { _ =>
         val a = rnd.nextInt(40).toLong
-        val b = (rnd.nextInt(40) + (if (bipartite) 100 else 41)).toLong
-        (math.min(a, b), math.max(a, b), (rnd.nextInt(8) + 1) / 8.0)
-      }.distinct.groupBy(e => (e._1, e._2)).map(_._2.head).toSeq
+        val b = if (bipartite) (rnd.nextInt(40) + 100).toLong
+                else rnd.nextInt(40).toLong
+        if (!bipartite && a == b) None
+        else Some((math.min(a, b), math.max(a, b), (rnd.nextInt(8) + 1) / 8.0))
+      }.groupBy(e => (e._1, e._2)).map(_._2.head).toSeq
       assert(run(edges, bipartite) == sequentialGreedy(edges, bipartite),
         s"trial=$trial bipartite=$bipartite")
     }
+  }
+
+  test("same-universe reflexive pairs are dropped, not a livelock") {
+    // a self-loop can never be locally dominant; it must be filtered at
+    // entry instead of stalling the drain until maxIter
+    val edges = Seq((5L, 5L, 0.9), (1L, 2L, 0.8))
+    assert(run(edges, bipartite = false) == Set((1L, 2L)))
   }
 
   test("same-universe mode: shared ids across roles conflict correctly") {
@@ -64,8 +75,10 @@ class OneToOneSpec extends SparkSpec {
     assert(nodes.distinct.size == nodes.size) // matching: no node twice
   }
 
-  test("empty input yields empty matching") {
-    val empty = Seq.empty[(Long, Long, Double)].toDF("id1", "id2", "score")
-    assert(OneToOne.greedyMatch(empty).pairs.isEmpty)
+  test("empty input yields empty matching with the INPUT schema") {
+    val empty = Seq.empty[(String, String, Double)].toDF("id1", "id2", "score")
+    val out = OneToOne.greedyMatch(empty).pairs
+    assert(out.isEmpty)
+    assert(out.schema("id1").dataType == org.apache.spark.sql.types.StringType)
   }
 }
