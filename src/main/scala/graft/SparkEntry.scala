@@ -236,6 +236,18 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // §2.4 J8: exact edit-distance self-join (q-gram prefix filtering +
+    // banded verification) — every part-name pair with levenshtein <= 2;
+    // oracle = brute-force DuckDB twin of the same exact predicate
+    "q_edit_join" -> ((s, dir) => {
+      val recs = s.read.parquet(s"$dir/part.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("p_partkey").as("id"), normalize_text(col("p_name")).as("s"))
+      // no orderBy: the driver's hash compare is order-insensitive and a
+      // global sort of the multi-million-row output costs ~7 s at sf0.1
+      graft.pairs.EditDistJoin.selfJoin(recs, k = 2, q = 2)
+    }),
+
     // §2.3 blocking quality metrics (RR / PC / PQ): token-name blocking
     // judged against the same-brand-and-type truth rule — every ratio
     // input an exact integer count
@@ -1670,6 +1682,21 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.id < b.id)
         |SELECT id1, id2, inter, len1, len2 FROM pairs
         |WHERE 2*inter >= 1*(len1 + len2 - inter)
+        |ORDER BY id1, id2""".stripMargin,
+
+    // brute-force twin of the q-gram-filtered edit-distance join; the
+    // length guard only prunes (|len diff| > k implies lev > k), so both
+    // engines evaluate the identical exact predicate
+    "q_edit_join" ->
+      raw"""WITH recs AS (
+        |  SELECT p_partkey AS id,
+        |         lower(trim(regexp_replace(p_name, '\s+', ' ', 'g'))) AS s
+        |  FROM part)
+        |SELECT a.id AS id1, b.id AS id2,
+        |       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM recs a JOIN recs b ON a.id < b.id
+        |WHERE abs(length(a.s) - length(b.s)) <= 2
+        |  AND levenshtein(a.s, b.s) <= 2
         |ORDER BY id1, id2""".stripMargin,
 
     // blocking quality metrics: candidate stream = the q_block_pairs
