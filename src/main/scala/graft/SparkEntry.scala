@@ -340,6 +340,27 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // CCNet-style LM perplexity filter (Wenzek et al. 2020†): fit a
+    // trigram Lidstone LM on the trusted slice (doc_id % 5 != 0 — the
+    // stand-in for CCNet's Wikipedia), score EVERY doc's cross-entropy
+    // under it, bucket head/middle/tail at literal cutoffs (CCNet's are
+    // per-language percentiles computed offline). Every probability is a
+    // ratio of exact integer counts and per-gram contributions are
+    // micro-unit-quantized, so the whole operator — fit included — is
+    // DuckDB-twinned bit-for-bit (textops/LangModel.scala).
+    "q_lm_perplexity" -> ((s, dir) => {
+      import graft.textops.LangModel
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("text"))
+      val lm = LangModel.fit(docs.filter(col("doc_id") % 5 =!= 0), "text", n = 3)
+      LangModel.crossEntropy(docs, "doc_id", "text", lm, alpha = 0.1)
+        // cutoffs ≈ this corpus's 33rd/66th ce percentiles (CCNet buckets
+        // at the 33/66 perplexity percentiles of each language)
+        .withColumn("bucket", LangModel.pplBucket(col("ce"), 2.75, 2.87))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition stats (one-pass kernel). The corpus is
     // single-line, so the query splices each doc into three lines —
     // prefix(60), middle(61..260), prefix(60) again — giving every doc a
@@ -1849,6 +1870,59 @@ object SparkEntry {
         |  FROM scored)
         |SELECT qid, doc_id, rank, score FROM ranked
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // the LM fit AND the scoring twinned end to end: trigram census over
+    // the trusted slice, context totals from the census (so P(·|ctx)
+    // normalizes), vocab + 1 OOV slot, Lidstone alpha=0.1, per-gram
+    // contributions quantized to 1e-6 micro-units (exact-integer sum)
+    "q_lm_perplexity" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id, [x for x in
+        |    regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+')
+        |    if length(x) > 0] AS ts
+        |  FROM documents),
+        |census AS (
+        |  SELECT gram, count(*) AS cnt FROM (
+        |    SELECT array_to_string(ts[CAST(i AS INT):CAST(i AS INT)+2], ' ') AS gram
+        |    FROM toks, unnest(range(1, len(ts) - 3 + 2)) AS r(i)
+        |    WHERE doc_id % 5 <> 0 AND len(ts) >= 3)
+        |  GROUP BY 1),
+        |contexts AS (
+        |  SELECT regexp_replace(gram, ' [^ ]+$$', '') AS ctx, sum(cnt) AS ctx_cnt
+        |  FROM census GROUP BY 1),
+        |vocab AS (
+        |  SELECT count(DISTINCT tok) + 1 AS v
+        |  FROM (SELECT unnest(ts) AS tok FROM toks WHERE doc_id % 5 <> 0)),
+        |docgrams AS (
+        |  SELECT doc_id,
+        |    array_to_string(ts[CAST(i AS INT):CAST(i AS INT)+2], ' ') AS gram,
+        |    count(*) AS tf
+        |  FROM toks, unnest(range(1, len(ts) - 3 + 2)) AS r(i)
+        |  WHERE len(ts) >= 3
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.doc_id,
+        |    CAST(sum(tf) AS BIGINT) AS n_grams,
+        |    CAST(sum(CAST(round(tf * ln((coalesce(c.cnt, 0) + 0.1) /
+        |        (coalesce(x.ctx_cnt, 0) + 0.1 * v.v)) * 1e6, 0) AS BIGINT))
+        |      AS BIGINT) AS logprob_micros
+        |  FROM docgrams d
+        |  LEFT JOIN census c USING (gram)
+        |  LEFT JOIN contexts x ON x.ctx = regexp_replace(d.gram, ' [^ ]+$$', '')
+        |  CROSS JOIN vocab v
+        |  GROUP BY 1),
+        |ced AS (
+        |  SELECT t.doc_id, s.n_grams, s.logprob_micros,
+        |    round(-s.logprob_micros / (1e6 * s.n_grams), 6) AS ce,
+        |    round(exp(-s.logprob_micros / (1e6 * s.n_grams)), 6) AS ppl
+        |  FROM (SELECT DISTINCT doc_id FROM documents) t
+        |  LEFT JOIN scored s USING (doc_id))
+        |SELECT doc_id, n_grams, logprob_micros, ce, ppl,
+        |  CASE WHEN ce IS NULL THEN NULL
+        |       WHEN ce < 2.75 THEN 'head'
+        |       WHEN ce < 2.87 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM ced ORDER BY doc_id""".stripMargin,
 
     // independent rebuild of the repetition kernel: same spliced 3-line
     // text, line stats from a per-line count census, gram stats from the
