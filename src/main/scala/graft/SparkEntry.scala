@@ -340,6 +340,25 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // leakage-safe train/eval split (textops/Splits): the corpus gets
+    // exact-dup clusters (every doc_id % 3 == 0 re-appears under a new
+    // id with byte-identical text), the cluster key is md5(text), and
+    // the split is a salted hash of the CLUSTER — so duplicates can
+    // never straddle train/eval. Pure column expression, no shuffle.
+    "q_leakage_split" -> ((s, dir) => {
+      import graft.textops.Splits
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("text"))
+      val dupes = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val corpus = docs.unionByName(dupes)
+        .withColumn("cluster", md5(col("text").cast("binary")))
+      Splits.splitByCluster(corpus, "cluster", evalFrac = 0.125, salt = "r3")
+        .select(col("doc_id"), col("cluster"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet-style LM perplexity filter (Wenzek et al. 2020†): fit a
     // trigram Lidstone LM on the trusted slice (doc_id % 5 != 0 — the
     // stand-in for CCNet's Wikipedia), score EVERY doc's cross-entropy
@@ -1870,6 +1889,20 @@ object SparkEntry {
         |  FROM scored)
         |SELECT qid, doc_id, rank, score FROM ranked
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // split threshold = hexThreshold(0.125) = 0x2 * 16^12 scaled to 32
+    // lowercase hex chars; lexicographic compare on fixed-width hex =
+    // numeric compare, identical in both engines
+    "q_leakage_split" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 3 = 0),
+        |keyed AS (SELECT doc_id, md5(text) AS cluster FROM corpus)
+        |SELECT doc_id, cluster,
+        |  CASE WHEN md5('r3' || cluster) < '20000000000000000000000000000000'
+        |       THEN 'eval' ELSE 'train' END AS split
+        |FROM keyed ORDER BY doc_id""".stripMargin,
 
     // the LM fit AND the scoring twinned end to end: trigram census over
     // the trusted slice, context totals from the census (so P(·|ctx)
