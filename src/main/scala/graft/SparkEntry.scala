@@ -340,6 +340,37 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // PageRank over a host link graph (graphops/PageRank): pages are
+    // synthesized deterministically off documents (each doc's host links
+    // to one h-host, every third doc also to an s-host sink — so dangling
+    // nodes exist), links are EXTRACTED from the html with the same
+    // href regex as production, and 4 exact-integer-mass power
+    // iterations run. The DuckDB twin unrolls the identical update 4
+    // times — an oracle-checked ITERATIVE graph operator (CC itself is
+    // only fixture-checkable because its iteration count is data-driven;
+    // PageRank's is fixed, so the loop unrolls into plain SQL).
+    "q_pagerank" -> ((s, dir) => {
+      import graft.graphops.PageRank
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"))
+      val pages = docs.select(
+        concat(lit("h"), (col("doc_id") % 50).cast("string"),
+          lit(".example")).as("host"),
+        concat(
+          lit("<p><a href=\"https://h"),
+          ((col("doc_id") * 7) % 50).cast("string"),
+          lit(".example/x\">l</a>"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("<a href=\"https://s"),
+              (col("doc_id") % 23).cast("string"),
+              lit(".example/y\">m</a>"))).otherwise(lit("")),
+          lit("</p>")).as("html"))
+      PageRank.run(PageRank.hostLinks(pages, "host", "html"),
+          "src_host", "dst_host", iters = 4)
+        .orderBy(col("node"))
+    }),
+
     // leakage-safe train/eval split (textops/Splits): the corpus gets
     // exact-dup clusters (every doc_id % 3 == 0 re-appears under a new
     // id with byte-identical text), the cluster key is md5(text), and
@@ -1559,6 +1590,30 @@ object SparkEntry {
        |    SELECT doc_id, string_agg(l, chr(10) ORDER BY idx) AS text
        |    FROM keptl GROUP BY doc_id) r USING (doc_id))""".stripMargin
 
+  /** One unrolled PageRank power iteration `cur` from `prev` — the
+    * DuckDB twin of graphops.PageRank.run's update (same exact-integer
+    * mass arithmetic: per-edge integer-division shares, dangling mass
+    * split by integer division, damping as one IEEE double product
+    * floored back; `(1 - 0.85)` is spelled as the subtraction so both
+    * engines compute the identical double). Expects CTEs `links`
+    * (src_host, dst_host), `outd` (src_host, d), `nodes` (node), `nn`
+    * (n). */
+  private def pagerankIterSql(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT nd.node,
+       |    CAST(floor((1 - 0.85) * 1000000000000 / nn.n) AS BIGINT)
+       |    + CAST(floor(0.85 * (coalesce(m.in_sum, 0) + dg.dang // nn.n))
+       |        AS BIGINT) AS r
+       |  FROM nodes nd
+       |  CROSS JOIN nn
+       |  CROSS JOIN (SELECT coalesce(sum(p.r), 0) AS dang
+       |              FROM $prev p ANTI JOIN outd o ON p.node = o.src_host) dg
+       |  LEFT JOIN (SELECT l.dst_host AS node, sum(p.r // o.d) AS in_sum
+       |             FROM links l
+       |             JOIN $prev p ON p.node = l.src_host
+       |             JOIN outd o ON o.src_host = l.src_host
+       |             GROUP BY 1) m USING (node))""".stripMargin
+
   /** CTE chain `qbase/qhits/qq`: lower-token list, per-language stopword
     * hit counts, and the char-census columns (nchars/nns/nalpha/npunct/
     * ntoks) that [[qualityExpr]] consumes — the single DuckDB twin of
@@ -1889,6 +1944,39 @@ object SparkEntry {
         |  FROM scored)
         |SELECT qid, doc_id, rank, score FROM ranked
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // the same synthetic pages, the same href-extraction regex, and the
+    // same integer-mass update unrolled 4 times (pagerankIterSql)
+    "q_pagerank" ->
+      s"""WITH pages AS (
+        |  SELECT 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example' AS host,
+        |    '<p><a href="https://h' || CAST((doc_id * 7) % 50 AS VARCHAR)
+        |      || '.example/x">l</a>'
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN '<a href="https://s' || CAST(doc_id % 23 AS VARCHAR)
+        |           || '.example/y">m</a>'
+        |         ELSE '' END
+        |    || '</p>' AS html
+        |  FROM documents),
+        |links AS (
+        |  SELECT host AS src_host, dst AS dst_host
+        |  FROM pages,
+        |    unnest(regexp_extract_all(html,
+        |      'href="https?://([a-zA-Z0-9.-]+)[/"]', 1)) AS t(dst)),
+        |nodes AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src_host AS node FROM links
+        |    UNION ALL SELECT dst_host FROM links)),
+        |outd AS (SELECT src_host, count(*) AS d FROM links GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |r0 AS (SELECT node, 1000000000000 // nn.n AS r FROM nodes, nn),
+        |${pagerankIterSql("r0", "r1")},
+        |${pagerankIterSql("r1", "r2")},
+        |${pagerankIterSql("r2", "r3")},
+        |${pagerankIterSql("r3", "r4")}
+        |SELECT node, CAST(r AS BIGINT) AS rank_mass,
+        |  round(r / 1000000000000.0, 9) AS rank
+        |FROM r4 ORDER BY node""".stripMargin,
 
     // split threshold = hexThreshold(0.125) = 0x2 * 16^12 scaled to 32
     // lowercase hex chars; lexicographic compare on fixed-width hex =
