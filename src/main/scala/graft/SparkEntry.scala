@@ -382,7 +382,7 @@ object SparkEntry {
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("text"))
       val dupes = docs.filter(col("doc_id") % 3 === 0)
-        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       val corpus = docs.unionByName(dupes)
         .withColumn("cluster", md5(col("text").cast("binary")))
       Splits.splitByCluster(corpus, "cluster", evalFrac = 0.125, salt = "r3")
@@ -1962,7 +1962,7 @@ object SparkEntry {
         |  SELECT host AS src_host, dst AS dst_host
         |  FROM pages,
         |    unnest(regexp_extract_all(html,
-        |      'href="https?://([a-zA-Z0-9.-]+)[/"]', 1)) AS t(dst)),
+        |      '${graft.graphops.PageRank.hrefHostRe}', 1)) AS t(dst)),
         |nodes AS (
         |  SELECT DISTINCT node FROM (
         |    SELECT src_host AS node FROM links
@@ -1985,7 +1985,7 @@ object SparkEntry {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 3 = 0),
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0),
         |keyed AS (SELECT doc_id, md5(text) AS cluster FROM corpus)
         |SELECT doc_id, cluster,
         |  CASE WHEN md5('r3' || cluster) < '20000000000000000000000000000000'

@@ -48,7 +48,11 @@ object PageRank {
     val l = links.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val nodes = l.select(col("src").as("node"))
       .union(l.select(col("dst").as("node"))).distinct()
-    val outd = l.groupBy("src").agg(count(lit(1)).as("d"))
+    // outdegree census materialized ONCE — the per-iteration dangling
+    // anti-join would otherwise re-derive it from the caller's raw link
+    // lineage (scan + extraction) every iteration
+    val outd = Checkpoints.checkpointed(
+      l.groupBy("src").agg(count(lit(1)).as("d")), spark)
     // outdeg-attached link snapshot, reused by every iteration
     val linksD = Checkpoints.checkpointed(l.join(outd, "src"), spark)
     val nDf = nodes.agg(count(lit(1)).as("n"))
@@ -80,12 +84,18 @@ object PageRank {
       round(col("r") / lit(totalMass.toDouble), 9).as("rank"))
   }
 
-  /** Host-to-host link edges from pages: one row per href whose target
-    * host differs from or equals the page host (multigraph; callers
-    * dedup or drop self-loops if their semantics need it). The href
-    * pattern is RE2/Java-identical so oracle twins can reuse it. */
+  /** href target-host pattern: optional userinfo is skipped
+    * (`[^/?#"]*@` cannot cross into the path), the host capture stops at
+    * the first char outside `[a-zA-Z0-9.-]` — so ports, paths, queries
+    * and fragments all terminate it correctly. RE2/Java-identical; the
+    * q_pagerank oracle interpolates this exact string. */
+  val hrefHostRe: String =
+    "href=\"https?://(?:[^/?#\"]*@)?([a-zA-Z0-9.-]+)"
+
+  /** Host-to-host link edges from pages: one row per href (multigraph;
+    * callers dedup or drop self-loops if their semantics need it). */
   def hostLinks(pages: DataFrame, hostCol: String, htmlCol: String): DataFrame =
     pages.select(col(hostCol).as("src_host"),
-      explode(regexp_extract_all(col(htmlCol),
-        lit("href=\"https?://([a-zA-Z0-9.-]+)[/\"]"), lit(1))).as("dst_host"))
+      explode(regexp_extract_all(col(htmlCol), lit(hrefHostRe), lit(1)))
+        .as("dst_host"))
 }

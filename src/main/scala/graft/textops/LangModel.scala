@@ -72,9 +72,13 @@ object LangModel {
   def fit(ref: DataFrame, textCol: String, n: Int = 3,
           minCount: Long = 1L, hashKeys: Boolean = false): NgramLm = {
     require(n >= 2, s"n-gram LM needs n >= 2, got $n")
-    val census = ref
-      .select(explode(token_shingles(docTokens(col(textCol)), n)).as("gram"))
-      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+    // materialize the census once: grams AND contexts derive from it, and
+    // without the cut each downstream join would re-run the reference
+    // tokenize+shingle+aggregate lineage inside one scoring action
+    val census = graft.cluster.Checkpoints.checkpointed(
+      ref.select(explode(token_shingles(docTokens(col(textCol)), n)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("cnt")),
+      ref.sparkSession)
     val contexts = census
       .groupBy(ctxOf(col("gram")).as("ctx")).agg(sum("cnt").as("ctx_cnt"))
     val grams = census.filter(col("cnt") >= minCount)

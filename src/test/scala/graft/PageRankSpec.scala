@@ -63,9 +63,12 @@ class PageRankSpec extends SparkSpec {
   test("hostLinks extracts hrefs with the production regex") {
     val pages = Seq(
       ("h.example", """<a href="https://a.example/x">1</a> <a href="http://b.example">2</a> plain https://c.example/skip"""),
+      ("j.example", """<a href="https://d.example:8080/x">port</a> <a href="https://u:p@e.example/">userinfo</a> <a href="https://f.example?q=1">query</a>"""),
       ("i.example", "no links here")).toDF("host", "html")
     val out = PageRank.hostLinks(pages, "host", "html")
       .as[(String, String)].collect().toSet
-    assert(out == Set(("h.example", "a.example"), ("h.example", "b.example")))
+    assert(out == Set(("h.example", "a.example"), ("h.example", "b.example"),
+      ("j.example", "d.example"), ("j.example", "e.example"),
+      ("j.example", "f.example")))
   }
 }
