@@ -340,6 +340,25 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // distributed full-batch LR training (score/GradLR, the fastText-
+    // style corpus quality classifier): 2 GD steps from zero weights on
+    // bag-of-token features, label = (lang = 'en'), then predict. The
+    // micro-unit weight/gradient quantization makes the whole TRAINING
+    // RUN oracle-checkable — the DuckDB twin unrolls both steps.
+    "q_lr_quality" -> ((s, dir) => {
+      import graft.score.GradLR
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+      val feats = GradLR.tokenFeatures(docs, "doc_id", "text")
+      val labels = docs.select(col("doc_id").as("id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      val w = GradLR.fit(feats, labels, iters = 2, learnRate = 0.01)
+      GradLR.predict(feats, w)
+        .join(labels, "id")
+        .select(col("id").as("doc_id"), col("y"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PageRank over a host link graph (graphops/PageRank): pages are
     // synthesized deterministically off documents (each doc's host links
     // to one h-host, every third doc also to an s-host sink — so dangling
@@ -1944,6 +1963,56 @@ object SparkEntry {
         |  FROM scored)
         |SELECT qid, doc_id, rank, score FROM ranked
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // both GD steps unrolled: step 1 exploits margin=0 => sigma=0.5
+    // exactly; every gradient contribution is micro-unit-quantized and
+    // summed as exact integers, so weights (and thus predictions) are
+    // engine-identical
+    "q_lr_quality" ->
+      raw"""WITH feats AS (
+        |  SELECT doc_id AS id, tok AS feature, CAST(count(*) AS BIGINT) AS x
+        |  FROM documents,
+        |    unnest(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+')) AS u(tok)
+        |  WHERE length(tok) > 0
+        |  GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT doc_id, '__bias__', CAST(1 AS BIGINT) FROM documents),
+        |labels AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM documents),
+        |nn AS (SELECT count(*) AS n FROM labels),
+        |g1 AS (
+        |  SELECT f.feature,
+        |    CAST(sum(CAST(round(f.x * (0.5 - l.y) * 1e6, 0) AS BIGINT))
+        |      AS BIGINT) AS g
+        |  FROM feats f JOIN labels l USING (id) GROUP BY 1),
+        |w1 AS (
+        |  SELECT feature,
+        |    0 - CAST(round(0.01 * g / nn.n, 0) AS BIGINT) AS w
+        |  FROM g1, nn),
+        |m1 AS (
+        |  SELECT f.id, CAST(sum(f.x * coalesce(w1.w, 0)) AS BIGINT) AS m
+        |  FROM feats f LEFT JOIN w1 USING (feature) GROUP BY 1),
+        |r1 AS (
+        |  SELECT m1.id, 1.0 / (1.0 + exp(-m1.m / 1e6)) - l.y AS r
+        |  FROM m1 JOIN labels l USING (id)),
+        |g2 AS (
+        |  SELECT f.feature,
+        |    CAST(sum(CAST(round(f.x * r1.r * 1e6, 0) AS BIGINT))
+        |      AS BIGINT) AS g
+        |  FROM feats f JOIN r1 USING (id) GROUP BY 1),
+        |w2 AS (
+        |  SELECT g2.feature,
+        |    coalesce(w1.w, 0) - CAST(round(0.01 * g2.g / nn.n, 0) AS BIGINT) AS w
+        |  FROM g2 LEFT JOIN w1 USING (feature), nn),
+        |m2 AS (
+        |  SELECT f.id, CAST(sum(f.x * coalesce(w2.w, 0)) AS BIGINT) AS m
+        |  FROM feats f LEFT JOIN w2 USING (feature) GROUP BY 1)
+        |SELECT l.id AS doc_id, l.y,
+        |  round(1.0 / (1.0 + exp(-m2.m / 1e6)), 6) AS score
+        |FROM m2 JOIN labels l USING (id)
+        |ORDER BY doc_id""".stripMargin,
 
     // the same synthetic pages, the same href-extraction regex, and the
     // same integer-mass update unrolled 4 times (pagerankIterSql)
