@@ -87,10 +87,13 @@ object Bench {
   }
 
   /** Queries whose hot path scans a 47M-row pairs snapshot — routed
-    * through a sub-session with 4m read splits (see [[session]]). */
+    * through a sub-session with 4m read splits (see [[session]]). Keep
+    * this set in sync with SparkEntry's attachedNamePairs/scoredNamePairs
+    * callers: a consumer left in the default session pays a second full
+    * snapshot build (the memo is per-session). */
   private val snapshotReaders = Set("q_block_pairs", "q_score_pairs",
     "q_ngram_jaccard", "q_affine_scores", "q_threshold", "q_tfidf_cosine",
-    "q_cc_components")
+    "q_cc_components", "q_block_quality", "q_monge_elkan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

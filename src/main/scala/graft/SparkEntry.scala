@@ -62,8 +62,16 @@ object SparkEntry {
     * set); a columnar snapshot is 20× faster to consume and is the same
     * mechanism the pipeline's resume point uses. */
   private def snapshot(s: SparkSession, df: DataFrame, tag: String, dir: String): DataFrame = {
+    // the path carries the SESSION identity: the memo maps are keyed by
+    // (session, dir), so two sessions of one SparkContext (Bench's tuned
+    // split-size sub-session) each hold their own snapshot DataFrame — a
+    // shared path would let session B's overwrite delete the files
+    // session A's memoized file listing still points at (measured: a
+    // default-session consumer rebuilding over the tuned session's pairs
+    // snapshot mid-round → FAILED_READ_FILE in every later tuned reader)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_snap_${tag}_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+      java.lang.Integer.toHexString(dir.hashCode) + "_" +
+      java.lang.Integer.toHexString(System.identityHashCode(s))
     df.write.mode("overwrite").parquet(path)
     s.read.parquet(path)
   }
