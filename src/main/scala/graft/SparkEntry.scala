@@ -1022,6 +1022,20 @@ object SparkEntry {
       Seq(graft.score.Threshold.select(scored)).toDF("theta")
     }),
 
+    // T2 active-learning batch selection: the next pairs a human should
+    // label = the candidates the current LR model is least certain about,
+    // ranked by |logit| (monotone twin of |sigma-0.5| without exp() in the
+    // sort key), per-record diversity cap via mutual endpoint rank.
+    // Reuses the memoized JW+Lev snapshot like q_threshold.
+    "q_uncertain_batch" -> ((s, dir) => {
+      val scored = scoredNamePairs(s, dir)
+        .withColumn("z",
+          lit(-8.0) + lit(9.0) * col("jw") + lit(6.0) * col("lev_sim"))
+        .select(col("id1"), col("id2"), col("z"))
+      graft.score.Training.uncertainBatch(scored, batchSize = 100)
+        .select(col("id1"), col("id2"), round(col("z"), 6).as("z"))
+    }),
+
     // per-component HAC refinement (G3) over deterministic weak-bridge edges
     "q_hac_refine" -> ((s, dir) => {
       import s.implicits._
@@ -2784,6 +2798,42 @@ object SparkEntry {
         |      / ((1.0*(mass_above/n_above)) + (mass_above/total_mass)) AS fscore
         |  FROM sweep)
         |SELECT theta FROM f ORDER BY fscore DESC, theta DESC LIMIT 1""".stripMargin,
+
+    "q_uncertain_batch" ->
+      """WITH recs AS (
+        |  SELECT p_partkey AS id,
+        |         lower(trim(regexp_replace(p_name, '\s+', ' ', 'g'))) AS name
+        |  FROM part),
+        |blocks AS (
+        |  SELECT id, tok AS block_key FROM recs,
+        |    unnest(regexp_split_to_array(name, '[^\p{L}\p{N}]+')) AS t(tok)
+        |  WHERE length(tok) > 0
+        |  GROUP BY id, tok),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2
+        |  FROM blocks a JOIN blocks b USING (block_key)
+        |  WHERE a.id < b.id),
+        |scored AS (
+        |  SELECT p.id1, p.id2,
+        |    (-8.0 + 9.0*jaro_winkler_similarity(r1.name, r2.name)
+        |          + 6.0*(1.0 - CAST(levenshtein(r1.name, r2.name) AS DOUBLE)
+        |                 / greatest(length(r1.name), length(r2.name)))) AS z
+        |  FROM pairs p
+        |  JOIN recs r1 ON p.id1 = r1.id
+        |  JOIN recs r2 ON p.id2 = r2.id),
+        |roles AS (
+        |  SELECT id1 AS rid, id1, id2, z FROM scored
+        |  UNION ALL
+        |  SELECT id2 AS rid, id1, id2, z FROM scored),
+        |ranked AS (
+        |  SELECT rid, id1, id2, z,
+        |    row_number() OVER (PARTITION BY rid ORDER BY abs(z), id1, id2) AS rk
+        |  FROM roles),
+        |mutual AS (
+        |  SELECT id1, id2, z FROM ranked WHERE rk <= 1
+        |  GROUP BY id1, id2, z HAVING count(*) = 2)
+        |SELECT id1, id2, round(z, 6) AS z
+        |FROM mutual ORDER BY abs(z), id1, id2 LIMIT 100""".stripMargin,
 
     "q_tfidf_cosine" ->
       """WITH recs AS (

@@ -105,6 +105,55 @@ object Training {
   }
 
   /**
+   * T2 (batch analog of dedupe's active-labeling step†): select the next
+   * `batchSize` candidate pairs for human labeling — the pairs the current
+   * model is least certain about (uncertainty sampling, Lewis & Gale SIGIR
+   * 1994†; dedupe surfaces the pair nearest the decision boundary†), with a
+   * per-record diversity cap so one ambiguous record cannot monopolize the
+   * label budget by appearing in every selected pair.
+   *
+   * `scored` must carry (id1, id2, z) where z = w·d + b is the LR logit.
+   * Uncertainty ranks by |z|, not |σ(z) − 0.5|: σ is strictly monotone with
+   * σ(0) = 0.5, so the two orders are identical — but |z| is plain IEEE
+   * mul/add over the comparator columns (bit-reproducible across engines)
+   * while exp() differs in ULPs between libm implementations, which would
+   * make the selected batch non-reproducible. Ties break by (id1, id2), so
+   * the batch is a pure function of the candidate set.
+   *
+   * Scale shape: NO global window over the pair stream. Stage 1 keeps each
+   * record's `perRecordCap` most-uncertain incident pairs via windows
+   * partitioned by endpoint id — each partition is one record's candidate
+   * fan-out (bounded by blocking, not corpus size) — and a pair survives
+   * only if BOTH endpoints keep it (the mutual-rank condition of the
+   * locally-dominant one-to-one matcher, cluster/OneToOne.scala). Stage 2's
+   * global top-B runs on the pruned survivor set (≤ cap·|records| rows,
+   * human-batch-sized target) as TakeOrderedAndProject — no full sort.
+   * A record-cap stage that needed sequential greedy semantics would be
+   * exactly b-matching; mutual-rank is its standard one-round relaxation
+   * and is deterministic, which the labeling workflow needs more than the
+   * last epsilon of coverage.
+   */
+  def uncertainBatch(scored: DataFrame, batchSize: Int,
+      perRecordCap: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(batchSize > 0 && perRecordCap > 0, "batchSize/perRecordCap must be positive")
+    val base = scored.select(col("id1"), col("id2"), col("z"))
+    val roles = base.select(col("id1").as("rid"), col("id1"), col("id2"), col("z"))
+      .unionByName(base.select(col("id2").as("rid"), col("id1"), col("id2"), col("z")))
+    val w = Window.partitionBy(col("rid"))
+      .orderBy(abs(col("z")).asc, col("id1").asc, col("id2").asc)
+    roles.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= perRecordCap)
+      // a pair appears once per endpoint role; mutual survival = 2 rows
+      .groupBy(col("id1"), col("id2"), col("z"))
+      .agg(count(lit(1)).as("sides"))
+      .filter(col("sides") === 2)
+      .select(col("id1"), col("id2"), col("z"))
+      .orderBy(abs(col("z")).asc, col("id1").asc, col("id2").asc)
+      .limit(batchSize)
+  }
+
+  /**
    * T3: greedy predicate cover. For each candidate predicate, Spark counts
    * (a) how many KNOWN duplicate pairs it covers (same key both sides) and
    * (b) its total pair volume Σ s·(s-1)/2. Greedy driver-side selection

@@ -35,6 +35,28 @@ class TrainingSpec extends SparkSpec {
     assert(chosen.map(_.kind) == Seq("token")) // exists covers dups but costs 15 pairs
   }
 
+  test("uncertainBatch picks mutual-rank least-certain pairs deterministically") {
+    // |z|: (1,3)=0.05 < (1,2)=0.1 < (4,5)=0.2 < (2,3)=0.5
+    val scored = Seq(
+      (1L, 2L, 0.1), (1L, 3L, -0.05), (2L, 3L, 0.5), (4L, 5L, 0.2))
+      .toDF("id1", "id2", "z")
+    // cap=1: record 1 keeps (1,3), record 3 keeps (1,3) → mutual; record 2
+    // keeps (1,2) but record 1 already spent its slot → (1,2) dropped;
+    // (4,5) mutual trivially. Order: |−0.05| < 0.2.
+    val b1 = Training.uncertainBatch(scored, batchSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(b1.toSeq == Seq((1L, 3L), (4L, 5L)))
+    // cap=2 admits (1,2) (rank 2 for record 1, rank 1 for record 2) and
+    // (2,3) (rank 2 for records 2 and 3)
+    val b2 = Training.uncertainBatch(scored, batchSize = 10, perRecordCap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(b2.toSeq == Seq((1L, 3L), (1L, 2L), (4L, 5L), (2L, 3L)))
+    // batchSize truncates after the global uncertainty sort
+    val b3 = Training.uncertainBatch(scored, batchSize = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(b3.toSeq == Seq((1L, 3L)))
+  }
+
   test("samplePairsForLabeling is deterministic and bounded") {
     val recs = spark.range(100).select(col("id"))
     val blocked = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L)).toDF("id1", "id2")
