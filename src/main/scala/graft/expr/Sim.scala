@@ -296,13 +296,16 @@ object Sim {
   /** Single-word Myers (pattern length ≤ 64). */
   private def myersLev1(p: Array[Char], m: Int, t: Array[Char], n: Int): Int = {
     val peq = peqBuf(128)
-    var extra: java.util.HashMap[Character, Long] = null
+    // value type must be the BOXED java.lang.Long: with scala.Long the
+    // map erases the same but get()'s null return unboxes silently to 0L
+    // and the null guards below become dead code (compiler warning)
+    var extra: java.util.HashMap[Character, java.lang.Long] = null
     var i = 0
     while (i < m) {
       val c = p(i)
       if (c < 128) peq(c) |= 1L << i
       else {
-        if (extra == null) extra = new java.util.HashMap[Character, Long]()
+        if (extra == null) extra = new java.util.HashMap[Character, java.lang.Long]()
         val prev = extra.get(c)
         extra.put(c, (if (prev == null) 0L else prev.longValue()) | (1L << i))
       }
