@@ -1135,6 +1135,71 @@ object SparkEntry {
         .orderBy(col("id1"))
     }),
 
+    // §2.9 incremental CC at crawl cadence: batch-1 star edges give each
+    // custkey%150 group its min-member label; batch-2 edges then join each
+    // even group's min to the next odd group's min. The construction keeps
+    // the FULL-recompute answer in closed form — component = min custkey
+    // over the (grp div 2) super-group — so DuckDB can state it without
+    // iterating, making incrementalLabelAll == CC(E1 ∪ E2) a green row at
+    // parquet scale (IncrementalCCSpec fuzz-asserts the general equality)
+    "q_incr_cc" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("id"),
+          pmod(col("c_custkey"), lit(150)).as("grp"))
+      val gmin = c.groupBy("grp").agg(min(col("id")).as("gmin"))
+      val batch1 = c.join(gmin, "grp").filter(col("id") =!= col("gmin"))
+        .select(col("id").as("id1"), col("gmin").as("id2"))
+      val prev = graft.cluster.ConnectedComponents.labelAll(
+        c.select("id"), "id", batch1)
+      val even = gmin.filter(pmod(col("grp"), lit(2)) === 0)
+        .select(floor(col("grp") / 2).as("pg"), col("gmin").as("id1"))
+      val odd = gmin.filter(pmod(col("grp"), lit(2)) === 1)
+        .select(floor(col("grp") / 2).as("pg"), col("gmin").as("id2"))
+      val batch2 = even.join(odd, "pg").select("id1", "id2")
+      graft.cluster.ConnectedComponents.incrementalLabelAll(prev, batch2)
+        .orderBy(col("id"))
+    }),
+
+    // §2.9 snapshot-to-snapshot entity reconciliation: two deterministic
+    // labelings of customer (10-wide id windows, the new one shifted by 3)
+    // exercise plurality pick + the status taxonomy; fully SQL-expressible
+    "q_crosswalk" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val old = c.select(col("c_custkey").as("id"),
+        floor(col("c_custkey") / 10).as("component"))
+      val nw = c.select(col("c_custkey").as("id"),
+        floor((col("c_custkey") + 3) / 10).as("component"))
+      graft.cluster.Crosswalk.crosswalk(old, nw)
+        .orderBy(col("component_new"))
+    }),
+
+    // persistent entity ids across re-clustering: winner-takes-the-old-id,
+    // split losers keep fresh ids (same shifted labelings as q_crosswalk)
+    "q_stable_ids" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val old = c.select(col("c_custkey").as("id"),
+        floor(col("c_custkey") / 10).as("component"))
+      val nw = c.select(col("c_custkey").as("id"),
+        floor((col("c_custkey") + 3) / 10).as("component"))
+      graft.cluster.Crosswalk.stableIds(old, nw).orderBy(col("id"))
+    }),
+
+    // cannot-link enforcement (binding human "distinct" labels) over a
+    // frozen fixture: chain 1-2-3-4 (all 0.9) with cannot-link (1,4)
+    // splits at the weakest constrained merge; component {10,11} is
+    // untouched. Constant expected output → VALUES oracle green row
+    // (ConstraintsSpec fuzz-asserts the general invariants)
+    "q_cannot_link_fixture" -> ((s, dir) => {
+      import s.implicits._
+      val scored = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (3L, 4L, 0.9),
+        (10L, 11L, 0.9)).toDF("id1", "id2", "score")
+      val labels = graft.cluster.ConnectedComponents.run(
+        scored.select("id1", "id2")).labels
+      graft.cluster.Constraints.enforceCannotLink(
+          labels, scored, Seq((1L, 4L)).toDF("id1", "id2"))
+        .orderBy(col("id"))
+    }),
+
     // double-metaphone codes over a literal fixture (B12). DuckDB has no
     // phonetic functions, so the oracle is the frozen expected code table —
     // spot values match the published DoubleMetaphone behavior (smith→SM0,
@@ -3290,6 +3355,73 @@ object SparkEntry {
         |  (CAST(1 AS BIGINT), CAST(10 AS BIGINT), CAST(0.9 AS DOUBLE)),
         |  (2, 11, 0.7), (3, 12, 0.95)) AS t(id1, id2, score)
         |ORDER BY id1""".stripMargin,
+
+    // closed-form full-recompute answer: CC(batch1 ∪ batch2)'s component
+    // is min custkey over the (custkey % 150) div 2 super-group — no
+    // iteration needed, see the query comment for the construction
+    "q_incr_cc" ->
+      """SELECT c_custkey AS id,
+        |  min(c_custkey) OVER (PARTITION BY (c_custkey % 150) // 2)
+        |    AS component
+        |FROM customer ORDER BY id""".stripMargin,
+
+    "q_crosswalk" ->
+      """WITH o AS (SELECT c_custkey AS id,
+        |             c_custkey // 10 AS component_old FROM customer),
+        |n AS (SELECT c_custkey AS id,
+        |        (c_custkey + 3) // 10 AS component_new FROM customer),
+        |ov AS (SELECT component_new, component_old, count(*) AS overlap
+        |       FROM n JOIN o USING (id) GROUP BY 1, 2),
+        |ns AS (SELECT component_new, count(*) AS new_size FROM n GROUP BY 1),
+        |os AS (SELECT component_old, count(*) AS old_size FROM o GROUP BY 1),
+        |best AS (SELECT component_new, component_old, overlap FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY component_new
+        |    ORDER BY overlap DESC, component_old ASC) AS rn FROM ov)
+        |  WHERE rn = 1),
+        |b2 AS (SELECT ns.component_new, best.component_old,
+        |         best.overlap AS raw_overlap,
+        |         coalesce(best.overlap, 0) AS overlap, ns.new_size
+        |       FROM ns LEFT JOIN best USING (component_new))
+        |SELECT b2.component_new, b2.component_old, b2.overlap, b2.new_size,
+        |  os.old_size,
+        |  CASE WHEN b2.component_old IS NULL THEN 'new'
+        |       WHEN b2.raw_overlap = b2.new_size
+        |            AND b2.raw_overlap = os.old_size THEN 'stable'
+        |       WHEN b2.raw_overlap = os.old_size THEN 'grown'
+        |       WHEN b2.raw_overlap = b2.new_size THEN 'split'
+        |       ELSE 'changed' END AS status
+        |FROM b2 LEFT JOIN os ON b2.component_old = os.component_old
+        |ORDER BY b2.component_new""".stripMargin,
+
+    "q_stable_ids" ->
+      """WITH o AS (SELECT c_custkey AS id,
+        |             c_custkey // 10 AS component_old FROM customer),
+        |n AS (SELECT c_custkey AS id,
+        |        (c_custkey + 3) // 10 AS component_new FROM customer),
+        |ov AS (SELECT component_new, component_old, count(*) AS overlap
+        |       FROM n JOIN o USING (id) GROUP BY 1, 2),
+        |best AS (SELECT component_new, component_old, overlap FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY component_new
+        |    ORDER BY overlap DESC, component_old ASC) AS rn FROM ov)
+        |  WHERE rn = 1),
+        |winners AS (SELECT component_old AS won, component_new FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY component_old
+        |    ORDER BY overlap DESC, component_new ASC) AS rn FROM best)
+        |  WHERE rn = 1)
+        |SELECT n.id, coalesce(w.won, n.component_new) AS entity,
+        |  w.won IS NOT NULL AS inherited
+        |FROM n LEFT JOIN winners w USING (component_new)
+        |ORDER BY n.id""".stripMargin,
+
+    // constant fixture (see the query comment): chain {1,2,3,4} with
+    // cannot-link (1,4) re-clusters to {1,2},{3,4} — constrained
+    // average-linkage merges (1,2) then (3,4) at d=0.1, and the remaining
+    // merge would union the forbidden pair; {10,11} passes through
+    "q_cannot_link_fixture" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT)), (2, 1), (3, 3), (4, 3),
+        |  (10, 10), (11, 10)) AS t(id, component)
+        |ORDER BY id""".stripMargin,
 
     "q_unicode_block" ->
       """WITH recs AS (

@@ -143,4 +143,39 @@ object ConnectedComponents {
     }
     current
   }
+
+  /**
+   * Incremental transitive closure: fold a NEW batch of edges into an
+   * existing labeling without replaying the old edge list — the
+   * crawl-update cadence at 10^12-document scale, where each snapshot
+   * adds a sliver of pages/edges and re-running CC over the full
+   * historical pair stream would dominate the job.
+   *
+   * A component is connectivity-equivalent to its star (member →
+   * component root), so CC(star(CC(E₁)) ∪ E₂) = CC(E₁ ∪ E₂): the result
+   * EQUALS the full recompute (IncrementalCCSpec fuzz-asserts this), at
+   * the cost of one edge per previously-labeled node instead of the full
+   * E₁. Labels are min-member ids, so components untouched by the new
+   * batch keep their exact previous label — persistent entity ids are
+   * stable across snapshots for free ([[Crosswalk]] reconciles the
+   * changed ones).
+   *
+   * @param prevLabels (id, component) from the previous run — every
+   *                   previously known node, singletons included
+   * @param newEdges   (id1, id2) this batch's accepted pairs; endpoints
+   *                   may be brand-new nodes
+   * @return (id, component) covering prev nodes ∪ new-edge endpoints
+   */
+  def incrementalLabelAll(prevLabels: DataFrame, newEdges: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val prev = prevLabels.toDF("id", "component")
+    val ne = newEdges.toDF("id1", "id2")
+    val star = prev.filter(col("id") =!= col("component"))
+      .select(col("id").as("id1"), col("component").as("id2"))
+    val vertices = prev.select(col("id"))
+      .union(ne.select(col("id1").as("id")))
+      .union(ne.select(col("id2").as("id")))
+      .distinct()
+    labelAll(vertices, "id", star.unionByName(ne), maxIter)
+  }
 }
