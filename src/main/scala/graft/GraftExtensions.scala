@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import graft.expr.{JaroWinklerExpr, LevenshteinSimExpr, NormalizeNFKCExpr, SimHash64Expr}
+import graft.expr.{DamerauExpr, JaroWinklerExpr, LevenshteinSimExpr, NormalizeNFKCExpr, SimHash64Expr}
 
 /**
  * The library's `SparkSessionExtensions` hook — the deployment seam the
@@ -74,7 +74,11 @@ object GraftExtensions {
     (FunctionIdentifier("graft_simhash64"),
       info("graft_simhash64", "_FUNC_(tokens) - 64-bit Charikar simhash " +
         "of a token array"),
-      unary("graft_simhash64", SimHash64Expr(_))))
+      unary("graft_simhash64", SimHash64Expr(_))),
+    (FunctionIdentifier("graft_damerau"),
+      info("graft_damerau", "_FUNC_(a, b) - unrestricted Damerau-" +
+        "Levenshtein distance (DuckDB-parity kernel)"),
+      binary("graft_damerau", DamerauExpr(_, _))))
 
   /** `graft_normalize(graft_normalize(x))` → `graft_normalize(x)` —
     * safe because the kernel is idempotent (null→null, empty→null,

@@ -840,6 +840,18 @@ object SparkEntry {
           round(TextOps.ngramJaccard(col("name_1"), col("name_2"), 3), 6).as("jac3"))
     }),
 
+    // unrestricted Damerau-Levenshtein over the candidate-pair stream —
+    // the transposition-aware comparator (C1 family) hash-checked against
+    // DuckDB's damerau_levenshtein at corpus scale; dl <= lev on every
+    // row is the variant's defining inequality, asserted by the oracle
+    // carrying both columns
+    "q_damerau_pairs" -> ((s, dir) => {
+      attachedNamePairs(s, dir)
+        .select(col("id1"), col("id2"),
+          damerau_levenshtein(col("name_1"), col("name_2")).cast("long").as("dl"),
+          levenshtein(col("name_1"), col("name_2")).cast("long").as("lev"))
+    }),
+
     // brute-force cosine top-k ANN over the embeddings table
     "q_ann_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -2603,6 +2615,26 @@ object SparkEntry {
         |             / (len(g1.g3) + len(g2.g3) - len(list_intersect(g1.g3, g2.g3)))
         |        END, 6) AS jac3
         |FROM pairs p JOIN g g1 ON p.id1 = g1.id JOIN g g2 ON p.id2 = g2.id
+        |ORDER BY p.id1, p.id2""".stripMargin,
+
+    "q_damerau_pairs" ->
+      """WITH recs AS (
+        |  SELECT p_partkey AS id,
+        |         lower(trim(regexp_replace(p_name, '\s+', ' ', 'g'))) AS name
+        |  FROM part),
+        |blocks AS (
+        |  SELECT id, tok AS block_key FROM recs,
+        |    unnest(regexp_split_to_array(name, '[^\p{L}\p{N}]+')) AS t(tok)
+        |  WHERE length(tok) > 0
+        |  GROUP BY id, tok),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2
+        |  FROM blocks a JOIN blocks b USING (block_key)
+        |  WHERE a.id < b.id)
+        |SELECT p.id1, p.id2,
+        |  damerau_levenshtein(r1.name, r2.name) AS dl,
+        |  levenshtein(r1.name, r2.name) AS lev
+        |FROM pairs p JOIN recs r1 ON p.id1 = r1.id JOIN recs r2 ON p.id2 = r2.id
         |ORDER BY p.id1, p.id2""".stripMargin,
 
     "q_ann_topk" ->

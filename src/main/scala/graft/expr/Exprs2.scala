@@ -34,6 +34,11 @@ object ExprKernels2 {
     Sim.ngramJaccardChars(CharScratch.bufA(0), la, CharScratch.bufB(0), lb, n)
   }
 
+  def damerau(a: UTF8String, b: UTF8String): Int = {
+    val la = ExprKernels.fillA(a); val lb = ExprKernels.fillB(b)
+    Sim.damerauChars(CharScratch.bufA(0), la, CharScratch.bufB(0), lb)
+  }
+
   /** One-pass cosine over two numeric arrays. IEEE-identical to the
     * composed `dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b)))` with
     * cast-to-double zip_with dots: the three accumulators add the same
@@ -530,6 +535,21 @@ case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a => s"graft.expr.RepetitionStats.compute($a)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Unrestricted Damerau-Levenshtein distance (Lowrance-Wagner†) — the
+  * transposition-aware comparator Spark lacks (built-in `levenshtein`
+  * only); DuckDB-parity verified by the q_damerau_pairs oracle. */
+case class DamerauExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_damerau"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels2.damerau(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.ExprKernels2.damerau($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** normalized affine-gap distance — optional comparator C1. */

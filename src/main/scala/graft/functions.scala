@@ -54,6 +54,9 @@ object gfunctions {
   /** Normalized affine-gap distance (optional reference comparator C1). */
   def affine_gap(a: Column, b: Column): Column = c(AffineGapExpr(x(a), x(b)))
 
+  /** Unrestricted Damerau-Levenshtein distance (DuckDB-parity). */
+  def damerau_levenshtein(a: Column, b: Column): Column = c(DamerauExpr(x(a), x(b)))
+
   /** Haversine great-circle distance in km (reference C4 comparator). */
   def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
     val dLat = radians(lat2 - lat1)
@@ -110,5 +113,7 @@ object gfunctions {
       "graft_simhash64", es => SimHash64Expr(es(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_normalize", es => NormalizeNFKCExpr(es(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_damerau", es => DamerauExpr(es(0), es(1)), "built-in")
   }
 }

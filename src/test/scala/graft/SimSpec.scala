@@ -239,4 +239,63 @@ class SimSpec extends AnyFunSuite {
     assert(graft.expr.ExprKernels2.mapDot(
       mapOf(Seq("a" -> 2.0)), mapOf(Seq("b" -> 3.0))) == 0.0)
   }
+
+  test("damerau-levenshtein: spot values (DuckDB parity) + variant " +
+      "discrimination") {
+    // the published case separating unrestricted DL from restricted OSA:
+    // ca → ac → abc is 2 edits iff edits may follow a transposition
+    assert(Sim.damerau("ca", "abc") == 2) // OSA would say 3
+    assert(Sim.damerau("abcd", "acbd") == 1) // one adjacent transposition
+    assert(Sim.damerau("ab", "ba") == 1)
+    assert(Sim.damerau("kitten", "sitting") == 3) // no transpositions → == lev
+    assert(Sim.damerau("", "abc") == 3)
+    assert(Sim.damerau("abc", "") == 3)
+    assert(Sim.damerau("", "") == 0)
+    assert(Sim.damerau("same", "same") == 0)
+  }
+
+  test("damerau-levenshtein: fuzz vs independent clean-room DP") {
+    // independent reference: textbook Lowrance-Wagner with a fresh 2-D
+    // matrix and a HashMap last-occurrence table per call — shares no
+    // code with the scratch-buffer kernel
+    def ref(a: String, b: String): Int = {
+      val n = a.length; val m = b.length
+      val inf = n + m
+      val d = Array.fill(n + 2, m + 2)(0)
+      val da = scala.collection.mutable.HashMap.empty[Char, Int]
+      d(0)(0) = inf
+      for (i <- 0 to n) { d(i + 1)(0) = inf; d(i + 1)(1) = i }
+      for (j <- 0 to m) { d(0)(j + 1) = inf; d(1)(j + 1) = j }
+      for (i <- 1 to n) {
+        var db = 0
+        for (j <- 1 to m) {
+          val k = da.getOrElse(b(j - 1), 0)
+          val l = db
+          val cost = if (a(i - 1) == b(j - 1)) { db = j; 0 } else 1
+          d(i + 1)(j + 1) = Seq(
+            d(i)(j) + cost, d(i + 1)(j) + 1, d(i)(j + 1) + 1,
+            d(k)(l) + (i - k - 1) + 1 + (j - l - 1)).min
+        }
+        da(a(i - 1)) = i
+      }
+      d(n + 1)(m + 1)
+    }
+    val r = new scala.util.Random(29)
+    // small alphabet → dense repeats and transposition opportunities
+    def rs(): String = Seq.fill(r.nextInt(12))(('a' + r.nextInt(4)).toChar).mkString
+    for (trial <- 1 to 2000) {
+      val a = rs(); val b = rs()
+      val got = Sim.damerau(a, b)
+      assert(got == ref(a, b), s"trial $trial: '$a' vs '$b'")
+      assert(got == Sim.damerau(b, a), s"symmetry trial $trial")
+      assert(got <= Sim.levenshtein(a, b), s"DL <= Lev trial $trial")
+    }
+    // wider alphabet incl. a non-ASCII char exercises the stamp table
+    def rs2(): String = Seq.fill(r.nextInt(20))(
+      if (r.nextInt(10) == 0) 'é' else ('a' + r.nextInt(26)).toChar).mkString
+    for (trial <- 1 to 500) {
+      val a = rs2(); val b = rs2()
+      assert(Sim.damerau(a, b) == ref(a, b), s"wide trial $trial: '$a' '$b'")
+    }
+  }
 }
