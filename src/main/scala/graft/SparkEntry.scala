@@ -1114,6 +1114,30 @@ object SparkEntry {
         .orderBy(col("messy_id"), col("rank"))
     }),
 
+    // the full multi-feature LR gazetteer path, oracle-green end to end
+    // (round-2 verdict stretch item): token-only blocking so DuckDB can
+    // twin the candidate set, but the MODEL is the real thing — three
+    // comparator families (JW + normalized Levenshtein + exact dummy)
+    // through Scoring's feature registry and the σ(w·f+b) classifier,
+    // oversize-block drop and top-n window included
+    "q_gazetteer_model" -> ((s, dir) => {
+      val recs = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey").as("id"),
+          normalize_text(col("p_name")).as("name"),
+          normalize_text(col("p_brand")).as("brand"))
+      val messy = recs.filter(col("id") % 2 === 1)
+      val canon = recs.filter(col("id") % 2 === 0)
+      val m = Model(bias = -10.0,
+        weights = Map("jw_name" -> 9.0, "lev_name" -> 4.0, "exact_brand" -> 1.5),
+        threshold = 0.5,
+        predicates = Seq(PredicateSpec("token", "name")))
+      graft.pipeline.Gazetteer.matchRecords(s, messy, canon,
+          graft.pipeline.Gazetteer.Config(m, nMatches = 2, maxCanonBlockSize = 1000))
+        .select(col("messy_id"), col("canon_id"),
+          round(col("score"), 6).as("score"), col("rank"))
+        .orderBy(col("messy_id"), col("rank"))
+    }),
+
     // §2.6 G10: one-to-one record linkage (unique assignment) over the
     // same gazetteer surface as q_gazetteer_jw — rows-only (iterative
     // matching is not SQL-expressible); greedy-equality is pinned by the
@@ -3004,6 +3028,46 @@ object SparkEntry {
         |  SELECT p.id1, p.id2,
         |    1.0/(1.0 + exp(-(-8.0 + 12.0*coalesce(
         |      jaro_winkler_similarity(r1.name, r2.name), 0.0)))) AS score
+        |  FROM pairs p
+        |  JOIN recs r1 ON p.id1 = r1.id
+        |  JOIN recs r2 ON p.id2 = r2.id),
+        |ranked AS (
+        |  SELECT id1, id2, score,
+        |    row_number() OVER (PARTITION BY id1 ORDER BY score DESC, id2) AS rnk
+        |  FROM scored WHERE score >= 0.5)
+        |SELECT id1 AS messy_id, id2 AS canon_id,
+        |  round(score, 6) AS score, rnk AS "rank"
+        |FROM ranked WHERE rnk <= 2
+        |ORDER BY messy_id, "rank"""".stripMargin,
+
+    "q_gazetteer_model" ->
+      """WITH recs AS (
+        |  SELECT p_partkey AS id,
+        |         lower(trim(regexp_replace(p_name, '\s+', ' ', 'g'))) AS name,
+        |         lower(trim(regexp_replace(p_brand, '\s+', ' ', 'g'))) AS brand
+        |  FROM part),
+        |blocks AS (
+        |  SELECT id, tok AS block_key FROM recs,
+        |    unnest(regexp_split_to_array(name, '[^\p{L}\p{N}]+')) AS t(tok)
+        |  WHERE length(tok) > 0
+        |  GROUP BY id, tok),
+        |canon_blocks AS (SELECT * FROM blocks WHERE id % 2 = 0),
+        |eligible AS (
+        |  SELECT block_key FROM canon_blocks
+        |  GROUP BY block_key HAVING count(*) <= 1000),
+        |messy_blocks AS (SELECT * FROM blocks WHERE id % 2 = 1),
+        |pairs AS (
+        |  SELECT DISTINCT m.id AS id1, c.id AS id2
+        |  FROM messy_blocks m
+        |  JOIN canon_blocks c ON m.block_key = c.block_key
+        |  JOIN eligible e ON c.block_key = e.block_key),
+        |scored AS (
+        |  SELECT p.id1, p.id2,
+        |    1.0/(1.0 + exp(-(-10.0
+        |      + 9.0*coalesce(jaro_winkler_similarity(r1.name, r2.name), 0.0)
+        |      + 4.0*(1.0 - CAST(levenshtein(r1.name, r2.name) AS DOUBLE)
+        |             / greatest(length(r1.name), length(r2.name)))
+        |      + 1.5*CAST(r1.brand = r2.brand AS DOUBLE)))) AS score
         |  FROM pairs p
         |  JOIN recs r1 ON p.id1 = r1.id
         |  JOIN recs r2 ON p.id2 = r2.id),
