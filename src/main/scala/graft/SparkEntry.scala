@@ -1349,6 +1349,20 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // C11 companion: clustering-threshold sensitivity sweep — transitive
+    // entity statistics at three θ levels over the q_cc_components edge
+    // subset. Oracle = ONE theta-parameterized recursive CTE (theta rides
+    // the reach relation as a column), so an ITERATIVE sweep is a single
+    // green row set; zero-row θ levels still report (the all-zeros row is
+    // the sweep's point)
+    "q_threshold_sweep" -> ((s, dir) => {
+      val scored = scoredNamePairs(s, dir)
+        .filter(pmod(col("id1") + col("id2"), lit(17L)) === 0)
+        .select(col("id1"), col("id2"), col("jw"))
+      graft.cluster.ThresholdSweep.sweep(scored, Seq(0.95, 0.97, 0.99), "jw")
+        .orderBy(col("theta"))
+    }),
+
     // unicode tokenizer parity (round-2 verdict item 7): the REAL blocking
     // path (token predicate) over a non-ASCII literal fixture, green-
     // checked against DuckDB's RE2 on the same `[^\p{L}\p{N}]+` class —
@@ -3421,6 +3435,55 @@ object SparkEntry {
         |  SELECT r.id, e.v FROM reach r JOIN edges e ON r.n = e.u)
         |SELECT id, least(min(n), id) AS component
         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "q_threshold_sweep" ->
+      """WITH RECURSIVE recs AS (
+        |  SELECT p_partkey AS id,
+        |         lower(trim(regexp_replace(p_name, '\s+', ' ', 'g'))) AS name
+        |  FROM part),
+        |blocks AS (
+        |  SELECT id, tok AS block_key FROM recs,
+        |    unnest(regexp_split_to_array(name, '[^\p{L}\p{N}]+')) AS t(tok)
+        |  WHERE length(tok) > 0
+        |  GROUP BY id, tok),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2
+        |  FROM blocks a JOIN blocks b USING (block_key)
+        |  WHERE a.id < b.id),
+        |scored AS (
+        |  SELECT p.id1, p.id2,
+        |    jaro_winkler_similarity(r1.name, r2.name) AS jw
+        |  FROM pairs p
+        |  JOIN recs r1 ON p.id1 = r1.id
+        |  JOIN recs r2 ON p.id2 = r2.id
+        |  WHERE (p.id1 + p.id2) % 17 = 0),
+        |th(theta) AS (SELECT * FROM (VALUES (0.95), (0.97), (0.99)) t(x)),
+        |edges AS (
+        |  SELECT th.theta, s.id1 AS u, s.id2 AS v
+        |  FROM scored s JOIN th ON s.jw >= th.theta
+        |  UNION
+        |  SELECT th.theta, s.id2, s.id1
+        |  FROM scored s JOIN th ON s.jw >= th.theta),
+        |reach(theta, id, n) AS (
+        |  SELECT theta, u, v FROM edges
+        |  UNION
+        |  SELECT r.theta, r.id, e.v
+        |  FROM reach r JOIN edges e ON r.theta = e.theta AND r.n = e.u),
+        |labels AS (
+        |  SELECT theta, id, least(min(n), id) AS component
+        |  FROM reach GROUP BY theta, id),
+        |comps AS (
+        |  SELECT theta, component, count(*) AS sz
+        |  FROM labels GROUP BY theta, component),
+        |stats AS (
+        |  SELECT theta, CAST(sum(sz) AS BIGINT) AS n_nodes,
+        |    count(*) AS n_components, max(sz) AS largest
+        |  FROM comps GROUP BY theta)
+        |SELECT th.theta, coalesce(s.n_nodes, 0) AS n_nodes,
+        |  coalesce(s.n_components, 0) AS n_components,
+        |  coalesce(s.largest, 0) AS largest
+        |FROM th LEFT JOIN stats s USING (theta)
+        |ORDER BY th.theta""".stripMargin,
 
     // the decode stub is a normalized 16-bin byte histogram over the
     // UTF-8 bytes of text; the corpus is ASCII (verified), so char counts
