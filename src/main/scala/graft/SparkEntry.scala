@@ -1209,6 +1209,19 @@ object SparkEntry {
         .orderBy(col("component_new"))
     }),
 
+    // chance-corrected agreement between the two q_crosswalk labelings:
+    // Rand + Hubert-Arabie adjusted Rand from the exact contingency
+    // pair-count sums (decimal internally, longs out) — the quantitative
+    // companion to the crosswalk's per-entity taxonomy
+    "q_ari" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val old = c.select(col("c_custkey").as("id"),
+        floor(col("c_custkey") / 10).as("component"))
+      val nw = c.select(col("c_custkey").as("id"),
+        floor((col("c_custkey") + 3) / 10).as("component"))
+      graft.cluster.ClusterEval.adjustedRand(old, nw)
+    }),
+
     // persistent entity ids across re-clustering: winner-takes-the-old-id,
     // split losers keep fresh ids (same shifted labelings as q_crosswalk)
     "q_stable_ids" -> ((s, dir) => {
@@ -3551,6 +3564,36 @@ object SparkEntry {
         |       ELSE 'changed' END AS status
         |FROM b2 LEFT JOIN os ON b2.component_old = os.component_old
         |ORDER BY b2.component_new""".stripMargin,
+
+    "q_ari" ->
+      """WITH o AS (SELECT c_custkey AS id,
+        |             c_custkey // 10 AS ca FROM customer),
+        |n AS (SELECT c_custkey AS id,
+        |        (c_custkey + 3) // 10 AS cb FROM customer),
+        |cont AS (SELECT ca, cb, count(*) AS nij
+        |         FROM o JOIN n USING (id) GROUP BY ca, cb),
+        |sb AS (SELECT CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS s_both
+        |       FROM cont),
+        |sa AS (SELECT CAST(sum(na * (na - 1) // 2) AS BIGINT) AS s_a,
+        |         CAST(sum(na) AS BIGINT) AS n
+        |       FROM (SELECT ca, sum(nij) AS na FROM cont GROUP BY ca)),
+        |sbb AS (SELECT CAST(sum(nb * (nb - 1) // 2) AS BIGINT) AS s_b
+        |        FROM (SELECT cb, sum(nij) AS nb FROM cont GROUP BY cb))
+        |SELECT n, s_both, s_a, s_b,
+        |  round(CASE WHEN CAST(n * (n - 1) // 2 AS DOUBLE) = 0.0 THEN 1.0
+        |    ELSE 1.0 - (CAST(s_a AS DOUBLE) + CAST(s_b AS DOUBLE)
+        |                - 2.0 * CAST(s_both AS DOUBLE))
+        |               / CAST(n * (n - 1) // 2 AS DOUBLE) END, 6) AS ri,
+        |  round(CASE WHEN (CAST(s_a AS DOUBLE) + CAST(s_b AS DOUBLE)) / 2.0
+        |             = CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE)
+        |               / CAST(n * (n - 1) // 2 AS DOUBLE) THEN 1.0
+        |    ELSE (CAST(s_both AS DOUBLE)
+        |          - CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE)
+        |            / CAST(n * (n - 1) // 2 AS DOUBLE))
+        |         / ((CAST(s_a AS DOUBLE) + CAST(s_b AS DOUBLE)) / 2.0
+        |            - CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE)
+        |              / CAST(n * (n - 1) // 2 AS DOUBLE)) END, 6) AS ari
+        |FROM sb, sa, sbb""".stripMargin,
 
     "q_stable_ids" ->
       """WITH o AS (SELECT c_custkey AS id,
