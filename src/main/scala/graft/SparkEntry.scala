@@ -1222,6 +1222,19 @@ object SparkEntry {
       graft.cluster.ClusterEval.adjustedRand(old, nw)
     }),
 
+    // B-cubed precision/recall/F1 over the same pair of labelings —
+    // the per-record agreement metric ER pairs with pairwise F1;
+    // per-cell contributions quantized to 1e-6 micro-units so the sum
+    // is partitioning-order-independent (DuckDB twin does the same)
+    "q_bcubed" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val pred = c.select(col("c_custkey").as("id"),
+        floor(col("c_custkey") / 10).as("component"))
+      val truth = c.select(col("c_custkey").as("id"),
+        floor((col("c_custkey") + 3) / 10).as("component"))
+      graft.cluster.ClusterEval.bcubed(pred, truth)
+    }),
+
     // persistent entity ids across re-clustering: winner-takes-the-old-id,
     // split losers keep fresh ids (same shifted labelings as q_crosswalk)
     "q_stable_ids" -> ((s, dir) => {
@@ -3594,6 +3607,31 @@ object SparkEntry {
         |            - CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE)
         |              / CAST(n * (n - 1) // 2 AS DOUBLE)) END, 6) AS ari
         |FROM sb, sa, sbb""".stripMargin,
+
+    "q_bcubed" ->
+      """WITH p AS (SELECT c_custkey AS id,
+        |             c_custkey // 10 AS cp FROM customer),
+        |t AS (SELECT c_custkey AS id,
+        |        (c_custkey + 3) // 10 AS ct FROM customer),
+        |cont AS (SELECT cp, ct, count(*) AS nij
+        |         FROM p JOIN t USING (id) GROUP BY cp, ct),
+        |ncs AS (SELECT cp, sum(nij) AS nc FROM cont GROUP BY cp),
+        |nts AS (SELECT ct, sum(nij) AS nt FROM cont GROUP BY ct),
+        |cells AS (SELECT nij, nc, nt
+        |          FROM cont JOIN ncs USING (cp) JOIN nts USING (ct)),
+        |agg AS (SELECT CAST(sum(nij) AS BIGINT) AS n,
+        |  sum(CAST(round(CAST(nij AS DOUBLE) * CAST(nij AS DOUBLE)
+        |        / nc * 1e6, 0) AS BIGINT)) AS pm,
+        |  sum(CAST(round(CAST(nij AS DOUBLE) * CAST(nij AS DOUBLE)
+        |        / nt * 1e6, 0) AS BIGINT)) AS rm FROM cells)
+        |SELECT n,
+        |  round(pm / (CAST(n AS DOUBLE) * 1e6), 6) AS bcubed_precision,
+        |  round(rm / (CAST(n AS DOUBLE) * 1e6), 6) AS bcubed_recall,
+        |  round(2.0 * (pm / (CAST(n AS DOUBLE) * 1e6))
+        |        * (rm / (CAST(n AS DOUBLE) * 1e6))
+        |        / (pm / (CAST(n AS DOUBLE) * 1e6)
+        |           + rm / (CAST(n AS DOUBLE) * 1e6)), 6) AS bcubed_f1
+        |FROM agg""".stripMargin,
 
     "q_stable_ids" ->
       """WITH o AS (SELECT c_custkey AS id,

@@ -66,4 +66,52 @@ object ClusterEval {
       round(when(totalPairs === 0.0, 1.0).otherwise(ri), 6).as("ri"),
       round(when(half === exp, 1.0).otherwise(ariRaw), 6).as("ari"))
   }
+
+  /**
+   * B-cubed precision/recall/F1 (Bagga & Baldwin 1998†; the
+   * extended-metric analysis is Amigó et al. 2009†) — the per-RECORD
+   * agreement statistic the ER literature pairs with pairwise F1:
+   * a record's precision is the fraction of its predicted cluster
+   * sharing its truth cluster, recall the dual, both averaged over
+   * records. Unlike pairwise F1 it doesn't square-weight big clusters,
+   * so one giant merged entity can't mask many small mistakes.
+   *
+   * Same contingency backbone as [[adjustedRand]]: every sum is over
+   * (pred, truth) cells — precision = (1/n)·Σ nij²/n_c, recall =
+   * (1/n)·Σ nij²/n_t — so the whole metric is one join, one
+   * groupBy(count), two cluster-size joins (cluster-count-sized,
+   * broadcastable) and one map-side-combinable aggregate. Per-cell
+   * contributions are quantized to exact 1e-6 micro-units before the
+   * final sum (the [[graft.textops.Retrieval]] idiom), making the
+   * result independent of partitioning/summation order — reproducible
+   * across AQE re-plans and engines.
+   *
+   * @param pred  (id, component) predicted labeling
+   * @param truth (id, component) reference labeling (inner join on id)
+   * @return one row: n, bcubed_precision, bcubed_recall, bcubed_f1
+   *         (rounded 1e-6; empty input → all 1.0 by convention)
+   */
+  def bcubed(pred: DataFrame, truth: DataFrame): DataFrame = {
+    val j = pred.toDF("id", "cp").join(truth.toDF("id", "ct"), "id")
+    val cont = j.groupBy(col("cp"), col("ct")).agg(count(lit(1)).as("nij"))
+    val nc = cont.groupBy("cp").agg(sum(col("nij")).as("nc"))
+    val nt = cont.groupBy("ct").agg(sum(col("nij")).as("nt"))
+    val cells = cont.join(nc, "cp").join(nt, "ct")
+    val nij2 = col("nij").cast("double") * col("nij").cast("double")
+    val pCell = round(nij2 / col("nc") * lit(1e6), 0).cast("long")
+    val rCell = round(nij2 / col("nt") * lit(1e6), 0).cast("long")
+    val agg = cells.agg(
+      coalesce(sum(col("nij")), lit(0L)).as("n"),
+      coalesce(sum(pCell), lit(0L)).as("pm"),
+      coalesce(sum(rCell), lit(0L)).as("rm"))
+    val denom = col("n").cast("double") * lit(1e6)
+    val p = col("pm").cast("double") / denom
+    val r = col("rm").cast("double") / denom
+    agg.select(
+      col("n"),
+      round(when(col("n") === 0L, 1.0).otherwise(p), 6).as("bcubed_precision"),
+      round(when(col("n") === 0L, 1.0).otherwise(r), 6).as("bcubed_recall"),
+      round(when(col("n") === 0L, 1.0)
+        .otherwise(lit(2.0) * p * r / (p + r)), 6).as("bcubed_f1"))
+  }
 }

@@ -46,6 +46,39 @@ class ClusterEvalSpec extends SparkSpec {
     assert(ri == 1.0 && ari == 1.0)
   }
 
+  test("bcubed: textbook contingency spot values") {
+    // truth = {1,2,3},{4,5,6}; pred = {1,2},{3,4,5},{6}
+    val truth = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L, 6L -> 2L)
+      .toDF("id", "component")
+    val pred = Seq(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 2L, 6L -> 3L)
+      .toDF("id", "component")
+    val r = ClusterEval.bcubed(pred, truth).collect()(0)
+    assert(r.getLong(0) == 6)
+    // P per record: 1,1,1/3,2/3,2/3,1 → 7/9; R: 2/3,2/3,1/3,2/3,2/3,1/3 → 5/9
+    assert(math.abs(r.getDouble(1) - 0.777778) < 2e-6)
+    assert(math.abs(r.getDouble(2) - 0.555556) < 2e-6)
+    assert(math.abs(r.getDouble(3) - 35.0 / 54.0) < 2e-6) // 0.648148
+  }
+
+  test("bcubed: identical labelings → all 1.0; relabeling-invariant") {
+    val a = Seq(1L -> 4L, 2L -> 4L, 3L -> 9L).toDF("id", "component")
+    val b = Seq(1L -> 7L, 2L -> 7L, 3L -> 1L).toDF("id", "component")
+    val r = ClusterEval.bcubed(a, b).collect()(0)
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0)
+  }
+
+  test("bcubed: precision/recall duality under argument swap") {
+    val rnd = new scala.util.Random(11)
+    val ids = (1L to 50L)
+    val a = ids.map(i => i -> rnd.nextInt(7).toLong).toDF("id", "component")
+    val b = ids.map(i => i -> rnd.nextInt(4).toLong).toDF("id", "component")
+    val ab = ClusterEval.bcubed(a, b).collect()(0)
+    val ba = ClusterEval.bcubed(b, a).collect()(0)
+    assert(ab.getDouble(1) == ba.getDouble(2)) // P(a,b) == R(b,a)
+    assert(ab.getDouble(2) == ba.getDouble(1))
+    assert(ab.getDouble(3) == ba.getDouble(3))
+  }
+
   test("fuzz: symmetry + self-agreement + range") {
     val rnd = new scala.util.Random(5)
     for (round <- 0 until 3) {
