@@ -283,6 +283,24 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // §2.5 hybrid comparator: Soft-TFIDF (Cohen et al. 2003) — TF-IDF
+    // term weights with JW-fuzzy term matching at theta = 0.9, over the
+    // same L2-normalized vectors as q_tfidf_cosine, on q_monge_elkan's
+    // deterministic 1/20 pair slice
+    "q_soft_tfidf" -> ((s, dir) => {
+      val recs = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey").as("id"), normalize_text(col("p_name")).as("name"))
+      val vecs = graft.score.Scoring.withTfidfVectors(recs, "name", "id")
+        .select(col("id"), col("name_tfidf"))
+      attachedNamePairs(s, dir).select(col("id1"), col("id2"))
+        .filter(col("id1") % 20 === 0)
+        .join(vecs.select(col("id").as("id1"), col("name_tfidf").as("v1")), "id1")
+        .join(vecs.select(col("id").as("id2"), col("name_tfidf").as("v2")), "id2")
+        .select(col("id1"), col("id2"),
+          round(soft_tfidf(col("v1"), col("v2"), 0.9), 6).as("stf"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // §2.5 C1: Jaro-Winkler + Levenshtein comparators on name pairs
     "q_score_pairs" -> ((s, dir) => {
       scoredNamePairs(s, dir)
@@ -2034,6 +2052,71 @@ object SparkEntry {
         |      u -> jaro_winkler_similarity(t, u)), 'max')), 'avg'), 6) AS me
         |FROM cand c JOIN toks ta ON ta.id = c.id1 JOIN toks tb ON tb.id = c.id2
         |WHERE c.id1 % 20 = 0
+        |ORDER BY id1, id2""".stripMargin,
+
+    // Soft-TFIDF: same vector pipeline as the q_tfidf_cosine twin; per
+    // a-term contribution = w_a · (max weight among argmax-JW b-terms) ·
+    // best JW when best >= 0.9 — the same total tie rule as the kernel;
+    // term-ascending struct lists mirror the kernel's key-ascending maps
+    // so even the summation order matches
+    "q_soft_tfidf" ->
+      raw"""WITH recs AS (
+        |  SELECT p_partkey AS id,
+        |         lower(trim(regexp_replace(p_name, '\s+', ' ', 'g'))) AS name
+        |  FROM part),
+        |blocks AS (
+        |  SELECT id, tok AS block_key FROM recs,
+        |    unnest(regexp_split_to_array(name, '[^\p{L}\p{N}]+')) AS t(tok)
+        |  WHERE length(tok) > 0
+        |  GROUP BY id, tok),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2
+        |  FROM blocks a JOIN blocks b USING (block_key)
+        |  WHERE a.id < b.id),
+        |toks AS (
+        |  SELECT id, tok AS term FROM recs,
+        |    unnest(regexp_split_to_array(name, '[^\p{L}\p{N}]+')) AS t(tok)
+        |  WHERE length(tok) > 0),
+        |tf AS (
+        |  SELECT id, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM toks GROUP BY 1, 2),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM recs),
+        |dfreq AS (
+        |  SELECT term, count(*) AS df
+        |  FROM (SELECT DISTINCT id, term FROM toks) GROUP BY term),
+        |w AS (
+        |  SELECT tf.id, tf.term,
+        |    tf.tf * (ln(((SELECT n FROM nd) + 1.0) / (dfreq.df + 1)) + 1.0) AS w
+        |  FROM tf JOIN dfreq USING (term)),
+        |ranked AS (
+        |  SELECT id, term, w,
+        |    row_number() OVER (PARTITION BY id ORDER BY w DESC, term) AS rk
+        |  FROM w),
+        |topw AS (SELECT id, term, w FROM ranked WHERE rk <= 64),
+        |nrm AS (SELECT id, sqrt(sum(w*w)) AS nrm FROM topw GROUP BY id),
+        |vec AS (
+        |  SELECT t.id, t.term, t.w / n.nrm AS wn
+        |  FROM topw t JOIN nrm n USING (id)),
+        |vlist AS (
+        |  SELECT id, list({'t': term, 'w': wn} ORDER BY term) AS ts
+        |  FROM vec GROUP BY id)
+        |SELECT p.id1, p.id2,
+        |  round(list_aggregate(list_transform(ta.ts, x ->
+        |    CASE WHEN list_aggregate(list_transform(tb.ts,
+        |        y -> jaro_winkler_similarity(x.t, y.t)), 'max') >= 0.9
+        |    THEN x.w
+        |      * list_aggregate(list_transform(list_filter(tb.ts, y ->
+        |          jaro_winkler_similarity(x.t, y.t)
+        |          = list_aggregate(list_transform(tb.ts,
+        |              z -> jaro_winkler_similarity(x.t, z.t)), 'max')),
+        |          y -> y.w), 'max')
+        |      * list_aggregate(list_transform(tb.ts,
+        |          y -> jaro_winkler_similarity(x.t, y.t)), 'max')
+        |    ELSE 0.0 END), 'sum'), 6) AS stf
+        |FROM pairs p
+        |JOIN vlist ta ON ta.id = p.id1
+        |JOIN vlist tb ON tb.id = p.id2
+        |WHERE p.id1 % 20 = 0
         |ORDER BY id1, id2""".stripMargin,
 
     "q_score_pairs" ->

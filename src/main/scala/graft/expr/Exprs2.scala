@@ -208,6 +208,48 @@ object ExprKernels2 {
     }
     sum / n
   }
+
+  /** Soft-TFIDF hybrid similarity (Cohen, Ravikumar & Fienberg, IIWeb
+    * 2003†; secondary comparator = the engine's DuckDB-parity
+    * Jaro-Winkler): over a's TF-IDF entries, Σ w_a(t)·w_b(u*)·jw(t,u*)
+    * where u* is t's best-JW token in b, contributing only when
+    * jw ≥ theta. Ties on the max JW resolve to the LARGEST weight among
+    * the argmax tokens — a total, token-order-independent rule (the
+    * contribution uses only the sim and the weight, so equal-weight ties
+    * are value-identical however broken). Asymmetric like [[mongeElkan]];
+    * null when either side is empty. Inputs are the same L2-normalized
+    * key-ascending map<string,double> vectors [[mapDot]] consumes
+    * (Scoring.withTfidfVectors), so summation runs in key order —
+    * bit-reproducible against a term-ordered SQL twin. b's tokens
+    * materialize to String ONCE per row; the O(|a|·|b|) inner loop runs
+    * on the zero-alloc char-scratch JW kernel, bounded by the vector
+    * builder's top-k cap (64²). */
+  def softTfidf(a: org.apache.spark.sql.catalyst.util.MapData,
+      b: org.apache.spark.sql.catalyst.util.MapData, theta: Double): Any = {
+    val n = a.numElements(); val m = b.numElements()
+    if (n == 0 || m == 0) return null
+    val ak = a.keyArray(); val av = a.valueArray()
+    val bk = b.keyArray(); val bv = b.valueArray()
+    val bs = new Array[String](m)
+    var j = 0
+    while (j < m) { bs(j) = bk.getUTF8String(j).toString; j += 1 }
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      val ai = ak.getUTF8String(i).toString
+      var best = -1.0; var wbBest = 0.0
+      j = 0
+      while (j < m) {
+        val s = Sim.jaroWinkler(ai, bs(j))
+        if (s > best) { best = s; wbBest = bv.getDouble(j) }
+        else if (s == best && bv.getDouble(j) > wbBest) wbBest = bv.getDouble(j)
+        j += 1
+      }
+      if (best >= theta) sum += av.getDouble(i) * wbBest * best
+      i += 1
+    }
+    sum
+  }
 }
 
 /**
@@ -434,6 +476,32 @@ case class MongeElkanExpr(left: Expression, right: Expression)
       val r = ctx.freshName("meResult")
       s"""
       Object $r = graft.expr.ExprKernels2.mongeElkan($a, $b);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) $r).doubleValue(); }
+    """
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Soft-TFIDF hybrid similarity over two L2-normalized key-ascending
+  * map<string,double> TF-IDF vectors (see ExprKernels2.softTfidf; null
+  * when either side is empty). */
+case class SoftTfidfExpr(left: Expression, right: Expression, theta: Double)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_soft_tfidf"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels2.softTfidf(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData], theta)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: see MongeElkanExpr — fixed names collide across siblings
+      val r = ctx.freshName("stfResult")
+      s"""
+      Object $r = graft.expr.ExprKernels2.softTfidf($a, $b, $theta);
       if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) $r).doubleValue(); }
     """
     })

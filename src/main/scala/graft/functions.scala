@@ -101,6 +101,13 @@ object gfunctions {
   def monge_elkan(aTokens: Column, bTokens: Column): Column =
     c(MongeElkanExpr(x(aTokens), x(bTokens)))
 
+  /** Soft-TFIDF hybrid similarity (Cohen et al. 2003) over two
+    * L2-normalized TF-IDF map vectors: Σ w_a(t)·w_b(u*)·jw(t,u*) over a's
+    * terms whose best Jaro-Winkler match u* in b clears theta
+    * (asymmetric; null on empty). */
+  def soft_tfidf(a: Column, b: Column, theta: Double): Column =
+    c(SoftTfidfExpr(x(a), x(b), theta))
+
   /** SQL-expression registration so the same functions are usable from
     * spark.sql strings: graft_jaro_winkler(a,b), graft_simhash64(arr), ... */
   def register(spark: SparkSession): Unit = {

@@ -78,6 +78,44 @@ class SetSimJoinSpec extends SparkSpec {
     assert(empty(0).isEmpty)
   }
 
+  test("softTfidf: identical vectors sum to ~1, theta gates, null on empty") {
+    // identical L2-normalized vectors: every term self-matches at jw=1,
+    // so stf = Σ w·w·1 = |v|² = 1
+    val v = Map("acme" -> 0.8, "corp" -> 0.6)
+    val df = Seq((v, v)).toDF("a", "b")
+      .select(gfunctions.soft_tfidf(col("a"), col("b"), 0.9).as("stf"))
+    assert(math.abs(df.as[Option[Double]].collect()(0).get - 1.0) < 1e-12)
+    // below-theta best matches contribute nothing
+    val far = Seq((Map("acme" -> 1.0), Map("zzz" -> 1.0))).toDF("a", "b")
+      .select(gfunctions.soft_tfidf(col("a"), col("b"), 0.9).as("stf"))
+    assert(far.as[Option[Double]].collect()(0).contains(0.0))
+    // fuzzy term match: jw(acme, acmee) > 0.9 → contributes w_a·w_b·jw
+    val fuzzy = Seq((Map("acme" -> 1.0), Map("acmee" -> 1.0))).toDF("a", "b")
+      .select(gfunctions.soft_tfidf(col("a"), col("b"), 0.9).as("stf"))
+    val got = fuzzy.as[Option[Double]].collect()(0).get
+    assert(got > 0.9 && got < 1.0)
+    val empty = Seq((Map.empty[String, Double], Map("x" -> 1.0))).toDF("a", "b")
+      .select(gfunctions.soft_tfidf(col("a"), col("b"), 0.9).as("stf"))
+      .as[Option[Double]].collect()
+    assert(empty(0).isEmpty)
+  }
+
+  test("softTfidf: argmax tie resolves to the largest weight") {
+    // both b-terms match 'acme' at jw == 1? no — craft equal sims via
+    // duplicate-sim tokens: b has two terms equidistant from a's term;
+    // the kernel must take the LARGER weight deterministically.
+    // jw('ab', 'abx') == jw('ab', 'aby') — same structure, same score.
+    val a = Map("ab" -> 1.0)
+    val b1 = Map("abx" -> 0.25, "aby" -> 0.75) // map key order varies
+    val b2 = Map("aby" -> 0.75, "abx" -> 0.25)
+    val df = Seq((a, b1), (a, b2)).toDF("a", "b")
+      .select(gfunctions.soft_tfidf(col("a"), col("b"), 0.5).as("stf"))
+    val got = df.as[Option[Double]].collect()
+    assert(got(0) == got(1) && got(0).isDefined)
+    // contribution uses weight 0.75, not 0.25
+    assert(got(0).get > 0.5 * 0.75 && got(0).get < 0.75)
+  }
+
   test("sibling kernel expressions share one codegen scope without collision") {
     // two monge_elkan + a cosine in ONE projection over NON-NULLABLE
     // columns: nullSafeExec emits no scoping braces there, so fixed local
