@@ -1568,6 +1568,34 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // B14 latLongGrid blocking predicate (closes the one n/a row of the
+    // predicate zoo): candidate pairs = same 30°x30° grid cell over the
+    // synthetic supplier coordinates, each surfaced pair verified by its
+    // haversine distance
+    "q_geo_grid_pairs" -> ((s, dir) => {
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").cast("long").as("id"),
+          (pmod(col("s_suppkey").cast("long") * 7, lit(179L)) - 89)
+            .cast("double").as("loc_lat"),
+          (pmod(col("s_suppkey").cast("long") * 13, lit(359L)) - 179)
+            .cast("double").as("loc_lon"))
+      val keys = graft.block.Blocking.blockingMap(sup,
+        Seq(PredicateSpec("latlong_grid", "loc", n = 30)), "id")
+      val cand = keys.as("a")
+        .join(keys.as("b"), col("a.block_key") === col("b.block_key"))
+        .filter(col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+      val c1 = sup.select(col("id").as("id1"),
+        col("loc_lat").as("lat1"), col("loc_lon").as("lon1"))
+      val c2 = sup.select(col("id").as("id2"),
+        col("loc_lat").as("lat2"), col("loc_lon").as("lon2"))
+      cand.join(c1, "id1").join(c2, "id2")
+        .select(col("id1"), col("id2"),
+          round(haversine_km(col("lat1"), col("lon1"),
+            col("lat2"), col("lon2")), 4).as("km"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // embedding-cosine near-duplicate pairs — exact, grid-decomposed
     // self-join (the LSH-bucketed variant is the recall<1 scale path)
     "q_embed_neardup" -> ((s, dir) => {
@@ -3345,6 +3373,28 @@ object SparkEntry {
         |    + cos(radians(a.lat)) * cos(radians(b.lat))
         |      * pow(sin(radians(b.lon - a.lon) / 2), 2), 1.0))), 0.0), 4) AS km
         |FROM s a JOIN s b ON a.nat = b.nat AND a.id < b.id
+        |ORDER BY id1, id2""".stripMargin,
+
+    // latLongGrid cell key = floor(lat/30):floor(lon/30) — identical
+    // float-exact arithmetic on both engines (whole-degree coordinates)
+    "q_geo_grid_pairs" ->
+      """WITH s AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) AS id,
+        |    CAST((CAST(s_suppkey AS BIGINT) * 7) % 179 - 89 AS DOUBLE) AS lat,
+        |    CAST((CAST(s_suppkey AS BIGINT) * 13) % 359 - 179 AS DOUBLE) AS lon
+        |  FROM supplier),
+        |k AS (
+        |  SELECT id, CAST(floor(lat / 30.0) AS BIGINT) || ':'
+        |             || CAST(floor(lon / 30.0) AS BIGINT) AS bk FROM s),
+        |p AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2
+        |  FROM k a JOIN k b USING (bk) WHERE a.id < b.id)
+        |SELECT p.id1, p.id2,
+        |  round(coalesce(6371.0088 * 2.0 * asin(sqrt(least(
+        |    pow(sin(radians(b.lat - a.lat) / 2), 2)
+        |    + cos(radians(a.lat)) * cos(radians(b.lat))
+        |      * pow(sin(radians(b.lon - a.lon) / 2), 2), 1.0))), 0.0), 4) AS km
+        |FROM p JOIN s a ON a.id = p.id1 JOIN s b ON b.id = p.id2
         |ORDER BY id1, id2""".stripMargin,
 
     "q_embed_neardup" ->

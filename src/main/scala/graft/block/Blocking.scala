@@ -105,6 +105,20 @@ object Blocking {
           array(when(size(col0) > 0,
             round(log10(size(col0).cast("double"))).cast("long").cast("string"))),
           k => k.isNotNull)
+      case "latlong_grid" =>
+        // B14 (`dedupe:predicates (latLongGridPredicate)†`): one key =
+        // the containing grid cell of the record's (lat, lon); cell side
+        // = p.n degrees (≥1 — dedupe truncates to a 0.1° grid, but
+        // integer-degree cells keep the key arithmetic float-exact in
+        // both engines at any coordinate). Convention: field `f` reads
+        // columns `f_lat` / `f_lon` (the haversine_ comparator's pairing
+        // convention, Scoring.featureColumn); either side null → no key.
+        val cell = lit(math.max(1, p.n).toDouble)
+        val latC = col(s"${p.field}_lat"); val lonC = col(s"${p.field}_lon")
+        val key = concat(
+          floor(latC / cell).cast("long").cast("string"), lit(":"),
+          floor(lonC / cell).cast("long").cast("string"))
+        filter(array(when(latC.isNotNull && lonC.isNotNull, key)), k => k.isNotNull)
       case "exists" => array(when(col0.isNull, lit("0")).otherwise(lit("1")))
       case "metaphone" => array_distinct(metaphone_tokens(tokens(col0)))
       case "simhash" =>

@@ -64,6 +64,24 @@ class BlockingSpec extends SparkSpec {
       (1 to 95).map(_.toString)) == Set("2"))
   }
 
+  test("B14 latLongGrid: cell key from f_lat/f_lon; null side → no key") {
+    val df = Seq(
+      (41.88, -87.63),   // Chicago → cell (4, -9) at 10°
+      (41.01, -87.99),   // same cell
+      (51.51, -0.13),    // London → (5, -1)
+      (-33.87, 151.21)   // Sydney → (-4, 15): floor(-33.87/10) = -4
+    ).toDF("loc_lat", "loc_lon")
+    val keys = df.select(explode(
+      Blocking.predicateKeys(PredicateSpec("latlong_grid", "loc", n = 10))).as("k"))
+      .as[String].collect().toSeq
+    assert(keys == Seq("4:-9", "4:-9", "5:-1", "-4:15"))
+    val withNull = Seq((Some(41.88), Option.empty[Double]))
+      .toDF("loc_lat", "loc_lon")
+      .select(Blocking.predicateKeys(PredicateSpec("latlong_grid", "loc", n = 10)).as("ks"))
+      .select(size(col("ks"))).as[Int].collect()
+    assert(withNull(0) == 0)
+  }
+
   test("simhash banding: identical text shares all bands, unrelated none") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
