@@ -435,6 +435,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR importance-resampling selection (Xie et al. NeurIPS 2023†):
+    // fit unigram+bigram Laplace log-ratio weights of a trusted slice
+    // (doc_id % 5 = 0 — the stand-in for the paper's Wikipedia target)
+    // vs the full raw corpus, then score every doc's log importance
+    // weight as an exact integer sum of micro-quantized per-gram
+    // log-ratios — the q_lm_perplexity determinism idiom, so fit AND
+    // scoring are DuckDB-twinned bit-for-bit (textops/Dsir.scala).
+    "q_dsir" -> ((s, dir) => {
+      import graft.textops.Dsir
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("text"))
+      val model = Dsir.fit(docs.filter(col("doc_id") % 5 === 0), docs,
+        "doc_id", "text")
+      Dsir.score(docs, "doc_id", "text", model).orderBy(col("doc_id"))
+    }),
+
+    // the selection step: keep the 100 most target-like docs under the
+    // strict (lw_per_gram desc, doc_id asc) total order — plans as
+    // TakeOrdered (per-partition top-k), never a global sort
+    "q_dsir_select" -> ((s, dir) => {
+      import graft.textops.Dsir
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("text"))
+      val model = Dsir.fit(docs.filter(col("doc_id") % 5 === 0), docs,
+        "doc_id", "text")
+      Dsir.selectTopK(Dsir.score(docs, "doc_id", "text", model),
+        "doc_id", 100)
+    }),
+
     // CCNet-style LM perplexity filter (Wenzek et al. 2020†): fit a
     // trigram Lidstone LM on the trusted slice (doc_id % 5 != 0 — the
     // stand-in for CCNet's Wikipedia), score EVERY doc's cross-entropy
@@ -2339,6 +2370,90 @@ object SparkEntry {
     // the trusted slice, context totals from the census (so P(·|ctx)
     // normalizes), vocab + 1 OOV slot, Lidstone alpha=0.1, per-gram
     // contributions quantized to 1e-6 micro-units (exact-integer sum)
+    // independent DSIR rebuild: same tokenizer, unigram+bigram bag from
+    // the list-slice shingle pattern, Laplace log-probs micro-quantized
+    // per SIDE (the proven q_lm_perplexity idiom) so each gram's
+    // log-ratio weight and every doc's weight sum are exact integers
+    "q_dsir" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id, [x for x in
+        |    regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+')
+        |    if length(x) > 0] AS ts
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, gram, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(ts) AS gram FROM toks
+        |    UNION ALL
+        |    SELECT doc_id,
+        |      array_to_string(ts[CAST(i AS INT):CAST(i AS INT)+1], ' ') AS gram
+        |    FROM toks, unnest(range(1, len(ts) - 2 + 2)) AS r(i)
+        |    WHERE len(ts) >= 2)
+        |  GROUP BY 1, 2),
+        |joined AS (
+        |  SELECT gram, coalesce(tc, 0) AS tc, coalesce(rc, 0) AS rc FROM
+        |    (SELECT gram, sum(c) AS tc FROM grams
+        |     WHERE doc_id % 5 = 0 GROUP BY 1) t
+        |  FULL JOIN
+        |    (SELECT gram, sum(c) AS rc FROM grams GROUP BY 1) r
+        |  USING (gram)),
+        |totals AS (SELECT sum(tc) AS tt, sum(rc) AS rt, count(*) AS v
+        |  FROM joined),
+        |w AS (
+        |  SELECT gram,
+        |    CAST(round(ln((tc + 0.1) / (tt + 0.1 * v)) * 1e6, 0) AS BIGINT) -
+        |    CAST(round(ln((rc + 0.1) / (rt + 0.1 * v)) * 1e6, 0) AS BIGINT)
+        |      AS lw
+        |  FROM joined CROSS JOIN totals),
+        |scored AS (
+        |  SELECT g.doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |    CAST(sum(c * lw) AS BIGINT) AS lw_micros
+        |  FROM grams g JOIN w USING (gram) GROUP BY 1)
+        |SELECT d.doc_id, s.n_grams, s.lw_micros,
+        |  round(s.lw_micros / (1e6 * s.n_grams), 6) AS lw_per_gram
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN scored s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // same rebuild, selection step: top-100 by (lw_per_gram desc, id asc)
+    "q_dsir_select" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id, [x for x in
+        |    regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+')
+        |    if length(x) > 0] AS ts
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, gram, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(ts) AS gram FROM toks
+        |    UNION ALL
+        |    SELECT doc_id,
+        |      array_to_string(ts[CAST(i AS INT):CAST(i AS INT)+1], ' ') AS gram
+        |    FROM toks, unnest(range(1, len(ts) - 2 + 2)) AS r(i)
+        |    WHERE len(ts) >= 2)
+        |  GROUP BY 1, 2),
+        |joined AS (
+        |  SELECT gram, coalesce(tc, 0) AS tc, coalesce(rc, 0) AS rc FROM
+        |    (SELECT gram, sum(c) AS tc FROM grams
+        |     WHERE doc_id % 5 = 0 GROUP BY 1) t
+        |  FULL JOIN
+        |    (SELECT gram, sum(c) AS rc FROM grams GROUP BY 1) r
+        |  USING (gram)),
+        |totals AS (SELECT sum(tc) AS tt, sum(rc) AS rt, count(*) AS v
+        |  FROM joined),
+        |w AS (
+        |  SELECT gram,
+        |    CAST(round(ln((tc + 0.1) / (tt + 0.1 * v)) * 1e6, 0) AS BIGINT) -
+        |    CAST(round(ln((rc + 0.1) / (rt + 0.1 * v)) * 1e6, 0) AS BIGINT)
+        |      AS lw
+        |  FROM joined CROSS JOIN totals),
+        |scored AS (
+        |  SELECT g.doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |    CAST(sum(c * lw) AS BIGINT) AS lw_micros
+        |  FROM grams g JOIN w USING (gram) GROUP BY 1)
+        |SELECT doc_id, n_grams, lw_micros,
+        |  round(lw_micros / (1e6 * n_grams), 6) AS lw_per_gram
+        |FROM scored
+        |ORDER BY lw_per_gram DESC, doc_id ASC LIMIT 100""".stripMargin,
+
     "q_lm_perplexity" ->
       raw"""WITH toks AS (
         |  SELECT doc_id, [x for x in
