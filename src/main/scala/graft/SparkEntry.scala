@@ -466,6 +466,19 @@ object SparkEntry {
         "doc_id", 100)
     }),
 
+    // exact distributed order statistics (stats/Quantiles): MSD radix
+    // selection on the order-preserving double key — four censuses, no
+    // sort, no row shuffle; the returned value is an actual element,
+    // bit-exact, so the DuckDB row_number rebuild matches with no
+    // rounding at all
+    "q_quantiles" -> ((s, dir) => {
+      import graft.stats.Quantiles
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+      Quantiles.quantilesDisc(li, "l_extendedprice",
+        Seq(0.25, 0.5, 0.9, 0.99)).orderBy(col("q"))
+    }),
+
     // CCNet-style LM perplexity filter (Wenzek et al. 2020†): fit a
     // trigram Lidstone LM on the trusted slice (doc_id % 5 != 0 — the
     // stand-in for CCNet's Wikipedia), score EVERY doc's cross-entropy
@@ -2453,6 +2466,21 @@ object SparkEntry {
         |  round(lw_micros / (1e6 * n_grams), 6) AS lw_per_gram
         |FROM scored
         |ORDER BY lw_per_gram DESC, doc_id ASC LIMIT 100""".stripMargin,
+
+    // independent rebuild of exact discrete quantiles: rank = ceil(q*n),
+    // value = the element at that row_number — bit-identical doubles
+    "q_quantiles" ->
+      s"""WITH v AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v),
+        |n AS (SELECT count(*) AS n FROM v),
+        |ks AS (
+        |  SELECT q, CAST(ceil(q * n) AS BIGINT) AS k
+        |  FROM (VALUES (0.25), (0.5), (0.9), (0.99)) t(q) CROSS JOIN n)
+        |SELECT ks.q, ks.k, r.x AS value
+        |FROM ks JOIN r ON r.rn = ks.k
+        |ORDER BY q""".stripMargin,
 
     "q_lm_perplexity" ->
       raw"""WITH toks AS (

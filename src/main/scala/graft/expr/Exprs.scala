@@ -236,3 +236,41 @@ case class Hamming64Expr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** Order-preserving unsigned-radix key of a double: u(x1) < u(x2) as
+  * UNSIGNED 64-bit integers iff x1 < x2 as doubles (IEEE total order
+  * with -0.0 < +0.0). Non-negatives set the sign bit (upper half),
+  * negatives bitwise-complement (magnitude order reversed into value
+  * order). NaN → null, so order statistics see only comparable values.
+  * Digit extraction over this key drives stats/Quantiles' exact
+  * distributed selection; [[QuantileKey.decode]] inverts it. */
+case class DoubleOrderedBitsExpr(child: Expression)
+    extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_double_ordered_bits"
+  override protected def nullSafeEval(a: Any): Any =
+    QuantileKey.encode(a.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      if (Double.isNaN($a)) { ${ev.isNull} = true; }
+      else { ${ev.value} = graft.expr.QuantileKey.rawEncode($a); }""")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object QuantileKey {
+  /** null for NaN (interpreted eval path). */
+  def encode(x: Double): Any =
+    if (java.lang.Double.isNaN(x)) null else java.lang.Long.valueOf(rawEncode(x))
+  /** Codegen path — caller has already excluded NaN. */
+  def rawEncode(x: Double): Long = {
+    val bits = java.lang.Double.doubleToRawLongBits(x)
+    if (bits >= 0L) bits ^ java.lang.Long.MIN_VALUE else ~bits
+  }
+  def decode(u: Long): Double = {
+    val bits = if ((u & java.lang.Long.MIN_VALUE) != 0L)
+      u ^ java.lang.Long.MIN_VALUE else ~u
+    java.lang.Double.longBitsToDouble(bits)
+  }
+}

@@ -38,6 +38,10 @@ object gfunctions {
   /** MinHash signature (k seeded hashes) → array<long>. */
   def minhash(tokens: Column, k: Int): Column = c(MinHashExpr(x(tokens), k))
 
+  /** Order-preserving unsigned-radix key of a double (NaN → null);
+    * drives stats.Quantiles' exact distributed selection. */
+  def double_ordered_bits(x0: Column): Column = c(DoubleOrderedBitsExpr(x(x0)))
+
   /** NFKC-normalize + lowercase + collapse whitespace; empty → null. */
   def normalize_text(s: Column): Column = c(NormalizeNFKCExpr(x(s)))
 

@@ -1,0 +1,113 @@
+package graft.stats
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.expr.QuantileKey
+import graft.gfunctions.double_ordered_bits
+
+/**
+ * EXACT distributed order statistics over a double column, without a
+ * global sort — the corpus-statistics primitive behind every cutoff
+ * this engine otherwise takes as a literal (CCNet's per-language 33rd/
+ * 66th perplexity percentiles†, quality-score selection thresholds,
+ * DSIR's top-fraction boundary). `approx_percentile` is Spark's native
+ * answer but its error bound is rank-relative, which at 10^12 rows can
+ * move a cutoff by millions of documents; this operator returns the
+ * exact k-th smallest element (duplicates counted) for any set of ks.
+ *
+ * Algorithm: most-significant-digit radix SELECTION on an
+ * order-preserving 64-bit key (expr.QuantileKey: unsigned integer
+ * order == IEEE double order, NaN excluded as null). Four rounds, one
+ * 16-bit digit per round: each round is one map-side-combinable
+ * `groupBy(digit).count` census over the rows matching the surviving
+ * key prefix, the driver walks the ≤ 65 536-row census to pick each
+ * search's next digit and residual rank, and after round 4 the full
+ * key IS the answer (decoded bit-exactly — the returned double is an
+ * actual element of the column, not an interpolation).
+ *
+ * Scale shape (100 TB): no sort, no shuffle of row data at all — every
+ * round moves only (digit, count) pairs, bounded by 2^16 · |searches|
+ * rows; driver state is the same census (bounded-by-construction
+ * collect, the packShards pattern). Four full-column scans total (the
+ * level-0 census doubles as the row count that turns quantile
+ * fractions into ranks), each behind the parquet column scan of ONE
+ * double — at 1000 executors the census all-reduces in one stage.
+ * Skew-free by construction: a hot VALUE only inflates one census
+ * count, never a partition.
+ */
+object Quantiles {
+
+  /** k-th smallest (1-based rank, duplicates counted) for every k in
+    * `ks`, exact. Returns Map(k → value). NULL and NaN rows are
+    * excluded from the population. Throws if some k exceeds the
+    * comparable-row count. */
+  def kthSmallest(df: DataFrame, valueCol: String, ks: Seq[Long]): Map[Long, Double] = {
+    require(ks.nonEmpty && ks.forall(_ >= 1L), s"ranks must be >= 1: $ks")
+    run(df, valueCol, _ => ks)._2
+  }
+
+  /** Discrete quantiles: for each q the element at 1-based rank
+    * ceil(q·n) (SQL's row_number contract — the value is always an
+    * actual element). Returns (q, k, value) as a DataFrame for
+    * pipeline composition. */
+  def quantilesDisc(df: DataFrame, valueCol: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantile fractions must be in (0, 1]: $qs")
+    val (n, values) =
+      run(df, valueCol, n => qs.map(q => math.ceil(q * n).toLong.max(1L)))
+    val withK = qs.map(q => q -> math.ceil(q * n).toLong.max(1L))
+    import df.sparkSession.implicits._
+    withK.map { case (q, k) => (q, k, values(k)) }.toDF("q", "k", "value")
+  }
+
+  /** Shared radix walk. `mkKs` sees the population count from the
+    * level-0 census (no separate count scan) and returns the ranks. */
+  private def run(df: DataFrame, valueCol: String,
+                  mkKs: Long => Seq[Long]): (Long, Map[Long, Double]) = {
+    val keyed = df
+      .select(double_ordered_bits(col(valueCol).cast("double")).as("u"))
+      .filter(col("u").isNotNull)
+    // level-0 census over the top 16 bits; its total is the population
+    val census0 = keyed
+      .groupBy(shiftrightunsigned(col("u"), 48).as("hi"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = census0.map(_._2).sum
+    require(n > 0, "no comparable (non-null, non-NaN) rows")
+    val ks = mkKs(n)
+    require(ks.nonEmpty && ks.forall(k => k >= 1L && k <= n),
+      s"ranks out of range [1, $n]: $ks")
+    // rank → (key prefix so far, residual rank within that prefix)
+    var active: Map[Long, (Long, Long)] =
+      ks.distinct.map(k => k -> pick(census0, k)).toMap
+    for (level <- 1 to 3) {
+      val shift = 48 - 16 * level
+      val prefixes = active.values.map(_._1).toSeq.distinct
+      val census = keyed
+        .filter(shiftrightunsigned(col("u"), shift + 16).isin(prefixes: _*))
+        .groupBy(shiftrightunsigned(col("u"), shift).as("hi"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      active = active.map { case (k, (prefix, rem)) =>
+        val mine = census.filter { case (hi, _) => (hi >>> 16) == prefix }
+        k -> pick(mine, rem)
+      }
+    }
+    (n, active.map { case (k, (u, rem)) =>
+      assert(rem >= 1, s"radix walk lost rank $k")
+      k -> QuantileKey.decode(u)
+    })
+  }
+
+  /** Walk a sorted (key, count) census to the digit containing rank
+    * `rem`; returns (key, residual rank within that key). */
+  private def pick(census: Array[(Long, Long)], rem: Long): (Long, Long) = {
+    var left = rem
+    var i = 0
+    while (i < census.length && left > census(i)._2) {
+      left -= census(i)._2; i += 1
+    }
+    require(i < census.length, "census exhausted before rank — concurrent input change?")
+    (census(i)._1, left)
+  }
+}
