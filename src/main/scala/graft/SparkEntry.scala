@@ -479,6 +479,18 @@ object SparkEntry {
         Seq(0.25, 0.5, 0.9, 0.99)).orderBy(col("q"))
     }),
 
+    // per-GROUP exact quantiles — the shape CCNet's cutoffs actually
+    // take (per-language percentile buckets); same radix walk with the
+    // active (group, prefix) frontier pushed down as a broadcast
+    // left-semi join, groups processed in bounded chunks
+    "q_group_quantiles" -> ((s, dir) => {
+      import graft.stats.Quantiles
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+      Quantiles.quantilesDiscByGroup(docs, "source", "n_chars",
+        Seq(0.33, 0.66, 1.0)).orderBy(col("source"), col("q"))
+    }),
+
     // CCNet-style LM perplexity filter (Wenzek et al. 2020†): fit a
     // trigram Lidstone LM on the trusted slice (doc_id % 5 != 0 — the
     // stand-in for CCNet's Wikipedia), score EVERY doc's cross-entropy
@@ -2481,6 +2493,25 @@ object SparkEntry {
         |SELECT ks.q, ks.k, r.x AS value
         |FROM ks JOIN r ON r.rn = ks.k
         |ORDER BY q""".stripMargin,
+
+    // per-group rebuild: rank = ceil(q*n_group) against a per-group
+    // row_number — values bit-identical (actual elements, no rounding)
+    "q_group_quantiles" ->
+      s"""WITH v AS (
+        |  SELECT CAST(source AS VARCHAR) AS source,
+        |         CAST(n_chars AS DOUBLE) AS x
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |r AS (SELECT source, x,
+        |        row_number() OVER (PARTITION BY source ORDER BY x) AS rn
+        |      FROM v),
+        |n AS (SELECT source, count(*) AS n FROM v GROUP BY 1),
+        |ks AS (
+        |  SELECT source, q, CAST(ceil(q * n) AS BIGINT) AS k
+        |  FROM n CROSS JOIN (VALUES (0.33), (0.66), (1.0)) t(q))
+        |SELECT ks.source, ks.q, ks.k, r.x AS value
+        |FROM ks JOIN r ON r.source = ks.source AND r.rn = ks.k
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_lm_perplexity" ->
       raw"""WITH toks AS (

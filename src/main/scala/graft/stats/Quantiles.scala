@@ -99,6 +99,83 @@ object Quantiles {
     })
   }
 
+  /**
+   * Per-GROUP exact discrete quantiles — the shape CCNet's cutoffs
+   * actually take (33rd/66th perplexity percentile PER LANGUAGE†).
+   * Returns (groupCol, q, k, value) with k = ceil(q·n_group).
+   *
+   * Same radix walk, with the active (group, prefix) frontier pushed
+   * down as a broadcast left-semi join instead of an `isin` literal.
+   * Census volume is bounded by |active prefixes| · 2^16, so groups
+   * are processed in chunks of `groupChunk` to keep every driver
+   * collect bounded regardless of group count; rounds = 4 · ⌈|groups|
+   * / groupChunk⌉. Designed for language/source-cardinality groupings
+   * (tens to thousands), not for high-cardinality keys — a quantile
+   * per USER-like key wants the t-digest/approx family instead.
+   */
+  def quantilesDiscByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                           qs: Seq[Double], groupChunk: Int = 64): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantile fractions must be in (0, 1]: $qs")
+    require(groupChunk >= 1, "groupChunk must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df
+      .select(col(groupCol).cast("string").as("g"),
+        double_ordered_bits(col(valueCol).cast("double")).as("u"))
+      .filter(col("g").isNotNull && col("u").isNotNull)
+    val census0 = keyed
+      .groupBy(col("g"), shiftrightunsigned(col("u"), 48).as("hi"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val groups = census0.map(_._1).distinct.sorted
+    val rows = groups.grouped(groupChunk).flatMap { chunk =>
+      val chunkSet = chunk.toSet
+      val byGroup = census0.filter(t => chunkSet(t._1))
+        .groupBy(_._1).map { case (g, ts) =>
+          g -> ts.map(t => (t._2, t._3)).sortBy(_._1)
+        }
+      // (group, q) → (prefix so far, residual rank, rank k)
+      var active: Map[(String, Double), (Long, Long, Long)] =
+        byGroup.toSeq.flatMap { case (g, cen) =>
+          val n = cen.map(_._2).sum
+          qs.map { q =>
+            val k = math.ceil(q * n).toLong.max(1L)
+            val (p, rem) = pick(cen, k)
+            (g, q) -> (p, rem, k)
+          }
+        }.toMap
+      for (level <- 1 to 3) {
+        val shift = 48 - 16 * level
+        // .toSeq BEFORE .map: mapping the Map directly would rebuild a
+        // Map keyed by g and silently collapse a group's multiple
+        // quantile prefixes to one
+        val frontier = active.toSeq
+          .map { case ((g, _), (p, _, _)) => (g, p) }
+          .distinct.toDF("g", "p")
+        val census = keyed
+          .withColumn("p", shiftrightunsigned(col("u"), shift + 16))
+          .join(broadcast(frontier), Seq("g", "p"), "left_semi")
+          .groupBy(col("g"), shiftrightunsigned(col("u"), shift).as("hi"))
+          .agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .groupBy(_._1)
+        active = active.map { case ((g, q), (prefix, rem, k)) =>
+          val mine = census(g).filter(t => (t._2 >>> 16) == prefix)
+            .map(t => (t._2, t._3)).sortBy(_._1)
+          val (p2, rem2) = pick(mine, rem)
+          (g, q) -> (p2, rem2, k)
+        }
+      }
+      active.toSeq.map { case ((g, q), (u, rem, k)) =>
+        assert(rem >= 1, s"radix walk lost ($g, $q)")
+        (g, q, k, QuantileKey.decode(u))
+      }
+    }.toSeq
+    rows.sortBy(t => (t._1, t._2))
+      .toDF(groupCol, "q", "k", "value")
+  }
+
   /** Walk a sorted (key, count) census to the digit containing rank
     * `rem`; returns (key, residual rank within that key). */
   private def pick(census: Array[(Long, Long)], rem: Long): (Long, Long) = {

@@ -50,6 +50,29 @@ class QuantilesSpec extends SparkSpec {
     assert(out.map(_.getDouble(2)).toSeq == Seq(1.0, 33.0, 66.0, 100.0))
   }
 
+  test("per-group quantiles match a local per-group sort, across chunk sizes") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 9).flatMap { g =>
+      // ragged group sizes incl. a singleton group
+      Seq.fill(if (g == 9) 1 else g * 37)((s"g$g", rnd.nextGaussian() * g))
+    }
+    val df = rows.toDF("grp", "v").repartition(11)
+    val qs = Seq(0.33, 0.66, 1.0)
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      qs.map { q =>
+        val k = math.ceil(q * sorted.size).toLong.max(1L)
+        (g, q, k, sorted((k - 1).toInt))
+      }
+    }.sortBy(t => (t._1, t._2))
+    for (chunk <- Seq(2, 64)) {
+      val got = Quantiles.quantilesDiscByGroup(df, "grp", "v", qs, groupChunk = chunk)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      assert(got == expected, s"chunk $chunk")
+    }
+  }
+
   test("results are partitioning-invariant") {
     val vals = (1 to 500).map(i => (i % 37).toDouble * 1.5 - 20)
     val df1 = vals.zipWithIndex.map(_.swap).toDF("id", "v").repartition(1)
