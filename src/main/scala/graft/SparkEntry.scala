@@ -1083,6 +1083,31 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // REAL media decode for the uncompressed formats a pure JVM parses
+    // without codec libs (RIFF/WAVE PCM-16, BMP 24bpp) — the rows where
+    // the "decoder honestly stubbed" caveat no longer applies. The
+    // fixture is literal spec-conformant writer output (MediaGen):
+    // mono + stereo-behind-a-decoy-LIST-chunk WAVs, bottom-up padded +
+    // top-down BMPs, and an unparseable payload that must degrade to
+    // format='unknown'. Constant input → constant output → green
+    // VALUES oracle (the q_hac_refine pattern); the signal/pixel math
+    // is independently hand-checked in CodecsSpec.
+    "q_media_decode" -> ((s, dir) => {
+      import graft.fixtures.MediaGen
+      import s.implicits._
+      val media = Seq(
+        (1L, MediaGen.wav(Seq[Short](0, 1000, -1000, 0), 8000, 1)),
+        (2L, MediaGen.wav(Seq[Short](100, -100, 200, -200), 44100, 2,
+          extraChunk = true)),
+        (3L, MediaGen.bmp(2, 2,
+          Seq((10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120)))),
+        (4L, MediaGen.bmp(3, 1, Seq((1, 2, 3), (4, 5, 6), (7, 8, 9)),
+          topDown = true)),
+        (5L, "plain text payload".getBytes("UTF-8")))
+        .toDF("media_id", "bytes")
+      graft.multimodal.Media.decodeTable(media).orderBy(col("media_id"))
+    }),
+
     // review queue (G7): window-ranked next-clusters over a synthetic
     // entity state derived from orders (component=custkey)
     "q_review_queue" -> ((s, dir) => {
@@ -3817,6 +3842,37 @@ object SparkEntry {
         |  coalesce(s.largest, 0) AS largest
         |FROM th LEFT JOIN stats s USING (theta)
         |ORDER BY th.theta""".stripMargin,
+
+    // literal fixture -> constant expected output; hand-derived in
+    // CodecsSpec (rms = sqrt(exact integer sum / n) to 6 decimals,
+    // channel means = exact integer sums / (w*h))
+    "q_media_decode" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id, format,
+        |  CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+        |  CAST(bits AS INTEGER) AS bits,
+        |  CAST(sample_rate AS INTEGER) AS sample_rate,
+        |  CAST(channels AS INTEGER) AS channels,
+        |  CAST(n_samples AS BIGINT) AS n_samples,
+        |  CAST(duration_sec AS DOUBLE) AS duration_sec,
+        |  CAST(peak AS INTEGER) AS peak, CAST(rms AS DOUBLE) AS rms,
+        |  CAST(zero_crossings AS BIGINT) AS zero_crossings,
+        |  CAST(mean_r AS DOUBLE) AS mean_r, CAST(mean_g AS DOUBLE) AS mean_g,
+        |  CAST(mean_b AS DOUBLE) AS mean_b
+        |FROM (VALUES
+        |  (1, 'wav', NULL, NULL, 16, 8000, 1, 4, 0.0005, 1000,
+        |   707.106781, 2, NULL, NULL, NULL),
+        |  (2, 'wav', NULL, NULL, 16, 44100, 2, 4, 0.000045, 200,
+        |   158.113883, 3, NULL, NULL, NULL),
+        |  (3, 'bmp', 2, 2, 24, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        |   55.0, 65.0, 75.0),
+        |  (4, 'bmp', 3, -1, 24, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        |   4.0, 5.0, 6.0),
+        |  (5, 'unknown', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        |   NULL, NULL, NULL, NULL, NULL))
+        |  t(media_id, format, width, height, bits, sample_rate, channels,
+        |    n_samples, duration_sec, peak, rms, zero_crossings,
+        |    mean_r, mean_g, mean_b)
+        |ORDER BY media_id""".stripMargin,
 
     // the decode stub is a normalized 16-bin byte histogram over the
     // UTF-8 bytes of text; the corpus is ASCII (verified), so char counts

@@ -1,0 +1,71 @@
+package graft.fixtures
+
+import java.io.ByteArrayOutputStream
+
+/**
+ * Deterministic uncompressed-media byte builders (WAV PCM-16, BMP
+ * 24bpp) for the real-decoder fixtures (multimodal/Codecs.scala).
+ * Spec-conformant writers†, seeded/literal payloads, no external data
+ * — the same no-wall-clock contract as PagesGen.
+ */
+object MediaGen {
+
+  private def le16(o: ByteArrayOutputStream, v: Int): Unit = {
+    o.write(v & 0xff); o.write((v >> 8) & 0xff)
+  }
+  private def le32(o: ByteArrayOutputStream, v: Int): Unit = {
+    o.write(v & 0xff); o.write((v >> 8) & 0xff)
+    o.write((v >> 16) & 0xff); o.write((v >> 24) & 0xff)
+  }
+  private def ascii(o: ByteArrayOutputStream, s: String): Unit =
+    s.foreach(c => o.write(c.toInt))
+
+  /**
+   * RIFF/WAVE PCM-16 writer. `extraChunk` inserts a LIST chunk BEFORE
+   * the data chunk whose payload contains a decoy "data" banner —
+   * proving the parser walks chunk lengths instead of searching for
+   * markers; odd-sized extras exercise the RIFF pad byte.
+   */
+  def wav(samples: Seq[Short], sampleRate: Int, channels: Int,
+          extraChunk: Boolean = false): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    val extra = if (extraChunk) "INFOdata decoy!" else "" // 15 bytes: odd → padded
+    val extraLen = if (extraChunk) 8 + extra.length + (extra.length & 1) else 0
+    val dataLen = samples.length * 2
+    ascii(o, "RIFF"); le32(o, 4 + 24 + extraLen + 8 + dataLen); ascii(o, "WAVE")
+    ascii(o, "fmt "); le32(o, 16)
+    le16(o, 1) // PCM
+    le16(o, channels); le32(o, sampleRate)
+    le32(o, sampleRate * channels * 2) // byte rate
+    le16(o, channels * 2)              // block align
+    le16(o, 16)                        // bits per sample
+    if (extraChunk) {
+      ascii(o, "LIST"); le32(o, extra.length); ascii(o, extra)
+      if ((extra.length & 1) == 1) o.write(0) // pad byte
+    }
+    ascii(o, "data"); le32(o, dataLen)
+    samples.foreach(s => le16(o, s & 0xffff))
+    o.toByteArray
+  }
+
+  /** BMP 24bpp BI_RGB writer; `pixels` row-major top-down as (r,g,b).
+    * `topDown = true` writes a negative-height header (rows stored
+    * top-first); otherwise the standard bottom-up layout. */
+  def bmp(w: Int, h: Int, pixels: Seq[(Int, Int, Int)],
+          topDown: Boolean = false): Array[Byte] = {
+    require(pixels.length == w * h, "need w*h pixels")
+    val stride = ((w * 3 + 3) / 4) * 4
+    val o = new ByteArrayOutputStream()
+    ascii(o, "BM"); le32(o, 54 + stride * h); le16(o, 0); le16(o, 0); le32(o, 54)
+    le32(o, 40); le32(o, w); le32(o, if (topDown) -h else h)
+    le16(o, 1); le16(o, 24); le32(o, 0) // planes, bpp, BI_RGB
+    le32(o, stride * h); le32(o, 2835); le32(o, 2835); le32(o, 0); le32(o, 0)
+    val rows = pixels.grouped(w).toSeq
+    val ordered = if (topDown) rows else rows.reverse
+    ordered.foreach { row =>
+      row.foreach { case (r, g, b) => o.write(b); o.write(g); o.write(r) }
+      (w * 3 until stride).foreach(_ => o.write(0))
+    }
+    o.toByteArray
+  }
+}

@@ -1,0 +1,139 @@
+package graft.multimodal
+
+/**
+ * REAL decoders for the uncompressed container formats a pure JVM can
+ * parse without codec libraries: RIFF/WAVE PCM-16 audio and BMP
+ * (BITMAPINFOHEADER, 24bpp, BI_RGB) images. These replace
+ * `Media.decodeStub` for their formats — the stub remains only for
+ * compressed codecs (jpeg/opus/h264) that genuinely need native libs
+ * absent from this container. Parsers are defensive: any structural
+ * violation (bad magic, truncated chunk, unsupported bpp/compression)
+ * yields None and the row degrades to format="unknown" rather than
+ * throwing mid-stage.
+ *
+ * All byte order little-endian per both specs†.
+ */
+object Codecs {
+
+  /** Decoded PCM audio summary. `rms`/`zcr` are rounded to 6 decimals
+    * (single IEEE ops on exact integer sums — deterministic across
+    * partitionings; samples are counted across channels, interleaved). */
+  final case class WavInfo(sampleRate: Int, channels: Int, bits: Int,
+      nSamples: Long, durationSec: Double, peak: Int, rms: Double,
+      zeroCrossings: Long)
+
+  /** Decoded BMP summary; means are exact integer sums / (w·h). */
+  final case class BmpInfo(width: Int, height: Int, bits: Int,
+      meanR: Double, meanG: Double, meanB: Double)
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  private def ascii(b: Array[Byte], o: Int, s: String): Boolean =
+    o + s.length <= b.length && s.indices.forall(i => b(o + i) == s.charAt(i).toByte)
+
+  /** Container sniff by magic bytes: "wav" | "bmp" | "unknown". */
+  def detect(b: Array[Byte]): String =
+    if (b == null) "unknown"
+    else if (ascii(b, 0, "RIFF") && b.length >= 12 && ascii(b, 8, "WAVE")) "wav"
+    else if (ascii(b, 0, "BM") && b.length >= 54) "bmp"
+    else "unknown"
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /**
+   * Parse a RIFF/WAVE file with 16-bit PCM samples. Walks the chunk
+   * list properly — skips unknown chunks (LIST, fact, …) with the
+   * spec's odd-size pad byte, takes `fmt ` before `data`, and clamps a
+   * data chunk that claims more bytes than the file carries (common in
+   * streamed writes). A "data" BYTE SEQUENCE inside another chunk's
+   * payload is never mistaken for the data chunk (length-driven walk,
+   * not marker search — the Warc.readWarc lesson).
+   */
+  def parseWav(b: Array[Byte]): Option[WavInfo] = {
+    if (detect(b) != "wav") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var data: Option[(Int, Int)] = None     // (offset, len)
+    while (off + 8 <= b.length && data.isEmpty) {
+      val size = le32(b, off + 4)
+      if (size < 0) return None
+      val body = off + 8
+      if (ascii(b, off, "fmt ")) {
+        if (size < 16 || body + 16 > b.length) return None
+        val audioFormat = le16(b, body)
+        if (audioFormat != 1) return None // PCM only
+        fmt = Some((le16(b, body + 2), le32(b, body + 4), le16(b, body + 14)))
+      } else if (ascii(b, off, "data")) {
+        data = Some((body, math.min(size.toLong, (b.length - body).toLong).toInt))
+      }
+      off = body + size + (size & 1) // odd chunks carry a pad byte
+    }
+    (fmt, data) match {
+      case (Some((ch, rate, bits)), Some((dOff, dLen)))
+          if ch > 0 && rate > 0 && bits == 16 =>
+        val n = dLen / 2
+        var i = 0
+        var ss = 0L
+        var peak = 0
+        var zc = 0L
+        var prevNonNeg = true
+        while (i < n) {
+          val s = le16(b, dOff + 2 * i).toShort.toInt
+          ss += s.toLong * s
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          val nonNeg = s >= 0
+          if (i > 0 && nonNeg != prevNonNeg) zc += 1
+          prevNonNeg = nonNeg
+          i += 1
+        }
+        val rms = if (n == 0) 0.0 else math.sqrt(ss.toDouble / n)
+        Some(WavInfo(rate, ch, bits, n.toLong,
+          round6(n.toDouble / ch / rate), peak, round6(rms), zc))
+      case _ => None
+    }
+  }
+
+  /**
+   * Parse a BMP with a BITMAPINFOHEADER (or larger V4/V5 header),
+   * 24bpp, BI_RGB (no compression). Handles both bottom-up (positive
+   * height) and top-down (negative height) layouts and the 4-byte row
+   * padding; channel means don't depend on row order, so both layouts
+   * share one accumulation pass.
+   */
+  def parseBmp(b: Array[Byte]): Option[BmpInfo] = {
+    if (detect(b) != "bmp") return None
+    val pixelOff = le32(b, 10)
+    val dibSize = le32(b, 14)
+    if (dibSize < 40) return None // BITMAPCOREHEADER unsupported
+    val w = le32(b, 18)
+    val hRaw = le32(b, 22)
+    val h = math.abs(hRaw)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
+    val stride = ((w * 3 + 3) / 4) * 4
+    val need = pixelOff.toLong + stride.toLong * h
+    if (pixelOff < 14 + dibSize || need > b.length) return None
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var row = 0
+    while (row < h) {
+      var x = 0
+      val base = pixelOff + row * stride
+      while (x < w) {
+        val p = base + 3 * x // BGR order per spec
+        sb += b(p) & 0xff; sg += b(p + 1) & 0xff; sr += b(p + 2) & 0xff
+        x += 1
+      }
+      row += 1
+    }
+    val n = w.toLong * h
+    Some(BmpInfo(w, hRaw, bpp,
+      round6(sr.toDouble / n), round6(sg.toDouble / n), round6(sb.toDouble / n)))
+  }
+}

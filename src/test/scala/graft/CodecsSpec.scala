@@ -1,0 +1,75 @@
+package graft
+
+import graft.fixtures.MediaGen
+import graft.multimodal.{Codecs, Media}
+
+/** Real WAV-PCM/BMP decoders (multimodal/Codecs) against hand-computed
+  * signal/pixel math on spec-conformant writer output (MediaGen). */
+class CodecsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wavMono = MediaGen.wav(Seq[Short](0, 1000, -1000, 0), 8000, 1)
+  private val wavStereo =
+    MediaGen.wav(Seq[Short](100, -100, 200, -200), 44100, 2, extraChunk = true)
+  private val bmpUp = MediaGen.bmp(2, 2,
+    Seq((10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120)))
+  private val bmpDown = MediaGen.bmp(3, 1,
+    Seq((1, 2, 3), (4, 5, 6), (7, 8, 9)), topDown = true)
+
+  test("mono PCM: duration, peak, rms, zero crossings hand-checked") {
+    val w = Codecs.parseWav(wavMono).get
+    assert(w.sampleRate == 8000 && w.channels == 1 && w.bits == 16)
+    assert(w.nSamples == 4L && w.durationSec == 0.0005 && w.peak == 1000)
+    assert(w.rms == 707.106781) // sqrt(2_000_000 / 4) to 6 decimals
+    assert(w.zeroCrossings == 2L)
+  }
+
+  test("stereo PCM behind a decoy LIST chunk whose payload contains 'data'") {
+    val w = Codecs.parseWav(wavStereo).get
+    assert(w.sampleRate == 44100 && w.channels == 2)
+    assert(w.nSamples == 4L && w.durationSec == 0.000045) // 4/2/44100
+    assert(w.peak == 200 && w.rms == 158.113883) // sqrt(100_000 / 4)
+    assert(w.zeroCrossings == 3L)
+  }
+
+  test("truncated data chunk clamps to the bytes actually present") {
+    val w = Codecs.parseWav(wavMono.dropRight(2)).get
+    assert(w.nSamples == 3L && w.durationSec == 0.000375)
+    assert(w.rms == 816.496581) // sqrt(2_000_000 / 3)
+    assert(w.zeroCrossings == 1L)
+  }
+
+  test("bottom-up BMP with row padding: exact channel means") {
+    val m = Codecs.parseBmp(bmpUp).get
+    assert(m.width == 2 && m.height == 2 && m.bits == 24)
+    assert(m.meanR == 55.0 && m.meanG == 65.0 && m.meanB == 75.0)
+  }
+
+  test("top-down BMP (negative height)") {
+    val m = Codecs.parseBmp(bmpDown).get
+    assert(m.width == 3 && m.height == -1)
+    assert(m.meanR == 4.0 && m.meanG == 5.0 && m.meanB == 6.0)
+  }
+
+  test("structural violations degrade to None, never throw") {
+    assert(Codecs.parseWav("not media at all".getBytes).isEmpty)
+    assert(Codecs.parseBmp(wavMono).isEmpty)
+    val bpp32 = bmpUp.clone(); bpp32(28) = 32
+    assert(Codecs.parseBmp(bpp32).isEmpty)
+    val nonPcm = wavMono.clone(); nonPcm(20) = 3 // IEEE-float format tag
+    assert(Codecs.parseWav(nonPcm).isEmpty)
+    assert(Codecs.parseWav(wavMono.take(20)).isEmpty) // mid-header truncation
+  }
+
+  test("decodeTable dispatches by magic and degrades unknowns") {
+    val media = Seq(
+      (1L, wavMono), (2L, wavStereo), (3L, bmpUp), (4L, bmpDown),
+      (5L, "plain text payload".getBytes)).toDF("media_id", "bytes")
+    val out = Media.decodeTable(media).orderBy("media_id").collect()
+    assert(out.map(_.getString(1)).toSeq ==
+      Seq("wav", "wav", "bmp", "bmp", "unknown"))
+    assert(out(0).getDouble(10) == 707.106781) // rms column
+    assert(out(2).getDouble(12) == 55.0)       // mean_r column
+    assert(out(4).isNullAt(10) && out(4).isNullAt(12))
+  }
+}
