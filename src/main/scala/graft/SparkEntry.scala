@@ -479,6 +479,18 @@ object SparkEntry {
         Seq(0.25, 0.5, 0.9, 0.99)).orderBy(col("q"))
     }),
 
+    // WEIGHT-quantiles: "below which discount do q% of the QUANTITY
+    // units sit?" — the token-budget-cutoff question, asked of
+    // lineitem so duplicates are heavy (11 distinct discounts).
+    // Weight-sum censuses, same radix walk, zero extra shuffle
+    "q_weighted_quantiles" -> ((s, dir) => {
+      import graft.stats.Quantiles
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+      Quantiles.weightedQuantilesDisc(li, "l_discount", "l_quantity",
+        Seq(0.1, 0.5, 0.9, 1.0)).orderBy(col("q"))
+    }),
+
     // per-GROUP exact quantiles — the shape CCNet's cutoffs actually
     // take (per-language percentile buckets); same radix walk with the
     // active (group, prefix) frontier pushed down as a broadcast
@@ -2518,6 +2530,24 @@ object SparkEntry {
         |SELECT ks.q, ks.k, r.x AS value
         |FROM ks JOIN r ON r.rn = ks.k
         |ORDER BY q""".stripMargin,
+
+    // weighted rebuild: k = ceil(q*W); value = min x whose inclusive
+    // cumulative weight reaches k (RANGE window ties match the radix
+    // walk's per-value weight aggregation exactly)
+    "q_weighted_quantiles" ->
+      s"""WITH v AS (
+        |  SELECT CAST(l_discount AS DOUBLE) AS x,
+        |         CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem
+        |  WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_quantity > 0),
+        |tot AS (SELECT sum(w) AS tw FROM v),
+        |c AS (SELECT x, sum(w) OVER (ORDER BY x) AS cum FROM v),
+        |ks AS (
+        |  SELECT q, CAST(ceil(q * tw) AS BIGINT) AS k
+        |  FROM (VALUES (0.1), (0.5), (0.9), (1.0)) t(q) CROSS JOIN tot)
+        |SELECT q, k, (SELECT min(x) FROM c WHERE cum >= k) AS value
+        |FROM ks ORDER BY q""".stripMargin,
 
     // per-group rebuild: rank = ceil(q*n_group) against a per-group
     // row_number — values bit-identical (actual elements, no rounding)

@@ -43,7 +43,7 @@ object Quantiles {
     * comparable-row count. */
   def kthSmallest(df: DataFrame, valueCol: String, ks: Seq[Long]): Map[Long, Double] = {
     require(ks.nonEmpty && ks.forall(_ >= 1L), s"ranks must be >= 1: $ks")
-    run(df, valueCol, _ => ks)._2
+    run(df, valueCol, None, _ => ks)._2
   }
 
   /** Discrete quantiles: for each q the element at 1-based rank
@@ -54,23 +54,50 @@ object Quantiles {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       s"quantile fractions must be in (0, 1]: $qs")
     val (n, values) =
-      run(df, valueCol, n => qs.map(q => math.ceil(q * n).toLong.max(1L)))
+      run(df, valueCol, None, n => qs.map(q => math.ceil(q * n).toLong.max(1L)))
     val withK = qs.map(q => q -> math.ceil(q * n).toLong.max(1L))
     import df.sparkSession.implicits._
     withK.map { case (q, k) => (q, k, values(k)) }.toDF("q", "k", "value")
   }
 
-  /** Shared radix walk. `mkKs` sees the population count from the
-    * level-0 census (no separate count scan) and returns the ranks. */
-  private def run(df: DataFrame, valueCol: String,
+  /**
+   * WEIGHT-quantiles — the cutoff question corpus curation actually
+   * asks: "below which quality score do q% of the TOKENS (not the
+   * documents) sit?" Each row counts `weightCol` times (a positive
+   * integer budget — token count, byte size); the returned value for
+   * fraction q is the element at cumulative-weight rank ceil(q·W),
+   * W = Σ weights. Same radix walk with weight-sum censuses — a row's
+   * weight only ever inflates one census cell, so the scale shape and
+   * the driver bounds are unchanged. Returns (q, k, value); k is the
+   * weight rank. Rows with null/NaN value or null/non-positive weight
+   * are excluded.
+   */
+  def weightedQuantilesDisc(df: DataFrame, valueCol: String,
+                            weightCol: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantile fractions must be in (0, 1]: $qs")
+    val (w, values) = run(df, valueCol, Some(weightCol),
+      w => qs.map(q => math.ceil(q * w).toLong.max(1L)))
+    val withK = qs.map(q => q -> math.ceil(q * w).toLong.max(1L))
+    import df.sparkSession.implicits._
+    withK.map { case (q, k) => (q, k, values(k)) }.toDF("q", "k", "value")
+  }
+
+  /** Shared radix walk. `mkKs` sees the population count (or total
+    * weight) from the level-0 census — no separate count scan — and
+    * returns the ranks. */
+  private def run(df: DataFrame, valueCol: String, weightCol: Option[String],
                   mkKs: Long => Seq[Long]): (Long, Map[Long, Double]) = {
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     val keyed = df
-      .select(double_ordered_bits(col(valueCol).cast("double")).as("u"))
-      .filter(col("u").isNotNull)
+      .select(double_ordered_bits(col(valueCol).cast("double")).as("u"),
+        w.as("w"))
+      .filter(col("u").isNotNull && col("w").isNotNull && col("w") > 0L)
     // level-0 census over the top 16 bits; its total is the population
+    // (or total weight)
     val census0 = keyed
       .groupBy(shiftrightunsigned(col("u"), 48).as("hi"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("w")).as("c"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val n = census0.map(_._2).sum
     require(n > 0, "no comparable (non-null, non-NaN) rows")
@@ -86,7 +113,7 @@ object Quantiles {
       val census = keyed
         .filter(shiftrightunsigned(col("u"), shift + 16).isin(prefixes: _*))
         .groupBy(shiftrightunsigned(col("u"), shift).as("hi"))
-        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("w")).as("c"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
       active = active.map { case (k, (prefix, rem)) =>
         val mine = census.filter { case (hi, _) => (hi >>> 16) == prefix }

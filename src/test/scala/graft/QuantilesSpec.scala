@@ -73,6 +73,27 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("weighted quantiles match a local cumulative-weight walk") {
+    val rnd = new scala.util.Random(31)
+    val rows = Seq.fill(800)((rnd.nextInt(11).toDouble / 100.0, // heavy ties
+      (rnd.nextInt(50) + 1).toLong)) ++
+      Seq((0.5, 3L), (-0.3, 1L), (0.07, 0L)) // extremes + zero-weight row
+    val df = rows.toDF("v", "w").repartition(9)
+    val valid = rows.filter(_._2 > 0L).sortBy(_._1)
+    val tw = valid.map(_._2).sum
+    val qs = Seq(0.1, 0.5, 0.9, 1.0)
+    val expected = qs.map { q =>
+      val k = math.ceil(q * tw).toLong.max(1L)
+      var cum = 0L
+      val x = valid.find { case (_, w) => cum += w; cum >= k }.get._1
+      (q, k, x)
+    }
+    val got = Quantiles.weightedQuantilesDisc(df, "v", "w", qs)
+      .orderBy("q").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+  }
+
   test("results are partitioning-invariant") {
     val vals = (1 to 500).map(i => (i % 37).toDouble * 1.5 - 20)
     val df1 = vals.zipWithIndex.map(_.swap).toDF("id", "v").repartition(1)
