@@ -435,6 +435,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // distributed BPE vocabulary training (Sennrich et al. ACL 2016†,
+    // textops/Bpe): one corpus scan -> word census, then per merge one
+    // exact-integer pair census + 1-row argmax + one codegen'd kernel
+    // rewrite. Constant classic fixture (low:5 lower:2 newest:6
+    // widest:3) -> constant merge table -> green VALUES oracle; the
+    // pair counts and tie-breaks are hand-derived in BpeSpec.
+    "q_bpe_train" -> ((s, dir) => {
+      import graft.textops.Bpe
+      import s.implicits._
+      val corpus = Seq(
+        (1L, Seq.fill(5)("low").mkString(" ")),
+        (2L, Seq.fill(2)("lower").mkString(" ")),
+        (3L, Seq.fill(6)("newest").mkString(" ")),
+        (4L, Seq.fill(3)("widest").mkString(" "))).toDF("id", "text")
+      val (merges, _) = Bpe.train(Bpe.wordCensus(corpus, "text"), k = 5)
+      merges.toDF().select(col("step"), col("left").as("lhs"),
+        col("right").as("rhs"), col("freq")).orderBy(col("step"))
+    }),
+
     // DSIR importance-resampling selection (Xie et al. NeurIPS 2023†):
     // fit unigram+bigram Laplace log-ratio weights of a trusted slice
     // (doc_id % 5 = 0 — the stand-in for the paper's Wikipedia target)
@@ -2432,6 +2451,17 @@ object SparkEntry {
     // the trusted slice, context totals from the census (so P(·|ctx)
     // normalizes), vocab + 1 OOV slot, Lidstone alpha=0.1, per-gram
     // contributions quantized to 1e-6 micro-units (exact-integer sum)
+    // constant classic fixture -> constant merge sequence (pair counts
+    // and lexicographic tie-breaks hand-derived in BpeSpec)
+    "q_bpe_train" ->
+      """SELECT CAST(step AS INTEGER) AS step, lhs, rhs,
+        |  CAST(freq AS BIGINT) AS freq
+        |FROM (VALUES
+        |  (1, 'e', 's', 9), (2, 'es', 't', 9), (3, 'est', '</w>', 9),
+        |  (4, 'l', 'o', 7), (5, 'lo', 'w', 7))
+        |  t(step, lhs, rhs, freq)
+        |ORDER BY step""".stripMargin,
+
     // independent DSIR rebuild: same tokenizer, unigram+bigram bag from
     // the list-slice shingle pattern, Laplace log-probs micro-quantized
     // per SIDE (the proven q_lm_perplexity idiom) so each gram's

@@ -42,6 +42,11 @@ object gfunctions {
     * drives stats.Quantiles' exact distributed selection. */
   def double_ordered_bits(x0: Column): Column = c(DoubleOrderedBitsExpr(x(x0)))
 
+  /** Apply ordered BPE merge rules to an array<string> symbol sequence
+    * (textops.Bpe train/encode kernel). */
+  def bpe_apply(syms: Column, merges: Seq[(String, String)]): Column =
+    c(BpeApplyExpr(x(syms), merges))
+
   /** NFKC-normalize + lowercase + collapse whitespace; empty → null. */
   def normalize_text(s: Column): Column = c(NormalizeNFKCExpr(x(s)))
 
