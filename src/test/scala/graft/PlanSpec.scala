@@ -328,6 +328,46 @@ class PlanSpec extends SparkSpec {
       s"record explosion must stay partition-local:\n$p")
   }
 
+  test("DSIR hashed-estimator scoring joins the weight table broadcast") {
+    import graft.textops.Dsir
+    import spark.implicits._
+    val docs = (1 to 200).map(i => (i.toLong, s"tok$i alpha beta gamma"))
+      .toDF("id", "text")
+    val model = Dsir.fit(docs.filter(col("id") % 5 === 0), docs,
+      "id", "text", bits = Some(10))
+    val out = Dsir.score(docs, "id", "text", model)
+    assert(plan(out).contains("BroadcastHashJoin"),
+      "the 2^bits-bounded weight table must broadcast — the raw corpus " +
+        "is never shuffled on the gram key")
+  }
+
+  test("quantile censuses partial-aggregate map-side and carry no sort") {
+    import graft.gfunctions.double_ordered_bits
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val census = df
+      .select(double_ordered_bits(col("l_extendedprice").cast("double")).as("u"))
+      .filter(col("u").isNotNull)
+      .groupBy(shiftrightunsigned(col("u"), 48)).agg(count(lit(1)))
+    val p = plan(census)
+    assert(!p.contains("Sort"), s"radix selection must not sort:\n$p")
+    // partial_count before the exchange = map-side combine
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"census must partial-aggregate before the shuffle:\n$p")
+    assert(p.split("Exchange").length <= 2,
+      s"census needs exactly one exchange:\n$p")
+  }
+
+  test("BPE pair-census argmax plans as TakeOrdered, not a global sort") {
+    import graft.textops.Bpe
+    import spark.implicits._
+    val corpus = Seq((1L, "low low lower newest")).toDF("id", "text")
+    val census = Bpe.wordCensus(corpus, "text")
+    // the per-iteration argmax shape from Bpe.train
+    val top = census.orderBy(col("cnt").desc, col("word").asc).limit(1)
+    assert(plan(top).contains("TakeOrderedAndProject"),
+      "argmax must be per-partition top-k + driver merge")
+  }
+
   test("line-dedup hot-line anti join goes broadcast under AQE") {
     // dedupeLines' census side is the zipf head — small by construction.
     // The static planner can't know that (it's an aggregate), so the
