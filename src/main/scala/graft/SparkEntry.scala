@@ -562,6 +562,58 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher quality-rule battery over spliced 3-line docs: every rule
+    // is exercised — doc_id % 7 bullets line 1, % 5 ends line 2 with an
+    // ellipsis, % 13 injects hash symbols, % 2 splices stop-list words,
+    // % 11 swaps line 3 for a bulleted stub, and the varying line-3
+    // truncation sweeps word counts across the 50-word cutoff. DuckDB
+    // rebuilds the same text and recomputes every census from
+    // list/regexp primitives; keep compares RAW ratios (integer-ratio
+    // doubles, bit-identical across engines), outputs round to 6.
+    "q_gopher_rules" -> ((s, dir) => {
+      import graft.textops.TextOps
+      s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), concat_ws("\n",
+          concat(when(col("doc_id") % 7 === 0, lit("- ")).otherwise(lit("")),
+            substring(col("text"), 1, 60)),
+          concat(substring(col("text"), 61, 140),
+            when(col("doc_id") % 2 === 0, lit(" of the and that")).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0, lit(" ...")).otherwise(lit("")),
+            when(col("doc_id") % 13 === 0, lit(" # tagged # list")).otherwise(lit(""))),
+          when(col("doc_id") % 11 === 0, lit("• menu"))
+            .otherwise(col("text").substr(lit(1),
+              lit(40) + (col("doc_id") % 60).cast("int")))).as("text"))
+        .select(col("doc_id"), TextOps.gopherRules(col("text")).as("g"))
+        .select(col("doc_id"), col("g.*"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // C4 heuristic filters over spliced 4-line docs: line 1 ends with a
+    // period and carries ≥5 words (kept), line 2 is a short stub
+    // (dropped by the word floor), line 3 gains terminal punctuation on
+    // odd doc_ids only (sweeping n_sentences across the ≥3 page floor,
+    // so keep discriminates), line 4 varies per doc — % 9 injects "lorem ipsum",
+    // % 8 a curly brace, % 6 a javascript mention, rest a kept sentence.
+    // DuckDB rebuilds the text and the line filter with list lambdas.
+    "q_c4_filters" -> ((s, dir) => {
+      import graft.textops.TextOps
+      s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), concat_ws("\n",
+          concat(substring(col("text"), 1, 60), lit(".")),
+          lit("nav stub"),
+          concat(substring(col("text"), 61, 80),
+            when(col("doc_id") % 2 === 1, lit(".")).otherwise(lit(""))),
+          when(col("doc_id") % 9 === 0, lit("standard Lorem Ipsum passage follows."))
+            .when(col("doc_id") % 8 === 0, lit("function f() { return 1; }"))
+            .when(col("doc_id") % 6 === 0, lit("please enable JavaScript to continue."))
+            .otherwise(concat(substring(col("text"), 141, 60), lit(" tail sentence!")))).as("text"))
+        .select(col("doc_id"), TextOps.c4Filters(col("text")).as("c"))
+        .select(col("doc_id"), col("c.*"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the composed curation pipeline, end-to-end oracle-exact: spliced
     // 3-line docs → corpus line-dedup (footer df=500 + nav df=25 both
     // stripped, every doc reduced to its unique payload line) →
@@ -2667,6 +2719,107 @@ object SparkEntry {
         |FROM docs2 LEFT JOIN lstat USING (doc_id) LEFT JOIN g2s USING (doc_id)
         |  LEFT JOIN g3s USING (doc_id) LEFT JOIN g5s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // independent rebuild of the Gopher battery: same spliced 3-line
+    // text, every census from list/regexp primitives; keep compares the
+    // same RAW integer-ratio doubles the Spark side thresholds on
+    "q_gopher_rules" ->
+      raw"""WITH docs2 AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 7 = 0 THEN '- ' ELSE '' END) ||
+        |      substr(text, 1, 60) || chr(10) ||
+        |    substr(text, 61, 140) ||
+        |      (CASE WHEN doc_id % 2 = 0 THEN ' of the and that' ELSE '' END) ||
+        |      (CASE WHEN doc_id % 5 = 0 THEN ' ...' ELSE '' END) ||
+        |      (CASE WHEN doc_id % 13 = 0 THEN ' # tagged # list' ELSE '' END) ||
+        |      chr(10) ||
+        |    (CASE WHEN doc_id % 11 = 0 THEN '• menu'
+        |          ELSE substr(text, 1, 40 + doc_id % 60) END) AS text
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, text,
+        |    string_split(text, chr(10)) AS lines,
+        |    list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS words
+        |  FROM docs2),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    greatest(CAST(len(words) AS DOUBLE), 1.0) AS nw,
+        |    greatest(CAST(len(lines) AS DOUBLE), 1.0) AS nl,
+        |    CAST(coalesce(list_sum(list_transform(words, w -> len(w))), 0)
+        |      AS DOUBLE) AS sum_len,
+        |    CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE) AS hash_cnt,
+        |    CAST(len(text) - len(replace(text, '...', '')) AS DOUBLE) / 3 +
+        |      CAST(len(text) - len(replace(text, '…', '')) AS DOUBLE) AS ell_cnt,
+        |    CAST(len(list_filter(lines,
+        |      l -> regexp_matches(l, '^[-•*] '))) AS DOUBLE) AS bullet_lines,
+        |    CAST(len(list_filter(lines,
+        |      l -> regexp_matches(l, '(\.\.\.|…)$$'))) AS DOUBLE) AS ell_lines,
+        |    CAST(len(list_filter(words,
+        |      w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) AS alpha_words,
+        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      sw -> list_contains(list_transform(words, w -> lower(w)), sw)))
+        |      AS BIGINT) AS stop_hits
+        |  FROM g)
+        |SELECT doc_id, n_words,
+        |  round(sum_len / nw, 6) AS mean_word_len,
+        |  round(hash_cnt / nw, 6) AS hash_ratio,
+        |  round(ell_cnt / nw, 6) AS ellipsis_ratio,
+        |  round(bullet_lines / nl, 6) AS bullet_line_frac,
+        |  round(ell_lines / nl, 6) AS ellipsis_line_frac,
+        |  round(alpha_words / nw, 6) AS alpha_word_frac,
+        |  stop_hits,
+        |  (n_words BETWEEN 50 AND 100000
+        |   AND sum_len / nw >= 3.0 AND sum_len / nw <= 10.0
+        |   AND hash_cnt / nw <= 0.1 AND ell_cnt / nw <= 0.1
+        |   AND bullet_lines / nl <= 0.9 AND ell_lines / nl <= 0.3
+        |   AND alpha_words / nw >= 0.8 AND stop_hits >= 2) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // independent rebuild of the C4 battery: same spliced 4-line text,
+    // the kept-line filter and all page-level signals from list/regexp
+    // primitives ('g' flag on the sentence-census replace — DuckDB
+    // replaces first-match-only by default, Spark replaces all)
+    "q_c4_filters" ->
+      raw"""WITH docs2 AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 60) || '.' || chr(10) ||
+        |    'nav stub' || chr(10) ||
+        |    substr(text, 61, 80) ||
+        |      (CASE WHEN doc_id % 2 = 1 THEN '.' ELSE '' END) || chr(10) ||
+        |    (CASE WHEN doc_id % 9 = 0 THEN 'standard Lorem Ipsum passage follows.'
+        |          WHEN doc_id % 8 = 0 THEN 'function f() { return 1; }'
+        |          WHEN doc_id % 6 = 0 THEN 'please enable JavaScript to continue.'
+        |          ELSE substr(text, 141, 60) || ' tail sentence!' END) AS text
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, text,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM docs2),
+        |k AS (
+        |  SELECT doc_id, text, lines,
+        |    list_filter(lines, l -> regexp_matches(l, '[.!?"]$$') AND
+        |      len(list_filter(string_split_regex(l, '\s+'), w -> len(w) > 0)) >= 5)
+        |      AS kept
+        |  FROM g),
+        |m AS (
+        |  SELECT doc_id, text, lines, kept,
+        |    array_to_string(kept, chr(10)) AS clean_text
+        |  FROM k)
+        |SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        |  CAST(len(clean_text) -
+        |    len(regexp_replace(clean_text, '[.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+        |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |  contains(text, '{') AS has_brace,
+        |  regexp_matches(lower(text), '(^|[^a-z])javascript([^a-z]|$$)') AS has_js,
+        |  (len(clean_text) - len(regexp_replace(clean_text, '[.!?]', '', 'g')) >= 3
+        |   AND NOT contains(lower(text), 'lorem ipsum')
+        |   AND NOT contains(text, '{')
+        |   AND NOT regexp_matches(lower(text), '(^|[^a-z])javascript([^a-z]|$$)')) AS keep,
+        |  clean_text
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // same splice, same three patterns with RE2 'g' replacement; counts
     // from regexp_extract_all on the pre-redaction text

@@ -163,6 +163,112 @@ object TextOps {
   }
 
   /**
+   * Gopher quality-rule battery (Rae et al. 2021 Appendix A1.1† — public
+   * thresholds): the per-document heuristics Gopher applies alongside the
+   * repetition filters ([[repetitionStats]]), each exposed as its measured
+   * statistic plus the conjunction of the published cutoffs as `keep`:
+   *
+   *  - 50 ≤ word count ≤ 100 000 (whitespace words),
+   *  - 3 ≤ mean word length ≤ 10,
+   *  - hash-symbol-to-word ratio ≤ 0.1 and ellipsis-to-word ratio ≤ 0.1
+   *    (`...` counted non-overlapping, `…` per character),
+   *  - ≤ 90% of lines start with a bullet (`- `, `• `, `* `),
+   *  - ≤ 30% of lines end with an ellipsis,
+   *  - ≥ 80% of words contain at least one alphabetic character,
+   *  - ≥ 2 distinct hits from Gopher's stop-list
+   *    {the, be, to, of, and, that, have, with}.
+   *
+   * Pure built-in column algebra (splits, higher-order filters, replace
+   * censuses) — scan-fused, no shuffle, no UDF; fractions rounded to 6
+   * for stable cross-engine compares (oracle: q_gopher_rules).
+   */
+  def gopherRules(text: Column): Column = {
+    val lines = split(text, "\n")
+    val nLines = greatest(size(lines).cast("double"), lit(1.0))
+    val words = filter(split(text, "\\s+"), w => length(w) > 0)
+    val nWords = size(words).cast("long")
+    val nWordsD = greatest(size(words).cast("double"), lit(1.0))
+    val sumLen = aggregate(transform(words, w => length(w).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val meanWordLen = sumLen.cast("double") / nWordsD
+    // replace-census symbol counts: '…' is one char, '...' counted
+    // non-overlapping via the length delta of a global replace
+    val hashCount = (length(text) -
+      length(replace(text, lit("#"), lit("")))).cast("double")
+    val ellCount = ((length(text) -
+      length(replace(text, lit("..."), lit("")))) / 3 +
+      (length(text) - length(replace(text, lit("…"), lit(""))))).cast("double")
+    val bulletLineFrac =
+      size(filter(lines, l => l.rlike("^[-•*] "))).cast("double") / nLines
+    val ellLineFrac =
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$"))).cast("double") / nLines
+    val alphaWordFrac =
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / nWordsD
+    val stopList = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val lowered = transform(words, w => lower(w))
+    val stopHits = size(filter(array(stopList.map(lit): _*),
+      sw => array_contains(lowered, sw))).cast("long")
+    val hashRatio = hashCount / nWordsD
+    val ellRatio = ellCount / nWordsD
+    val keep = nWords.between(50L, 100000L) &&
+      meanWordLen >= 3.0 && meanWordLen <= 10.0 &&
+      hashRatio <= 0.1 && ellRatio <= 0.1 &&
+      bulletLineFrac <= 0.9 && ellLineFrac <= 0.3 &&
+      alphaWordFrac >= 0.8 && stopHits >= 2L
+    struct(
+      nWords.as("n_words"),
+      round(meanWordLen, 6).as("mean_word_len"),
+      round(hashRatio, 6).as("hash_ratio"),
+      round(ellRatio, 6).as("ellipsis_ratio"),
+      round(bulletLineFrac, 6).as("bullet_line_frac"),
+      round(ellLineFrac, 6).as("ellipsis_line_frac"),
+      round(alphaWordFrac, 6).as("alpha_word_frac"),
+      stopHits.as("stop_hits"),
+      keep.as("keep"))
+  }
+
+  /**
+   * C4 heuristic-filter battery (Raffel et al. 2020 §2.2† — public rules):
+   * line-level cleaning plus page-level drop signals, exposed as the
+   * cleaned text (lines with ≥ `minLineWords` words AND terminal
+   * punctuation, rejoined in order), the integer censuses behind each
+   * rule, and the page-level `keep` conjunction:
+   *
+   *  - kept-line census (terminal `.`/`!`/`?`/`"` AND ≥ 5 words),
+   *  - sentence count ≥ 3 over the CLEANED text (terminal-punct census),
+   *  - no "lorem ipsum", no `{` (code), no "javascript" word
+   *    (case-insensitive page-level signals).
+   *
+   * Same scale shape as [[gopherRules]]: per-row column algebra only.
+   */
+  def c4Filters(text: Column, minLineWords: Int = 5): Column = {
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    def lineKept(l: Column): Column =
+      l.rlike("[.!?\"]$") &&
+        size(filter(split(l, "\\s+"), w => length(w) > 0)) >= minLineWords
+    val kept = filter(lines, lineKept _)
+    val cleaned = array_join(kept, "\n")
+    // sentence census: terminal-punct occurrences in the cleaned text
+    val nSentences = (length(cleaned) -
+      length(regexp_replace(cleaned, "[.!?]", ""))).cast("long")
+    val lowerText = lower(text)
+    val hasLorem = lowerText.contains("lorem ipsum")
+    val hasBrace = text.contains("{")
+    val hasJs = lowerText.rlike("(^|[^a-z])javascript([^a-z]|$)")
+    val keep = nSentences >= 3L && !hasLorem && !hasBrace && !hasJs
+    struct(
+      nLines.as("n_lines"),
+      size(kept).cast("long").as("n_kept_lines"),
+      nSentences.as("n_sentences"),
+      hasLorem.as("has_lorem"),
+      hasBrace.as("has_brace"),
+      hasJs.as("has_js"),
+      keep.as("keep"),
+      cleaned.as("clean_text"))
+  }
+
+  /**
    * Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003, the
    * MOSS scheme — public algorithm): hash every k-char gram, slide a
    * window of `window` consecutive gram hashes, keep each window's

@@ -27,6 +27,68 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq("en", "de", "fr", "es", "und"))
   }
 
+  test("gopherRules: hand-computed battery on fixed lines") {
+    // 2 lines, 10 words; line 1 bulleted; line 2 ends with an ellipsis;
+    // one '#'; words "the"/"of" hit the stop list; "42" is non-alpha
+    val text = "- the quick # fox\nruns out of steam 42 ..."
+    val r = Seq(text).toDF("text")
+      .select(TextOps.gopherRules($"text").as("g")).select($"g.*")
+      .collect()(0)
+    assert(r.getAs[Long]("n_words") == 11) // incl '-', '#', '...'
+    // word lens: 1,3,5,1,3 | 4,3,2,5,2,3 = sum 32 / 11
+    assert(math.abs(r.getAs[Double]("mean_word_len") - 32.0 / 11) < 1e-6)
+    assert(math.abs(r.getAs[Double]("hash_ratio") - 1.0 / 11) < 1e-6)
+    assert(math.abs(r.getAs[Double]("ellipsis_ratio") - 1.0 / 11) < 1e-6)
+    assert(r.getAs[Double]("bullet_line_frac") == 0.5)
+    assert(r.getAs[Double]("ellipsis_line_frac") == 0.5)
+    // non-alpha words: '-', '#', '42', '...' -> 7/11 alpha
+    assert(math.abs(r.getAs[Double]("alpha_word_frac") - 7.0 / 11) < 1e-6)
+    assert(r.getAs[Long]("stop_hits") == 2) // the, of
+    assert(!r.getAs[Boolean]("keep")) // fails the 50-word floor
+  }
+
+  test("gopherRules: long fluent text keeps") {
+    val body = Array.fill(30)("the data and that of systems have with scale").mkString(" ")
+    val r = Seq(body).toDF("text")
+      .select(TextOps.gopherRules($"text").as("g")).select($"g.*")
+      .collect()(0)
+    assert(r.getAs[Long]("n_words") == 270)
+    assert(r.getAs[Long]("stop_hits") == 6)
+    assert(r.getAs[Double]("alpha_word_frac") == 1.0)
+    assert(r.getAs[Boolean]("keep"))
+  }
+
+  test("c4Filters: line filter, sentence floor, page signals") {
+    val keptLine = "this line has enough words to pass easily."
+    val text = Seq(keptLine, "too short.", "no terminal punctuation here at all",
+      keptLine, keptLine).mkString("\n")
+    val r = Seq(text).toDF("text")
+      .select(TextOps.c4Filters($"text").as("c")).select($"c.*")
+      .collect()(0)
+    assert(r.getAs[Long]("n_lines") == 5)
+    assert(r.getAs[Long]("n_kept_lines") == 3)
+    assert(r.getAs[Long]("n_sentences") == 3)
+    assert(!r.getAs[Boolean]("has_lorem") && !r.getAs[Boolean]("has_brace") &&
+      !r.getAs[Boolean]("has_js"))
+    assert(r.getAs[Boolean]("keep"))
+    assert(r.getAs[String]("clean_text") == Seq(keptLine, keptLine, keptLine).mkString("\n"))
+
+    val bad = Seq(
+      s"$keptLine\n$keptLine\nLorem ipsum dolor sit amet consectetur.",
+      s"$keptLine\n$keptLine\nvar x = { a: 1 }; more words here.",
+      s"$keptLine\n$keptLine\nplease enable javascript to view this page.",
+      s"$keptLine\n$keptLine\nJavaScripted words do not count as javascript? yes.")
+      .toDF("text")
+      .select(TextOps.c4Filters($"text").as("c")).select($"c.*")
+      .collect()
+    assert(!bad(0).getAs[Boolean]("keep") && bad(0).getAs[Boolean]("has_lorem"))
+    assert(!bad(1).getAs[Boolean]("keep") && bad(1).getAs[Boolean]("has_brace"))
+    assert(!bad(2).getAs[Boolean]("keep") && bad(2).getAs[Boolean]("has_js"))
+    // word-boundary guard: "JavaScripted" alone must NOT trip has_js,
+    // but the bare "javascript?" token later in the line does
+    assert(bad(3).getAs[Boolean]("has_js"))
+  }
+
   test("qualityScore: clean text beats garbage") {
     val df = Seq(
       "The quick brown fox jumps over the lazy dog and it is a fine day in the park for everyone.",
