@@ -1820,6 +1820,20 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // G5 companion: plurality-vote canonicalization (voteTable) over
+    // deterministic pseudo-entities (p_partkey % 200, ~10-member
+    // clusters) on two categorical fields — the melted one-shuffle
+    // argmax path, tie-break cnt DESC, len DESC, value DESC; DuckDB twin
+    // is first(v ORDER BY ...) over the same melt
+    "q_canon_vote" -> ((s, dir) => {
+      val parts = s.read.parquet(s"$dir/part.parquet")
+        .select((col("p_partkey") % 200).as("entity"),
+          col("p_type"), col("p_brand"))
+      graft.cluster.Canonicalize.voteTable(parts, "entity",
+          Seq("p_type", "p_brand"))
+        .orderBy(col("entity"))
+    }),
+
     // tumbling-window event aggregation (§2.9; same code path runs
     // streaming once the caller adds a watermark)
     "q_event_windows" -> ((s, dir) => {
@@ -3826,6 +3840,29 @@ object SparkEntry {
         |  (CAST(101 AS BIGINT), CAST(1 AS BIGINT)), (102, 1), (201, 1),
         |  (301, 3), (401, 4)) AS t(id, component)
         |ORDER BY id""".stripMargin,
+
+    // independent rebuild of the plurality vote: same melt, winner via
+    // first(ORDER BY cnt DESC, len DESC, v DESC), conditional-agg pivot
+    "q_canon_vote" ->
+      """WITH src AS (
+        |  SELECT p_partkey % 200 AS entity, p_type, p_brand FROM part),
+        |m AS (
+        |  SELECT entity, 'p_type' AS f, p_type AS v FROM src
+        |  WHERE p_type IS NOT NULL AND len(p_type) > 0
+        |  UNION ALL
+        |  SELECT entity, 'p_brand', p_brand FROM src
+        |  WHERE p_brand IS NOT NULL AND len(p_brand) > 0),
+        |c AS (SELECT entity, f, v, count(*) AS cnt FROM m GROUP BY 1, 2, 3),
+        |w AS (SELECT entity, f,
+        |        first(v ORDER BY cnt DESC, len(v) DESC, v DESC) AS win
+        |      FROM c GROUP BY 1, 2),
+        |sz AS (SELECT entity, count(*) AS cluster_size FROM src GROUP BY 1)
+        |SELECT sz.entity,
+        |  max(CASE WHEN f = 'p_type' THEN win END) AS p_type,
+        |  max(CASE WHEN f = 'p_brand' THEN win END) AS p_brand,
+        |  any_value(cluster_size) AS cluster_size
+        |FROM sz LEFT JOIN w ON sz.entity = w.entity
+        |GROUP BY sz.entity ORDER BY sz.entity""".stripMargin,
 
     "q_event_windows" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,

@@ -132,6 +132,47 @@ object Canonicalize {
   }
 
   /**
+   * Plurality-vote canonicalization — the production-common alternative
+   * to [[canonTable]]'s medoid: per (entity, field), the most frequent
+   * non-empty value wins; ties break to the LONGEST value (more
+   * informative on truncated crawl fields), then to the
+   * lexicographically largest (deterministic). One melted shuffle for
+   * ALL fields (explode to (entity, field, value), count, struct-ordered
+   * `max_by`), then a conditional-aggregation pivot — no window, no
+   * per-group collect, so a million-member boilerplate cluster costs its
+   * distinct-value count, not its row count. Fully SQL-expressible
+   * (oracle: q_canon_vote, `first(v ORDER BY cnt DESC, len DESC, v
+   * DESC)` twin).
+   *
+   * @return (entity, <field>... plurality values, cluster_size); an
+   *         entity whose field values are all null/empty keeps its row
+   *         with null winners — cluster bookkeeping must not drop it
+   */
+  def voteTable(labeled: DataFrame, entityCol: String,
+      fields: Seq[String]): DataFrame = {
+    val melted = labeled.select(
+        col(entityCol).cast("long").as(entityCol),
+        explode(array(fields.map(f =>
+          struct(lit(f).as("_f"), col(f).cast("string").as("_v"))): _*)).as("_fv"))
+      .select(col(entityCol), col("_fv._f").as("_f"), col("_fv._v").as("_v"))
+      .filter(col("_v").isNotNull && length(col("_v")) > 0)
+    val winners = melted
+      .groupBy(col(entityCol), col("_f"), col("_v"))
+      .agg(count(lit(1)).as("_cnt"))
+      .groupBy(col(entityCol), col("_f"))
+      .agg(max_by(col("_v"),
+        struct(col("_cnt"), length(col("_v")), col("_v"))).as("_win"))
+    val pivotExprs = fields.map(f =>
+      first(when(col("_f") === f, col("_win")), ignoreNulls = true).as(f))
+    val pivoted = winners.groupBy(col(entityCol))
+      .agg(pivotExprs.head, pivotExprs.tail: _*)
+    labeled.groupBy(col(entityCol).cast("long").as(entityCol))
+      .agg(count(lit(1)).as("cluster_size"))
+      .join(pivoted, Seq(entityCol), "left")
+      .select(col(entityCol) +: fields.map(col) :+ col("cluster_size"): _*)
+  }
+
+  /**
    * Per-record confidence = mean score of the record's intra-cluster scored
    * edges; records with no surviving edge (singletons) get 1.0 — they are
    * trivially self-consistent (reference assigns unclustered rows their own

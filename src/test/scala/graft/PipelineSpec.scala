@@ -86,4 +86,24 @@ class PipelineSpec extends SparkSpec {
     assert(graft.cluster.Canonicalize.medoid(Seq(null, "x")) == "x")
     assert(graft.cluster.Canonicalize.medoid(Seq(null)) == null)
   }
+
+  test("voteTable: plurality winner, tie-breaks, all-null entity kept") {
+    import spark.implicits._
+    val labeled = Seq(
+      // entity 1: 'b' wins p_name by count 2-1; city ties 1-1 -> longer
+      (1L, "a", "nyc"), (1L, "b", "brooklyn"), (1L, "b", null),
+      // entity 2: counts tie 1-1, lengths tie -> lexicographically larger
+      (2L, "xx", ""), (2L, "zz", null),
+      // entity 3: every field value null/empty -> row kept, null winners
+      (3L, null, ""))
+      .toDF("entity", "name", "city")
+    val got = graft.cluster.Canonicalize.voteTable(labeled, "entity",
+        Seq("name", "city"))
+      .orderBy("entity").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(got(0).getString(1) == "b" && got(0).getString(2) == "brooklyn")
+    assert(got(0).getLong(3) == 3L)
+    assert(got(1).getString(1) == "zz" && got(1).isNullAt(2))
+    assert(got(2).isNullAt(1) && got(2).isNullAt(2) && got(2).getLong(3) == 1L)
+  }
 }
