@@ -1567,7 +1567,7 @@ object SparkEntry {
       val scored = scoredNamePairs(s, dir)
         .filter(pmod(col("id1") + col("id2"), lit(17L)) === 0)
         .select(col("id1"), col("id2"), col("jw"))
-      graft.cluster.ThresholdSweep.sweep(scored, Seq(0.95, 0.97, 0.99), "jw")
+      graft.cluster.ThresholdSweep.sweepFast(scored, Seq(0.95, 0.97, 0.99), "jw")
         .orderBy(col("theta"))
     }),
 

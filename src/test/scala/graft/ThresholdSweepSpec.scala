@@ -24,6 +24,29 @@ class ThresholdSweepSpec extends SparkSpec {
     assert(got(1.0) == ((0L, 0L, 0L)))   // nothing clusters — still a row
   }
 
+  test("sweepFast equals sweep on the fixture, including the zero row") {
+    val thetas = Seq(0.5, 0.85, 0.95, 1.0)
+    assert(rows(ThresholdSweep.sweepFast(scored, thetas)) ==
+      rows(ThresholdSweep.sweep(scored, thetas)))
+  }
+
+  test("sweepFast equals sweep under fuzz, incl. giant-component fallback") {
+    val rnd = new scala.util.Random(7)
+    for (round <- 0 until 3) {
+      val es = (0 until 120).map { _ =>
+        val a = rnd.nextInt(30).toLong; val b = rnd.nextInt(30).toLong
+        (math.min(a, b), math.max(a, b), rnd.nextDouble())
+      }.filter(e => e._1 != e._2).toDF("id1", "id2", "score")
+      val thetas = Seq(0.15, 0.4, 0.7, 0.9, 0.999)
+      val naive = rows(ThresholdSweep.sweep(es, thetas))
+      assert(rows(ThresholdSweep.sweepFast(es, thetas)) == naive,
+        s"round $round: fast != naive")
+      // cap of 1 edge forces EVERY component through the naive fallback
+      assert(rows(ThresholdSweep.sweepFast(es, thetas,
+        maxComponentEdges = 1)) == naive, s"round $round: fallback != naive")
+    }
+  }
+
   test("fuzz: rising theta refines components; stats monotone") {
     val rnd = new scala.util.Random(11)
     for (round <- 0 until 3) {
