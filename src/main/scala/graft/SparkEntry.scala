@@ -301,6 +301,24 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // match explainability: per (pair, feature) raw value, weight, and
+    // contribution w·f plus bias and final σ score — the melt shares
+    // scorePairs' algebra by construction, so this green row doubles as
+    // a regression guard on the LR scoring itself (deterministic 1/50
+    // pair slice keeps the melt review-queue-sized)
+    "q_explain_pairs" -> ((s, dir) => {
+      val m = Model(bias = -8.0,
+        weights = Map("jw_name" -> 9.0, "lev_name" -> 6.0), threshold = 0.5,
+        predicates = Seq(PredicateSpec("token", "name")))
+      graft.score.Scoring.explainPairs(
+          attachedNamePairs(s, dir).filter(col("id1") % 50 === 0), m)
+        .select(col("id1"), col("id2"), col("feature"),
+          round(col("value"), 6).as("value"), col("weight"),
+          round(col("contribution"), 6).as("contribution"),
+          col("bias"), round(col("score"), 6).as("score"))
+        .orderBy(col("id1"), col("id2"), col("feature"))
+    }),
+
     // §2.5 C1: Jaro-Winkler + Levenshtein comparators on name pairs
     "q_score_pairs" -> ((s, dir) => {
       scoredNamePairs(s, dir)
@@ -2324,6 +2342,43 @@ object SparkEntry {
         |JOIN vlist tb ON tb.id = p.id2
         |WHERE p.id1 % 20 = 0
         |ORDER BY id1, id2""".stripMargin,
+
+    // independent rebuild of the explanation melt: same blocking CTEs,
+    // raw jw/lev_sim recomputed, one UNION ALL branch per feature
+    "q_explain_pairs" ->
+      """WITH recs AS (
+        |  SELECT p_partkey AS id,
+        |         lower(trim(regexp_replace(p_name, '\s+', ' ', 'g'))) AS name
+        |  FROM part),
+        |blocks AS (
+        |  SELECT id, tok AS block_key FROM recs,
+        |    unnest(regexp_split_to_array(name, '[^\p{L}\p{N}]+')) AS t(tok)
+        |  WHERE length(tok) > 0
+        |  GROUP BY id, tok),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2
+        |  FROM blocks a JOIN blocks b USING (block_key)
+        |  WHERE a.id < b.id AND a.id % 50 = 0),
+        |f AS (
+        |  SELECT p.id1, p.id2,
+        |    jaro_winkler_similarity(r1.name, r2.name) AS jw,
+        |    1.0 - CAST(levenshtein(r1.name, r2.name) AS DOUBLE)
+        |        / greatest(length(r1.name), length(r2.name)) AS lev_sim
+        |  FROM pairs p
+        |  JOIN recs r1 ON p.id1 = r1.id
+        |  JOIN recs r2 ON p.id2 = r2.id),
+        |s AS (
+        |  SELECT *,
+        |    1.0/(1.0 + exp(-(-8.0 + 9.0*jw + 6.0*lev_sim))) AS score
+        |  FROM f)
+        |SELECT id1, id2, 'jw_name' AS feature, round(jw, 6) AS value,
+        |  CAST(9.0 AS DOUBLE) AS weight, round(9.0*jw, 6) AS contribution,
+        |  CAST(-8.0 AS DOUBLE) AS bias, round(score, 6) AS score FROM s
+        |UNION ALL
+        |SELECT id1, id2, 'lev_name', round(lev_sim, 6),
+        |  CAST(6.0 AS DOUBLE), round(6.0*lev_sim, 6),
+        |  CAST(-8.0 AS DOUBLE), round(score, 6) FROM s
+        |ORDER BY id1, id2, feature""".stripMargin,
 
     "q_score_pairs" ->
       """WITH recs AS (

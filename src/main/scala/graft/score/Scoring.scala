@@ -139,6 +139,29 @@ object Scoring {
   }
 
   /**
+   * Match explainability — the review-UI "why did these match" panel
+   * (the reference surfaces only the opaque score; production reviewers
+   * need the per-feature breakdown): one row per (pair, feature) with
+   * the raw comparator value, the learned weight, and the contribution
+   * w·f, plus the model bias and the final σ score on every row. A melt
+   * of [[scorePairs]]' own columns, so it shares the scoring semantics
+   * by construction — per-row explode, no extra shuffle.
+   */
+  def explainPairs(attached: DataFrame, model: Model): DataFrame = {
+    val melted = explode(array(model.featureNames.map(f =>
+      struct(lit(f).as("feature"),
+        col(f).cast("double").as("value"),
+        lit(model.weights(f)).as("weight"),
+        (lit(model.weights(f)) * col(f)).cast("double").as("contribution"))): _*))
+    scorePairs(attached, model)
+      .select(col("id1"), col("id2"), col("score"), melted.as("x"))
+      .select(col("id1"), col("id2"),
+        col("x.feature").as("feature"), col("x.value").as("value"),
+        col("x.weight").as("weight"), col("x.contribution").as("contribution"),
+        lit(model.bias).as("bias"), col("score"))
+  }
+
+  /**
    * Corpus pass for TF-IDF (C2): per-doc L2-normalized map<term, tf·idf>.
    * One aggregation for document frequencies; IDF joined back per-term.
    * At cluster scale the DF table is tiny relative to the corpus

@@ -71,4 +71,23 @@ class FeatureSpec extends SparkSpec {
     val s = scored.orderBy("id1", "id2").select("score").as[Double].collect()
     assert(s.length == 4 && s.forall(x => x > 0.0 && x < 1.0))
   }
+
+  test("explainPairs: contributions + bias reproduce the logit of score") {
+    val m = graft.model.Model(bias = -1.5,
+      weights = Map(
+        "exact_seg" -> 1.0,
+        "missing_bal" -> 0.5,
+        "inter_exact_seg__missing_bal" -> -0.25),
+      threshold = 0.5, predicates = Nil)
+    val rows = Scoring.explainPairs(pairs, m).collect()
+    assert(rows.length == 4 * 3) // one row per (pair, feature)
+    rows.groupBy(r => (r.getLong(0), r.getLong(1))).foreach { case (_, rs) =>
+      val z = rs.head.getDouble(6) + rs.map(_.getDouble(5)).sum
+      val score = rs.head.getDouble(7)
+      assert(math.abs(1.0 / (1.0 + math.exp(-z)) - score) < 1e-9)
+      // weight * value == contribution on every melt row
+      rs.foreach(r =>
+        assert(math.abs(r.getDouble(4) * r.getDouble(3) - r.getDouble(5)) < 1e-12))
+    }
+  }
 }
