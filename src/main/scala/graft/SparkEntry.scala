@@ -842,6 +842,23 @@ object SparkEntry {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // temperature-based source mixing at α = 0.5 over a derived skewed
+    // grouping (300/150/50 docs): rare buckets keep a HIGHER rate than
+    // their raw share — the flattening the operator exists for.
+    // Selection is a deterministic Lehmer hash-threshold (no window, no
+    // per-source sort); sqrt keeps the rates IEEE-identical in DuckDB
+    "q_temperature_mix" -> ((s, dir) => {
+      import graft.textops.Mixing
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 < 6, lit("b0"))
+            .when(col("doc_id") % 10 < 9, lit("b1"))
+            .otherwise(lit("b2")).as("bucket"))
+      Mixing.temperatureMix(docs, "doc_id", "bucket", targetRows = 200L)
+        .select(col("doc_id"), col("bucket"), col("keep_rate"))
+        .orderBy(col("doc_id"))
+    }),
+
     // per-(source, lang) best-representative pick: highest quality wins,
     // ties break to the smaller doc_id — a max_by aggregate, no window
     "q_keep_best" -> ((s, dir) => {
@@ -3053,6 +3070,29 @@ object SparkEntry {
         |SELECT lang, doc_id, n_tok, CAST(cum AS BIGINT) AS cum_tokens
         |FROM c WHERE cum - n_tok < 2000
         |ORDER BY lang, doc_id""".stripMargin,
+
+    // independent rebuild of the temperature mix: same bucket
+    // derivation, sqrt-share rates, same Lehmer key threshold
+    "q_temperature_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 < 6 THEN 'b0'
+        |         WHEN doc_id % 10 < 9 THEN 'b1'
+        |         ELSE 'b2' END AS bucket
+        |  FROM documents),
+        |c AS (SELECT bucket, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT sum(sqrt(CAST(n AS DOUBLE))) AS tot FROM c),
+        |r AS (SELECT bucket,
+        |        least(CAST(1.0 AS DOUBLE),
+        |          200.0 * sqrt(CAST(n AS DOUBLE)) / tot / CAST(n AS DOUBLE))
+        |          AS rate
+        |      FROM c, t)
+        |SELECT d.doc_id, d.bucket, round(r.rate, 6) AS keep_rate
+        |FROM d JOIN r USING (bucket)
+        |WHERE CAST((((((d.doc_id % 2147483646) + 1) * 48271) % 2147483647)
+        |        * 48271) % 2147483647 AS DOUBLE)
+        |      < r.rate * 2147483647
+        |ORDER BY d.doc_id""".stripMargin,
 
     // independent rebuild of the per-host quota: single-window
     // row_number twin of the salted two-stage top-k (same total order:
