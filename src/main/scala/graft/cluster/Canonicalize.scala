@@ -150,6 +150,7 @@ object Canonicalize {
    */
   def voteTable(labeled: DataFrame, entityCol: String,
       fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "voteTable needs at least one field to vote on")
     val melted = labeled.select(
         col(entityCol).cast("long").as(entityCol),
         explode(array(fields.map(f =>

@@ -55,7 +55,10 @@ object Mixing {
    * Keep each row of `docs` independently with its source's
    * temperature rate: rate_s = min(1, targetRows · n_s^α / Σ_t n_t^α
    * / n_s). Output = input columns + `keep_rate` (rounded to 6; the
-   * FILTER uses the raw rate).
+   * FILTER uses the raw rate). Rows with a NULL source are excluded
+   * from the mix AND from the quota math — an unattributed row can't
+   * join back to a rate, so counting its group would silently depress
+   * every real source's quota.
    */
   def temperatureMix(docs: DataFrame, idCol: String, sourceCol: String,
       targetRows: Long, alpha: Double = 0.5): DataFrame = {
@@ -64,7 +67,8 @@ object Mixing {
     def share(n: Column): Column =
       if (alpha == 0.5) sqrt(n.cast("double"))
       else pow(n.cast("double"), lit(alpha))
-    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
+    val attributed = docs.filter(col(sourceCol).isNotNull)
+    val counts = attributed.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
       .withColumn("_w", share(col("_n")))
     val rates = counts
       .crossJoin(broadcast(counts.agg(sum(col("_w")).as("_tot"))))
@@ -72,7 +76,7 @@ object Mixing {
         lit(targetRows.toDouble) * col("_w") / col("_tot") /
           col("_n").cast("double")))
       .select(col(sourceCol), col("_rate"))
-    docs.join(broadcast(rates), Seq(sourceCol))
+    attributed.join(broadcast(rates), Seq(sourceCol))
       .filter(sampleKey(col(idCol)).cast("double") <
         col("_rate") * lit(KeyMod.toDouble))
       .withColumn("keep_rate", round(col("_rate"), 6))

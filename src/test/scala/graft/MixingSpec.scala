@@ -43,6 +43,18 @@ class MixingSpec extends SparkSpec {
     assert(a.toSet.subsetOf((0L until 1000L).toSet))
   }
 
+  test("null sources are excluded from the mix AND the quota math") {
+    // 500 attributed + 500 null-source rows: the nulls must not depress
+    // the attributed quota (rate would halve if they were counted)
+    val withNulls = spark.range(1000).toDF("id")
+      .select(col("id"), when(col("id") < 500, lit("a")).as("src"))
+    val kept = Mixing.temperatureMix(withNulls, "id", "src", targetRows = 400L)
+    assert(kept.filter(col("src").isNull).count() == 0)
+    val rate = kept.select("keep_rate").distinct().as[Double].collect()
+    assert(rate.length == 1 && math.abs(rate(0) - 0.8) < 1e-6,
+      s"quota depressed by null group: ${rate.toSeq}")
+  }
+
   test("sampleKey: in range, spread across the modulus, negative-safe") {
     val keys = spark.range(-500, 500).toDF("id")
       .select(Mixing.sampleKey(col("id")).as("k")).as[Long].collect()

@@ -47,6 +47,24 @@ class ThresholdSweepSpec extends SparkSpec {
     }
   }
 
+  test("sweepFast matches sweep on NaN scores and self-loops") {
+    // Spark `col >= θ` admits NaN at every θ (NaN sorts largest); CC.run
+    // drops self-loop edges — both paths must agree on both edge cases
+    val weird = Seq(
+      (1L, 2L, Double.NaN),  // kept at EVERY theta, even 1.0
+      (5L, 5L, 0.99),        // self-loop: contributes nothing
+      (5L, 6L, 0.60),
+      (7L, 7L, 0.95)         // node 7 has ONLY a self-loop: never counted
+    ).toDF("id1", "id2", "score")
+    val thetas = Seq(0.5, 0.9, 1.0)
+    val naive = rows(ThresholdSweep.sweep(weird, thetas))
+    assert(naive(1.0) == ((2L, 1L, 2L)), "NaN edge must survive θ=1.0")
+    assert(naive(0.9) == ((2L, 1L, 2L)), "self-loops must not count")
+    assert(rows(ThresholdSweep.sweepFast(weird, thetas)) == naive)
+    assert(rows(ThresholdSweep.sweepFast(weird, thetas,
+      maxComponentEdges = 1)) == naive, "fallback path parity")
+  }
+
   test("fuzz: rising theta refines components; stats monotone") {
     val rnd = new scala.util.Random(11)
     for (round <- 0 until 3) {
