@@ -1592,6 +1592,21 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // over-merge repair: bridge edges of the q_cc_components match graph
+    // — the single edges whose removal disconnects their entity (Tarjan
+    // low-link per component). Oracle = per-excluded-edge reachability:
+    // an edge is a bridge iff its far endpoint is unreachable with the
+    // edge knocked out, with the excluded-edge id riding the recursive
+    // reach relation (the q_threshold_sweep parameterized-CTE idiom)
+    "q_bridge_edges" -> ((s, dir) => {
+      val edges = scoredNamePairs(s, dir)
+        .filter(col("jw") >= 0.95 &&
+          pmod(col("id1") + col("id2"), lit(17L)) === 0)
+        .select(col("id1"), col("id2"))
+      graft.cluster.Bridges.bridgeEdges(edges)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // C11 companion: clustering-threshold sensitivity sweep — transitive
     // entity statistics at three θ levels over the q_cc_components edge
     // subset. Oracle = ONE theta-parameterized recursive CTE (theta rides
@@ -4138,6 +4153,59 @@ object SparkEntry {
         |  SELECT r.id, e.v FROM reach r JOIN edges e ON r.n = e.u)
         |SELECT id, least(min(n), id) AS component
         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    // bridge = far endpoint unreachable once the edge is knocked out;
+    // exreach carries the excluded-edge id through the reach relation.
+    // Component labels come from the full-graph reach (CC's min-id
+    // contract), so the row set is the operator's exact output
+    "q_bridge_edges" ->
+      """WITH RECURSIVE recs AS (
+        |  SELECT p_partkey AS id,
+        |         lower(trim(regexp_replace(p_name, '\s+', ' ', 'g'))) AS name
+        |  FROM part),
+        |blocks AS (
+        |  SELECT id, tok AS block_key FROM recs,
+        |    unnest(regexp_split_to_array(name, '[^\p{L}\p{N}]+')) AS t(tok)
+        |  WHERE length(tok) > 0
+        |  GROUP BY id, tok),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2
+        |  FROM blocks a JOIN blocks b USING (block_key)
+        |  WHERE a.id < b.id),
+        |scored AS (
+        |  SELECT p.id1, p.id2
+        |  FROM pairs p
+        |  JOIN recs r1 ON p.id1 = r1.id
+        |  JOIN recs r2 ON p.id2 = r2.id
+        |  WHERE jaro_winkler_similarity(r1.name, r2.name) >= 0.95
+        |    AND (p.id1 + p.id2) % 17 = 0),
+        |e AS (
+        |  SELECT id1, id2, row_number() OVER (ORDER BY id1, id2) AS eid
+        |  FROM scored),
+        |adj AS (
+        |  SELECT id1 AS u, id2 AS v FROM scored
+        |  UNION ALL SELECT id2, id1 FROM scored),
+        |reach(id, n) AS (
+        |  SELECT u, v FROM adj
+        |  UNION
+        |  SELECT r.id, a.v FROM reach r JOIN adj a ON r.n = a.u),
+        |comp AS (
+        |  SELECT id, least(min(n), id) AS component FROM reach GROUP BY id),
+        |exreach(excl, node) AS (
+        |  SELECT eid, id1 FROM e
+        |  UNION
+        |  SELECT x.excl, a.v
+        |  FROM exreach x
+        |  JOIN adj a ON a.u = x.node
+        |  JOIN e ed ON ed.eid = x.excl
+        |  WHERE NOT ((a.u = ed.id1 AND a.v = ed.id2)
+        |          OR (a.u = ed.id2 AND a.v = ed.id1)))
+        |SELECT ed.id1, ed.id2, c.component
+        |FROM e ed
+        |JOIN comp c ON c.id = ed.id1
+        |LEFT JOIN exreach x ON x.excl = ed.eid AND x.node = ed.id2
+        |WHERE x.node IS NULL
+        |ORDER BY ed.id1, ed.id2""".stripMargin,
 
     "q_threshold_sweep" ->
       """WITH RECURSIVE recs AS (

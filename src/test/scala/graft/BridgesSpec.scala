@@ -1,0 +1,78 @@
+package graft
+
+import graft.cluster.Bridges
+import org.apache.spark.sql.DataFrame
+
+/** Bridge-edge detection for over-merge repair (cluster/Bridges). */
+class BridgesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bridges(edges: Seq[(Long, Long)]): Set[(Long, Long)] =
+    Bridges.bridgeEdges(edges.toDF("id1", "id2"))
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+
+  test("chain: every edge is a bridge; cycle: none") {
+    assert(bridges(Seq((1L, 2L), (2L, 3L), (3L, 4L))) ==
+      Set((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(bridges(Seq((1L, 2L), (2L, 3L), (3L, 1L))).isEmpty)
+  }
+
+  test("two triangles glued by one edge: only the glue is a bridge") {
+    val tri1 = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val tri2 = Seq((10L, 11L), (11L, 12L), (12L, 10L))
+    assert(bridges(tri1 ++ tri2 :+ ((3L, 10L))) == Set((3L, 10L)))
+  }
+
+  test("normalization: duplicates collapse, self-loops drop, orientation-free") {
+    // the 1-2 edge appears three ways; still ONE edge, still a bridge
+    assert(bridges(Seq((1L, 2L), (2L, 1L), (1L, 2L), (5L, 5L))) ==
+      Set((1L, 2L)))
+    // a parallel duplicate must NOT turn a bridge into a non-bridge:
+    // the simple graph collapses it (same assertion, not a second cable)
+    assert(bridges(Seq((1L, 2L), (2L, 1L), (2L, 3L))) ==
+      Set((1L, 2L), (2L, 3L)))
+  }
+
+  test("component labels carry CC's min-id contract") {
+    val got = Bridges.bridgeEdges(
+        Seq((5L, 9L), (20L, 21L), (21L, 22L), (22L, 20L), (22L, 30L))
+          .toDF("id1", "id2"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((5L, 9L, 5L), (22L, 30L, 20L)))
+  }
+
+  test("weakBridges: only bridges under the floor survive, with scores") {
+    val scored = Seq(
+      (1L, 2L, 0.99), (2L, 3L, 0.99), (3L, 1L, 0.99), // cycle, strong
+      (3L, 10L, 0.62),                                // weak glue bridge
+      (10L, 11L, 0.99)                                // strong bridge
+    ).toDF("id1", "id2", "score")
+    val got = Bridges.weakBridges(scored, "score", floor = 0.8)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((3L, 10L, 1L, 0.62)))
+  }
+
+  test("fuzz: matches naive remove-edge-and-recheck-connectivity") {
+    val rnd = new scala.util.Random(13)
+    for (round <- 0 until 4) {
+      val es = (0 until 60).map { _ =>
+        val a = rnd.nextInt(22).toLong; val b = rnd.nextInt(22).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      def reaches(skip: (Long, Long), from: Long, to: Long): Boolean = {
+        val adj = es.filter(_ != skip).flatMap(e => Seq(e, e.swap))
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        val seen = scala.collection.mutable.Set(from)
+        val q = scala.collection.mutable.Queue(from)
+        while (q.nonEmpty) {
+          val u = q.dequeue()
+          adj.getOrElse(u, Nil).foreach(w =>
+            if (seen.add(w)) q.enqueue(w))
+        }
+        seen(to)
+      }
+      val naive = es.filter(e => !reaches(e, e._1, e._2)).toSet
+      assert(bridges(es) == naive, s"round $round")
+    }
+  }
+}
