@@ -1607,6 +1607,19 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // over-merge repair, record flavor: articulation nodes of the same
+    // graph — the single RECORD gluing two duplicate families (a dirty
+    // row matching both sides). Oracle = per-excluded-NODE reachability
+    // among the node's neighbors, excl riding the reach relation
+    "q_cut_vertices" -> ((s, dir) => {
+      val edges = scoredNamePairs(s, dir)
+        .filter(col("jw") >= 0.95 &&
+          pmod(col("id1") + col("id2"), lit(17L)) === 0)
+        .select(col("id1"), col("id2"))
+      graft.cluster.Bridges.cutVertices(edges)
+        .orderBy(col("id"))
+    }),
+
     // C11 companion: clustering-threshold sensitivity sweep — transitive
     // entity statistics at three θ levels over the q_cc_components edge
     // subset. Oracle = ONE theta-parameterized recursive CTE (theta rides
@@ -4206,6 +4219,55 @@ object SparkEntry {
         |LEFT JOIN exreach x ON x.excl = ed.eid AND x.node = ed.id2
         |WHERE x.node IS NULL
         |ORDER BY ed.id1, ed.id2""".stripMargin,
+
+    // cut vertex = some neighbor pair disconnected once the node is
+    // knocked out: seed the reach at the node's MIN neighbor, forbid
+    // arcs touching the excluded node, flag nodes with an unreached
+    // neighbor. Leaves (one neighbor) can never qualify
+    "q_cut_vertices" ->
+      """WITH RECURSIVE recs AS (
+        |  SELECT p_partkey AS id,
+        |         lower(trim(regexp_replace(p_name, '\s+', ' ', 'g'))) AS name
+        |  FROM part),
+        |blocks AS (
+        |  SELECT id, tok AS block_key FROM recs,
+        |    unnest(regexp_split_to_array(name, '[^\p{L}\p{N}]+')) AS t(tok)
+        |  WHERE length(tok) > 0
+        |  GROUP BY id, tok),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2
+        |  FROM blocks a JOIN blocks b USING (block_key)
+        |  WHERE a.id < b.id),
+        |scored AS (
+        |  SELECT p.id1, p.id2
+        |  FROM pairs p
+        |  JOIN recs r1 ON p.id1 = r1.id
+        |  JOIN recs r2 ON p.id2 = r2.id
+        |  WHERE jaro_winkler_similarity(r1.name, r2.name) >= 0.95
+        |    AND (p.id1 + p.id2) % 17 = 0),
+        |adj AS (
+        |  SELECT id1 AS u, id2 AS v FROM scored
+        |  UNION ALL SELECT id2, id1 FROM scored),
+        |reach(id, n) AS (
+        |  SELECT u, v FROM adj
+        |  UNION
+        |  SELECT r.id, a.v FROM reach r JOIN adj a ON r.n = a.u),
+        |comp AS (
+        |  SELECT id, least(min(n), id) AS component FROM reach GROUP BY id),
+        |seed AS (SELECT u AS x, min(v) AS s FROM adj GROUP BY u),
+        |nxreach(excl, node) AS (
+        |  SELECT x, s FROM seed
+        |  UNION
+        |  SELECT r.excl, a.v
+        |  FROM nxreach r
+        |  JOIN adj a ON a.u = r.node
+        |  WHERE a.u <> r.excl AND a.v <> r.excl)
+        |SELECT DISTINCT b.u AS id, c.component
+        |FROM adj b
+        |JOIN comp c ON c.id = b.u
+        |LEFT JOIN nxreach r ON r.excl = b.u AND r.node = b.v
+        |WHERE r.node IS NULL
+        |ORDER BY id""".stripMargin,
 
     "q_threshold_sweep" ->
       """WITH RECURSIVE recs AS (

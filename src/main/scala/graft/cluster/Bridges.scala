@@ -28,6 +28,129 @@ import org.apache.spark.sql.functions._
  */
 object Bridges {
 
+  /** Per-component low-link kernel: runs the iterative DFS over the
+    * component's simple edges and returns (bridge edge flags, cut-vertex
+    * node ids). Shared by [[bridgeEdges]] and [[cutVertices]]. */
+  private def lowLinkKernel(eu: Array[Long], ev: Array[Long])
+      : (Array[Boolean], Array[Long]) = {
+    val m = eu.length
+    // --- intern node ids -> [0, n) via open addressing ---
+    val tcap = Integer.highestOneBit(math.max(8, m * 4) - 1) << 1
+    val keys = new Array[Long](tcap); val used = new Array[Boolean](tcap)
+    val idx = new Array[Int](tcap)
+    val nodeId = new Array[Long](2 * m)
+    var n = 0
+    def intern(key: Long): Int = {
+      var h = java.lang.Long.hashCode(key) & (tcap - 1)
+      while (used(h) && keys(h) != key) h = (h + 1) & (tcap - 1)
+      if (used(h)) idx(h)
+      else {
+        keys(h) = key; used(h) = true; idx(h) = n; nodeId(n) = key
+        n += 1; idx(h)
+      }
+    }
+    val es = new Array[Int](m); val et = new Array[Int](m)
+    var i = 0
+    while (i < m) { es(i) = intern(eu(i)); et(i) = intern(ev(i)); i += 1 }
+    // --- CSR adjacency: arc j of edge e=j>>1, reverse arc = j^1 ---
+    val deg = new Array[Int](n + 1)
+    i = 0
+    while (i < m) { deg(es(i) + 1) += 1; deg(et(i) + 1) += 1; i += 1 }
+    i = 1
+    while (i <= n) { deg(i) += deg(i - 1); i += 1 }
+    val off = java.util.Arrays.copyOf(deg, n) // running fill cursor
+    val arcTo = new Array[Int](2 * m); val arcId = new Array[Int](2 * m)
+    i = 0
+    while (i < m) {
+      arcTo(off(es(i))) = et(i); arcId(off(es(i))) = 2 * i; off(es(i)) += 1
+      arcTo(off(et(i))) = es(i); arcId(off(et(i))) = 2 * i + 1; off(et(i)) += 1
+      i += 1
+    }
+    // --- iterative low-link DFS. Tree arc with low[child] > disc[u]:
+    //     bridge. Non-root u with a child where low[child] >= disc[u]:
+    //     cut vertex; a root is one iff it has >= 2 tree children. ---
+    val disc = Array.fill(n)(-1); val low = new Array[Int](n)
+    val viaArc = new Array[Int](n) // arc that discovered the node
+    val stkNode = new Array[Int](n); val stkPtr = new Array[Int](n)
+    val isBridge = new Array[Boolean](m)
+    val isCut = new Array[Boolean](n)
+    var timer = 0
+    var root = 0
+    while (root < n) {
+      if (disc(root) == -1) {
+        var sp = 0
+        var rootKids = 0
+        stkNode(0) = root; stkPtr(0) = deg(root); viaArc(root) = -1
+        disc(root) = timer; low(root) = timer; timer += 1
+        while (sp >= 0) {
+          val u = stkNode(sp)
+          if (stkPtr(sp) < deg(u + 1)) {
+            val a = stkPtr(sp); stkPtr(sp) += 1
+            val w = arcTo(a)
+            // skip ONLY the reverse arc of the tree arc we came by —
+            // on a simple graph that's exactly the parent edge
+            if (arcId(a) != (viaArc(u) ^ 1)) {
+              if (disc(w) == -1) {
+                viaArc(w) = arcId(a)
+                disc(w) = timer; low(w) = timer; timer += 1
+                sp += 1; stkNode(sp) = w; stkPtr(sp) = deg(w)
+              } else if (disc(w) < low(u)) low(u) = disc(w)
+            }
+          } else {
+            sp -= 1
+            if (sp >= 0) {
+              val p = stkNode(sp)
+              if (low(u) < low(p)) low(p) = low(u)
+              if (low(u) > disc(p)) isBridge(viaArc(u) >> 1) = true
+              if (sp == 0) rootKids += 1
+              else if (low(u) >= disc(p)) isCut(p) = true
+            }
+          }
+        }
+        if (rootKids >= 2) isCut(root) = true
+      }
+      root += 1
+    }
+    val cuts = new scala.collection.mutable.ArrayBuilder.ofLong
+    i = 0
+    while (i < n) { if (isCut(i)) cuts += nodeId(i); i += 1 }
+    (isBridge, cuts.result())
+  }
+
+  /** Normalized simple graph grouped by base-CC component, ready for the
+    * per-component kernel. */
+  private def byComponent(edges: DataFrame) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val simple = edges
+      .select(least(col("id1"), col("id2")).cast("long").as("u"),
+        greatest(col("id1"), col("id2")).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val base = ConnectedComponents.run(
+      simple.select(col("u").as("id1"), col("v").as("id2"))).labels
+    simple
+      .join(base.withColumnRenamed("id", "u")
+        .withColumnRenamed("component", "_comp"), Seq("u"))
+      .select(col("_comp"), col("u"), col("v"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+  }
+
+  private def collectComponent(comp: Long, it: Iterator[(Long, Long, Long)],
+      cap: Int): (Array[Long], Array[Long]) = {
+    val ub = new scala.collection.mutable.ArrayBuilder.ofLong
+    val vb = new scala.collection.mutable.ArrayBuilder.ofLong
+    var m = 0
+    it.foreach { t =>
+      if (m >= cap) throw new IllegalStateException(
+        s"component $comp exceeds maxComponentEdges=$cap — cap the " +
+          "match graph (giant-component cap) before cut analysis")
+      ub += t._2; vb += t._3; m += 1
+    }
+    (ub.result(), vb.result())
+  }
+
   /**
    * @param edges (id1, id2) match edges, any orientation, duplicates and
    *              self-loops tolerated (normalized away)
@@ -38,102 +161,34 @@ object Bridges {
   def bridgeEdges(edges: DataFrame, maxComponentEdges: Int = 2000000): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val simple = edges
-      .select(least(col("id1"), col("id2")).cast("long").as("u"),
-        greatest(col("id1"), col("id2")).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-    val base = ConnectedComponents.run(
-      simple.select(col("u").as("id1"), col("v").as("id2"))).labels
     val cap = maxComponentEdges
-    simple
-      .join(base.withColumnRenamed("id", "u")
-        .withColumnRenamed("component", "_comp"), Seq("u"))
-      .select(col("_comp"), col("u"), col("v"))
-      .as[(Long, Long, Long)]
-      .groupByKey(_._1)
+    byComponent(edges)
       .flatMapGroups { (comp, it) =>
-        // --- collect the component's edges into primitive arrays ---
-        val ub = new scala.collection.mutable.ArrayBuilder.ofLong
-        val vb = new scala.collection.mutable.ArrayBuilder.ofLong
-        var m = 0
-        it.foreach { t =>
-          if (m >= cap) throw new IllegalStateException(
-            s"component $comp exceeds maxComponentEdges=$cap — cap the " +
-              "match graph (giant-component cap) before bridge analysis")
-          ub += t._2; vb += t._3; m += 1
-        }
-        val eu = ub.result(); val ev = vb.result()
-        // --- intern node ids -> [0, n) via open addressing ---
-        var tcap = Integer.highestOneBit(math.max(8, m * 4) - 1) << 1
-        val keys = new Array[Long](tcap); val used = new Array[Boolean](tcap)
-        val idx = new Array[Int](tcap)
-        var n = 0
-        def intern(key: Long): Int = {
-          var h = java.lang.Long.hashCode(key) & (tcap - 1)
-          while (used(h) && keys(h) != key) h = (h + 1) & (tcap - 1)
-          if (used(h)) idx(h)
-          else { keys(h) = key; used(h) = true; idx(h) = n; n += 1; idx(h) }
-        }
-        val es = new Array[Int](m); val et = new Array[Int](m)
-        var i = 0
-        while (i < m) { es(i) = intern(eu(i)); et(i) = intern(ev(i)); i += 1 }
-        // --- CSR adjacency: arc j of edge e=j>>1, reverse arc = j^1 ---
-        val deg = new Array[Int](n + 1)
-        i = 0
-        while (i < m) { deg(es(i) + 1) += 1; deg(et(i) + 1) += 1; i += 1 }
-        i = 1
-        while (i <= n) { deg(i) += deg(i - 1); i += 1 }
-        val off = java.util.Arrays.copyOf(deg, n) // running fill cursor
-        val arcTo = new Array[Int](2 * m); val arcId = new Array[Int](2 * m)
-        i = 0
-        while (i < m) {
-          arcTo(off(es(i))) = et(i); arcId(off(es(i))) = 2 * i; off(es(i)) += 1
-          arcTo(off(et(i))) = es(i); arcId(off(et(i))) = 2 * i + 1; off(et(i)) += 1
-          i += 1
-        }
-        // --- iterative low-link DFS; tree arc with low[child] > disc[u]
-        //     marks edge child-ward as a bridge ---
-        val disc = Array.fill(n)(-1); val low = new Array[Int](n)
-        val viaArc = new Array[Int](n) // arc that discovered the node
-        val stkNode = new Array[Int](n); val stkPtr = new Array[Int](n)
-        val isBridge = new Array[Boolean](m)
-        var timer = 0
-        var root = 0
-        while (root < n) {
-          if (disc(root) == -1) {
-            var sp = 0
-            stkNode(0) = root; stkPtr(0) = deg(root); viaArc(root) = -1
-            disc(root) = timer; low(root) = timer; timer += 1
-            while (sp >= 0) {
-              val u = stkNode(sp)
-              if (stkPtr(sp) < deg(u + 1)) {
-                val a = stkPtr(sp); stkPtr(sp) += 1
-                val w = arcTo(a)
-                // skip ONLY the reverse arc of the tree arc we came by —
-                // on a simple graph that's exactly the parent edge
-                if (arcId(a) != (viaArc(u) ^ 1)) {
-                  if (disc(w) == -1) {
-                    viaArc(w) = arcId(a)
-                    disc(w) = timer; low(w) = timer; timer += 1
-                    sp += 1; stkNode(sp) = w; stkPtr(sp) = deg(w)
-                  } else if (disc(w) < low(u)) low(u) = disc(w)
-                }
-              } else {
-                sp -= 1
-                if (sp >= 0) {
-                  val p = stkNode(sp)
-                  if (low(u) < low(p)) low(p) = low(u)
-                  if (low(u) > disc(p)) isBridge(viaArc(u) >> 1) = true
-                }
-              }
-            }
-          }
-          root += 1
-        }
-        (0 until m).iterator.filter(isBridge).map(e => (eu(e), ev(e), comp))
+        val (eu, ev) = collectComponent(comp, it, cap)
+        val (isBridge, _) = lowLinkKernel(eu, ev)
+        eu.indices.iterator.filter(isBridge).map(e => (eu(e), ev(e), comp))
       }
       .toDF("id1", "id2", "component")
+  }
+
+  /**
+   * Articulation records: nodes whose removal disconnects their entity —
+   * the single RECORD (as opposed to a bridge's single pair) gluing two
+   * duplicate families together, typically a dirty row matching both.
+   *
+   * @return one row per cut vertex: (id, component)
+   */
+  def cutVertices(edges: DataFrame, maxComponentEdges: Int = 2000000): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val cap = maxComponentEdges
+    byComponent(edges)
+      .flatMapGroups { (comp, it) =>
+        val (eu, ev) = collectComponent(comp, it, cap)
+        val (_, cuts) = lowLinkKernel(eu, ev)
+        cuts.iterator.map(id => (id, comp))
+      }
+      .toDF("id", "component")
   }
 
   /** Bridges whose score sits below `floor` — the review surface: each

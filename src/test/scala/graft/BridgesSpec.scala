@@ -52,6 +52,54 @@ class BridgesSpec extends SparkSpec {
     assert(got == Set((3L, 10L, 1L, 0.62)))
   }
 
+  private def cuts(edges: Seq[(Long, Long)]): Set[Long] =
+    Bridges.cutVertices(edges.toDF("id1", "id2"))
+      .select("id").as[Long].collect().toSet
+
+  test("cutVertices: chain interior, star hub, triangle glue nodes") {
+    assert(cuts(Seq((1L, 2L), (2L, 3L), (3L, 4L))) == Set(2L, 3L))
+    assert(cuts(Seq((1L, 2L), (2L, 3L), (3L, 1L))).isEmpty)
+    assert(cuts(Seq((1L, 2L), (1L, 3L), (1L, 4L))) == Set(1L))
+    // two triangles glued by an edge: BOTH its endpoints are cuts
+    val tri1 = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val tri2 = Seq((10L, 11L), (11L, 12L), (12L, 10L))
+    assert(cuts(tri1 ++ tri2 :+ ((3L, 10L))) == Set(3L, 10L))
+    // glued through a SHARED record instead: only the hub is a cut
+    val tri2b = Seq((3L, 11L), (11L, 12L), (12L, 3L))
+    assert(cuts(tri1 ++ tri2b) == Set(3L))
+  }
+
+  test("fuzz: cutVertices matches naive remove-node-and-recheck") {
+    val rnd = new scala.util.Random(17)
+    for (round <- 0 until 4) {
+      val es = (0 until 60).map { _ =>
+        val a = rnd.nextInt(20).toLong; val b = rnd.nextInt(20).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      def splitsAt(x: Long): Boolean = {
+        val nbrs = es.collect {
+          case (a, b) if a == x => b
+          case (a, b) if b == x => a
+        }.distinct
+        if (nbrs.length < 2) false
+        else {
+          val adj = es.filter(e => e._1 != x && e._2 != x)
+            .flatMap(e => Seq(e, e.swap))
+            .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+          val seen = scala.collection.mutable.Set(nbrs.head)
+          val q = scala.collection.mutable.Queue(nbrs.head)
+          while (q.nonEmpty) {
+            val u = q.dequeue()
+            adj.getOrElse(u, Nil).foreach(w => if (seen.add(w)) q.enqueue(w))
+          }
+          nbrs.exists(!seen(_))
+        }
+      }
+      assert(cuts(es) == nodes.filter(splitsAt).toSet, s"round $round")
+    }
+  }
+
   test("fuzz: matches naive remove-edge-and-recheck-connectivity") {
     val rnd = new scala.util.Random(13)
     for (round <- 0 until 4) {
