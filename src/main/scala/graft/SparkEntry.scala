@@ -1044,6 +1044,19 @@ object SparkEntry {
           levenshtein(col("name_1"), col("name_2")).cast("long").as("lev"))
     }),
 
+    // Smith-Waterman local-alignment similarity (best matching
+    // substrings) over a deterministic 1/199 pair slice. DuckDB has no
+    // SW, so the oracle RUNS THE DP ITSELF: a recursive CTE marching
+    // the anti-diagonal with the last two diagonals carried as list
+    // columns (validated cell-for-cell against the kernel)
+    "q_sw_pairs" -> ((s, dir) => {
+      attachedNamePairs(s, dir)
+        .filter(pmod(col("id1"), lit(199L)) === 0)
+        .select(col("id1"), col("id2"),
+          round(smith_waterman(col("name_1"), col("name_2")), 6).as("sw"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // brute-force cosine top-k ANN over the embeddings table
     "q_ann_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -3360,6 +3373,56 @@ object SparkEntry {
         |  levenshtein(r1.name, r2.name) AS lev
         |FROM pairs p JOIN recs r1 ON p.id1 = r1.id JOIN recs r2 ON p.id2 = r2.id
         |ORDER BY p.id1, p.id2""".stripMargin,
+
+    // the oracle RUNS the Smith-Waterman DP itself: anti-diagonal d of
+    // the H matrix as a list column (1-based slot k = cell i=k-1,
+    // j=d-i; boundaries 0), the recursion carrying diagonals d and d-1
+    // to build d+1; the answer is the max cell over all diagonals,
+    // normalized by the 2*min(n,m) perfect-local-match ceiling
+    "q_sw_pairs" ->
+      """WITH RECURSIVE recs AS (
+        |  SELECT p_partkey AS id,
+        |         lower(trim(regexp_replace(p_name, '\s+', ' ', 'g'))) AS name
+        |  FROM part),
+        |blocks AS (
+        |  SELECT id, tok AS block_key FROM recs,
+        |    unnest(regexp_split_to_array(name, '[^\p{L}\p{N}]+')) AS t(tok)
+        |  WHERE length(tok) > 0
+        |  GROUP BY id, tok),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2
+        |  FROM blocks a JOIN blocks b USING (block_key)
+        |  WHERE a.id < b.id),
+        |pp AS (
+        |  SELECT p.id1, p.id2, r1.name AS s, r2.name AS t,
+        |         CAST(length(r1.name) AS INT) AS n,
+        |         CAST(length(r2.name) AS INT) AS m
+        |  FROM pairs p
+        |  JOIN recs r1 ON p.id1 = r1.id
+        |  JOIN recs r2 ON p.id2 = r2.id
+        |  WHERE p.id1 % 199 = 0),
+        |dp(id1, id2, s, t, n, m, d, prev, cur) AS (
+        |  SELECT id1, id2, s, t, n, m, 1,
+        |         list_transform(range(0, n+1), i -> 0),
+        |         list_transform(range(0, n+1), i -> 0)
+        |  FROM pp
+        |  UNION ALL
+        |  SELECT id1, id2, s, t, n, m, d+1, cur,
+        |    list_transform(range(0, n+1), i ->
+        |      CASE WHEN i = 0 OR d+1-i <= 0 OR d+1-i > m THEN 0
+        |      ELSE greatest(0,
+        |        coalesce(cur[CAST(i AS INT)], 0) - 1,
+        |        coalesce(cur[CAST(i+1 AS INT)], 0) - 1,
+        |        coalesce(prev[CAST(i AS INT)], 0) +
+        |          CASE WHEN substr(s, CAST(i AS INT), 1)
+        |                  = substr(t, CAST(d+1-i AS INT), 1)
+        |               THEN 2 ELSE -1 END)
+        |      END)
+        |  FROM dp WHERE d < n + m)
+        |SELECT id1, id2,
+        |  round(max(list_max(cur)) / (2.0 * least(n, m)), 6) AS sw
+        |FROM dp GROUP BY id1, id2, n, m
+        |ORDER BY id1, id2""".stripMargin,
 
     "q_ann_topk" ->
       """WITH e AS (

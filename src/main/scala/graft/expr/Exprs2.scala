@@ -39,6 +39,13 @@ object ExprKernels2 {
     Sim.damerauChars(CharScratch.bufA(0), la, CharScratch.bufB(0), lb)
   }
 
+  def smithWaterman(a: UTF8String, b: UTF8String): Double = {
+    val la = ExprKernels.fillA(a); val lb = ExprKernels.fillB(b)
+    if (la == 0 || lb == 0) 0.0
+    else Sim.smithWatermanChars(CharScratch.bufA(0), la, CharScratch.bufB(0), lb)
+      .toDouble / (2.0 * math.min(la, lb))
+  }
+
   /** One-pass cosine over two numeric arrays. IEEE-identical to the
     * composed `dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b)))` with
     * cast-to-double zip_with dots: the three accumulators add the same
@@ -616,6 +623,22 @@ case class DamerauExpr(left: Expression, right: Expression) extends BinaryExpres
     ExprKernels2.damerau(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.expr.ExprKernels2.damerau($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Normalized Smith–Waterman local-alignment similarity (Smith &
+  * Waterman 1981†; match +2 / mismatch −1 / linear gap −1, score over
+  * 2·min(len)) — the best-matching-SUBSTRINGS comparator for embedded
+  * names; oracle-twinned by q_sw_pairs' two-diagonal recursive-CTE DP. */
+case class SmithWatermanExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_smith_waterman"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels2.smithWaterman(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.ExprKernels2.smithWaterman($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

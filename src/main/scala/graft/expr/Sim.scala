@@ -688,4 +688,50 @@ object Sim {
     }
     d((n + 1) * w + m + 1)
   }
+
+  /** Smith–Waterman local alignment score (Smith & Waterman 1981†) with
+    * the simple integer scheme match=+2, mismatch=-1, linear gap=-1: the
+    * best-scoring pair of SUBSTRINGS, so a shared fragment scores high
+    * even when the fields around it diverge completely — the comparator
+    * for embedded names ("j smith" inside "dr j smith jr, esq") where
+    * global-alignment distances (Levenshtein, affine-gap) drown the
+    * match in flank penalties. Two-row DP on thread-local int scratch,
+    * zero allocation; O(n·m) — short fields only, like [[damerau]]. */
+  def smithWatermanChars(s: Array[Char], n: Int, t: Array[Char], m: Int): Int = {
+    if (n == 0 || m == 0) return 0
+    var prev = intBuf(intScratchA, m + 1)
+    var cur = intBuf(intScratchB, m + 1)
+    java.util.Arrays.fill(prev, 0, m + 1, 0)
+    var best = 0
+    var i = 1
+    while (i <= n) {
+      cur(0) = 0
+      val sc = s(i - 1)
+      var j = 1
+      while (j <= m) {
+        val sub = prev(j - 1) + (if (sc == t(j - 1)) 2 else -1)
+        var h = if (sub > 0) sub else 0
+        val up = prev(j) - 1
+        if (up > h) h = up
+        val left = cur(j - 1) - 1
+        if (left > h) h = left
+        cur(j) = h
+        if (h > best) best = h
+        j += 1
+      }
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    best
+  }
+
+  /** Normalized Smith–Waterman similarity in [0, 1]: raw score over the
+    * perfect-local-match ceiling 2·min(n, m) (Christen 2012, Data
+    * Matching†). Either side empty → 0.0. */
+  def smithWaterman(s: String, t: String): Double = {
+    val n = s.length; val m = t.length
+    if (n == 0 || m == 0) 0.0
+    else smithWatermanChars(CharScratch.fillA(s), n, CharScratch.fillB(t), m)
+      .toDouble / (2.0 * math.min(n, m))
+  }
 }

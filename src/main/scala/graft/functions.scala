@@ -66,6 +66,10 @@ object gfunctions {
   /** Unrestricted Damerau-Levenshtein distance (DuckDB-parity). */
   def damerau_levenshtein(a: Column, b: Column): Column = c(DamerauExpr(x(a), x(b)))
 
+  /** Normalized Smith-Waterman local-alignment similarity (best
+    * matching substrings; embedded-name comparator). */
+  def smith_waterman(a: Column, b: Column): Column = c(SmithWatermanExpr(x(a), x(b)))
+
   /** Haversine great-circle distance in km (reference C4 comparator). */
   def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
     val dLat = radians(lat2 - lat1)

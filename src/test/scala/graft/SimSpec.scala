@@ -298,4 +298,39 @@ class SimSpec extends AnyFunSuite {
       assert(Sim.damerau(a, b) == ref(a, b), s"wide trial $trial: '$a' '$b'")
     }
   }
+
+  test("smith-waterman: spot values, bounds, fuzz vs full-matrix reference") {
+    // raw local score: best pair of substrings, +2 match / -1 mismatch+gap
+    assert(Sim.smithWaterman("abc", "abc") == 1.0)
+    assert(Sim.smithWaterman("aa", "aaaa") == 1.0)   // substring → perfect
+    assert(Sim.smithWaterman("abc", "xbz") == 2.0 / 6)
+    assert(Sim.smithWaterman("a", "b") == 0.0)
+    assert(Sim.smithWaterman("", "abc") == 0.0)
+    // the embedded-name case: local alignment ignores the flanks
+    assert(Sim.smithWaterman("j smith", "dr j smith jr esq") == 1.0)
+    // full-matrix reference (no rolling rows) for the fuzz
+    def ref(a: String, b: String): Int = {
+      val h = Array.ofDim[Int](a.length + 1, b.length + 1)
+      var best = 0
+      for (i <- 1 to a.length; j <- 1 to b.length) {
+        h(i)(j) = Seq(0,
+          h(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 2 else -1),
+          h(i - 1)(j) - 1, h(i)(j - 1) - 1).max
+        best = math.max(best, h(i)(j))
+      }
+      best
+    }
+    val r = new scala.util.Random(31)
+    def rs(): String = Seq.fill(r.nextInt(15))(('a' + r.nextInt(4)).toChar).mkString
+    for (trial <- 1 to 2000) {
+      val a = rs(); val b = rs()
+      if (a.nonEmpty && b.nonEmpty) {
+        val got = Sim.smithWatermanChars(a.toCharArray, a.length, b.toCharArray, b.length)
+        assert(got == ref(a, b), s"trial $trial: '$a' vs '$b'")
+        val sim = Sim.smithWaterman(a, b)
+        assert(sim == Sim.smithWaterman(b, a), s"symmetry trial $trial")
+        assert(sim >= 0.0 && sim <= 1.0, s"bounds trial $trial")
+      }
+    }
+  }
 }
