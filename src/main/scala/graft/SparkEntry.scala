@@ -1633,6 +1633,20 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // the repair APPLIED: delete bridges scoring under 0.97 and relabel
+    // — split entities shrink, orphaned nodes keep singleton rows, the
+    // rest of the labeling is untouched. Oracle re-derives the weak
+    // bridge set (per-excluded-edge reach) then recomputes components
+    // over the kept edges
+    "q_bridge_split" -> ((s, dir) => {
+      val scored = scoredNamePairs(s, dir)
+        .filter(col("jw") >= 0.95 &&
+          pmod(col("id1") + col("id2"), lit(17L)) === 0)
+        .select(col("id1"), col("id2"), col("jw"))
+      graft.cluster.Bridges.splitWeakBridges(scored, "jw", floor = 0.97)
+        .orderBy(col("id"))
+    }),
+
     // C11 companion: clustering-threshold sensitivity sweep — transitive
     // entity statistics at three θ levels over the q_cc_components edge
     // subset. Oracle = ONE theta-parameterized recursive CTE (theta rides
@@ -4282,6 +4296,69 @@ object SparkEntry {
         |LEFT JOIN exreach x ON x.excl = ed.eid AND x.node = ed.id2
         |WHERE x.node IS NULL
         |ORDER BY ed.id1, ed.id2""".stripMargin,
+
+    // weak-bridge set re-derived (exreach + score floor), removed, and
+    // components recomputed over the kept edges; orphans label self
+    "q_bridge_split" ->
+      """WITH RECURSIVE recs AS (
+        |  SELECT p_partkey AS id,
+        |         lower(trim(regexp_replace(p_name, '\s+', ' ', 'g'))) AS name
+        |  FROM part),
+        |blocks AS (
+        |  SELECT id, tok AS block_key FROM recs,
+        |    unnest(regexp_split_to_array(name, '[^\p{L}\p{N}]+')) AS t(tok)
+        |  WHERE length(tok) > 0
+        |  GROUP BY id, tok),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2
+        |  FROM blocks a JOIN blocks b USING (block_key)
+        |  WHERE a.id < b.id),
+        |scored AS (
+        |  SELECT p.id1, p.id2,
+        |         jaro_winkler_similarity(r1.name, r2.name) AS jw
+        |  FROM pairs p
+        |  JOIN recs r1 ON p.id1 = r1.id
+        |  JOIN recs r2 ON p.id2 = r2.id
+        |  WHERE jaro_winkler_similarity(r1.name, r2.name) >= 0.95
+        |    AND (p.id1 + p.id2) % 17 = 0),
+        |e AS (
+        |  SELECT id1, id2, jw, row_number() OVER (ORDER BY id1, id2) AS eid
+        |  FROM scored),
+        |adj AS (
+        |  SELECT id1 AS u, id2 AS v FROM scored
+        |  UNION ALL SELECT id2, id1 FROM scored),
+        |exreach(excl, node) AS (
+        |  SELECT eid, id1 FROM e
+        |  UNION
+        |  SELECT x.excl, a.v
+        |  FROM exreach x
+        |  JOIN adj a ON a.u = x.node
+        |  JOIN e ed ON ed.eid = x.excl
+        |  WHERE NOT ((a.u = ed.id1 AND a.v = ed.id2)
+        |          OR (a.u = ed.id2 AND a.v = ed.id1))),
+        |weak AS (
+        |  SELECT ed.id1, ed.id2
+        |  FROM e ed
+        |  LEFT JOIN exreach x ON x.excl = ed.eid AND x.node = ed.id2
+        |  WHERE x.node IS NULL AND ed.jw < 0.97),
+        |kept AS (
+        |  SELECT s.id1, s.id2 FROM scored s
+        |  LEFT JOIN weak w ON w.id1 = s.id1 AND w.id2 = s.id2
+        |  WHERE w.id1 IS NULL),
+        |kadj AS (
+        |  SELECT id1 AS u, id2 AS v FROM kept
+        |  UNION ALL SELECT id2, id1 FROM kept),
+        |kreach(id, n) AS (
+        |  SELECT u, v FROM kadj
+        |  UNION
+        |  SELECT r.id, a.v FROM kreach r JOIN kadj a ON r.n = a.u),
+        |klab AS (
+        |  SELECT id, least(min(n), id) AS component FROM kreach GROUP BY id),
+        |nodes AS (
+        |  SELECT DISTINCT u AS id FROM adj)
+        |SELECT n.id, coalesce(k.component, n.id) AS component
+        |FROM nodes n LEFT JOIN klab k ON k.id = n.id
+        |ORDER BY n.id""".stripMargin,
 
     // cut vertex = some neighbor pair disconnected once the node is
     // knocked out: seed the reach at the node's MIN neighbor, forbid

@@ -206,4 +206,32 @@ object Bridges {
         Seq("id1", "id2"))
       .filter(col(scoreCol) < floor)
   }
+
+  /**
+   * Apply the repair: delete every weak bridge and relabel. Safe by
+   * construction — removing a NON-bridge below the floor would only
+   * thin a cluster that stays connected anyway, but removing a weak
+   * BRIDGE splits exactly the entities glued by one borderline pair;
+   * nothing else moves. Every node of the ORIGINAL graph keeps a row
+   * (a node orphaned by the deletion becomes its own singleton entity),
+   * so the output is a total relabeling, not an edge-incident subset.
+   *
+   * @return (id, component) for every node of the input graph, labels
+   *         carrying CC's min-reachable-id contract over the kept edges
+   */
+  def splitWeakBridges(scoredPairs: DataFrame, scoreCol: String,
+      floor: Double, maxComponentEdges: Int = 2000000): DataFrame = {
+    val simple = scoredPairs
+      .select(least(col("id1"), col("id2")).cast("long").as("id1"),
+        greatest(col("id1"), col("id2")).cast("long").as("id2"))
+      .filter(col("id1") =!= col("id2"))
+      .distinct()
+    val weak = weakBridges(scoredPairs, scoreCol, floor, maxComponentEdges)
+      .select("id1", "id2")
+    val kept = simple.join(weak, Seq("id1", "id2"), "left_anti")
+    val labels = ConnectedComponents.run(kept).labels
+    simple.select(explode(array(col("id1"), col("id2"))).as("id")).distinct()
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
 }

@@ -52,6 +52,25 @@ class BridgesSpec extends SparkSpec {
     assert(got == Set((3L, 10L, 1L, 0.62)))
   }
 
+  test("splitWeakBridges: weak glue splits, strong bridges stay, orphans kept") {
+    val scored = Seq(
+      (1L, 2L, 0.99), (2L, 3L, 0.99), (3L, 1L, 0.99), // strong triangle
+      (3L, 10L, 0.62),                                // weak bridge: cut
+      (10L, 11L, 0.99), (11L, 12L, 0.99), (12L, 10L, 0.99),
+      (20L, 21L, 0.55),                               // weak bridge, BOTH
+                                                      // ends orphaned -> singletons
+      (30L, 31L, 0.55), (31L, 32L, 0.55), (32L, 30L, 0.55) // weak CYCLE:
+                                                      // no bridge, survives whole
+    ).toDF("id1", "id2", "score")
+    val got = Bridges.splitWeakBridges(scored, "score", floor = 0.8)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 21L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L))
+  }
+
   private def cuts(edges: Seq[(Long, Long)]): Set[Long] =
     Bridges.cutVertices(edges.toDF("id1", "id2"))
       .select("id").as[Long].collect().toSet
