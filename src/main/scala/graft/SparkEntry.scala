@@ -1057,6 +1057,29 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // isotonic calibration of pair scores against deterministic noisy
+    // labels (match rate rises with jw by construction, mid-range noise
+    // forces real pooling). Scores pool per rounded value, then PAV;
+    // the oracle computes the SAME fit through the minimax identity
+    // fit(x) = max_{i<=x} min_{j>=x} mean(y[i..j]) — every mean is an
+    // integer/integer division, so values are bit-identical
+    "q_isotonic" -> ((s, dir) => {
+      val labeled = scoredNamePairs(s, dir)
+        .filter(col("jw") >= 0.75 &&
+          pmod(col("id1") + col("id2"), lit(31L)) === 0)
+        .select(round(col("jw"), 3).as("s"),
+          when(col("jw") >= 0.99, lit(1))
+            .when(col("jw") >= 0.97,
+              (pmod(col("id1") + col("id2"), lit(10L)) < 7).cast("int"))
+            .otherwise(
+              (pmod(col("id1") + col("id2"), lit(10L)) < 2).cast("int"))
+            .as("lbl"))
+      graft.score.Calibration.isotonicTable(labeled, "s", "lbl")
+        .select(col("score"), col("n"),
+          round(col("calibrated"), 6).as("calibrated"))
+        .orderBy(col("score"))
+    }),
+
     // brute-force cosine top-k ANN over the embeddings table
     "q_ann_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -3437,6 +3460,62 @@ object SparkEntry {
         |  round(max(list_max(cur)) / (2.0 * least(n, m)), 6) AS sw
         |FROM dp GROUP BY id1, id2, n, m
         |ORDER BY id1, id2""".stripMargin,
+
+    // the oracle computes the isotonic fit through the minimax identity
+    // instead of running PAV: interval means over the pooled points
+    // (exact integer/integer divisions), then max over starts of the
+    // min over ends — the Robertson-Wright-Dykstra characterization
+    "q_isotonic" ->
+      """WITH recs AS (
+        |  SELECT p_partkey AS id,
+        |         lower(trim(regexp_replace(p_name, '\s+', ' ', 'g'))) AS name
+        |  FROM part),
+        |blocks AS (
+        |  SELECT id, tok AS block_key FROM recs,
+        |    unnest(regexp_split_to_array(name, '[^\p{L}\p{N}]+')) AS t(tok)
+        |  WHERE length(tok) > 0
+        |  GROUP BY id, tok),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2
+        |  FROM blocks a JOIN blocks b USING (block_key)
+        |  WHERE a.id < b.id),
+        |base AS (
+        |  SELECT p.id1, p.id2,
+        |         jaro_winkler_similarity(r1.name, r2.name) AS jw
+        |  FROM pairs p
+        |  JOIN recs r1 ON p.id1 = r1.id
+        |  JOIN recs r2 ON p.id2 = r2.id
+        |  WHERE jaro_winkler_similarity(r1.name, r2.name) >= 0.75
+        |    AND (p.id1 + p.id2) % 31 = 0),
+        |lab AS (
+        |  SELECT round(jw, 3) AS score,
+        |    CASE WHEN jw >= 0.99 THEN 1
+        |         WHEN jw >= 0.97 THEN
+        |           CASE WHEN (id1 + id2) % 10 < 7 THEN 1 ELSE 0 END
+        |         ELSE CASE WHEN (id1 + id2) % 10 < 2 THEN 1 ELSE 0 END
+        |    END AS lbl
+        |  FROM base),
+        |pool AS (
+        |  SELECT score, count(*) AS n, sum(lbl) AS s FROM lab GROUP BY 1),
+        |ord AS (
+        |  SELECT score, n, s, row_number() OVER (ORDER BY score) AS rn
+        |  FROM pool),
+        |ivm AS (
+        |  SELECT a.rn AS i, b.rn AS j,
+        |         CAST(sum(k.s) AS DOUBLE) / sum(k.n) AS m
+        |  FROM ord a
+        |  JOIN ord b ON a.rn <= b.rn
+        |  JOIN ord k ON k.rn BETWEEN a.rn AND b.rn
+        |  GROUP BY a.rn, b.rn),
+        |mm AS (
+        |  SELECT x.rn AS x, v.i, min(v.m) AS mn
+        |  FROM ord x
+        |  JOIN ivm v ON v.i <= x.rn AND v.j >= x.rn
+        |  GROUP BY x.rn, v.i),
+        |fit AS (SELECT x, max(mn) AS f FROM mm GROUP BY x)
+        |SELECT o.score, o.n, round(fit.f, 6) AS calibrated
+        |FROM ord o JOIN fit ON fit.x = o.rn
+        |ORDER BY o.score""".stripMargin,
 
     "q_ann_topk" ->
       """WITH e AS (

@@ -1,0 +1,55 @@
+package graft
+
+import graft.score.Calibration
+import org.apache.spark.sql.functions._
+
+/** Isotonic calibration (score/Calibration). */
+class CalibrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pav: monotone input is untouched; violators pool to the mean") {
+    // already isotonic
+    assert(Calibration.pav(Array(1d, 1d, 1d), Array(0d, 0.5, 1d)).toSeq ==
+      Seq(0d, 0.5, 1d))
+    // one violator: (1.0, 0.0) pools to 0.5
+    assert(Calibration.pav(Array(1d, 1d), Array(1d, 0d)).toSeq == Seq(0.5, 0.5))
+    // weighted pooling: means (1.0 w=1), (0.0 w=3) -> pooled 0.25
+    assert(Calibration.pav(Array(1d, 3d), Array(1d, 0d)).toSeq == Seq(0.25, 0.25))
+  }
+
+  test("pav equals the minimax characterization under fuzz") {
+    val rnd = new scala.util.Random(37)
+    for (round <- 0 until 200) {
+      val k = 1 + rnd.nextInt(12)
+      val w = Array.fill(k)((1 + rnd.nextInt(5)).toDouble)
+      val ys = Array.tabulate(k)(i => rnd.nextInt(w(i).toInt + 1).toDouble)
+      val fit = Calibration.pav(w, ys)
+      // fit(x) = max_{i<=x} min_{j>=x} mean(y[i..j])
+      def mean(i: Int, j: Int): Double =
+        (i to j).map(ys).sum / (i to j).map(w).sum
+      val minimax = Array.tabulate(k)(x =>
+        (0 to x).map(i => (x until k).map(j => mean(i, j)).min).max)
+      assert(fit.toSeq == minimax.toSeq, s"round $round: " +
+        s"w=${w.toSeq} y=${ys.toSeq} fit=${fit.toSeq} mm=${minimax.toSeq}")
+      // and the fit is monotone non-decreasing
+      fit.sliding(2).foreach(p => if (p.length == 2) assert(p(0) <= p(1)))
+    }
+  }
+
+  test("isotonicTable pools equal scores first; applyTable steps correctly") {
+    val labeled = Seq(
+      (0.2, 0), (0.2, 1),          // score 0.2: rate 0.5
+      (0.5, 0), (0.5, 0),          // score 0.5: rate 0.0 -> violates, pools
+      (0.9, 1), (0.9, 1), (0.9, 0) // score 0.9: rate 2/3
+    ).toDF("s", "lbl")
+    val table = Calibration.isotonicTable(labeled, "s", "lbl")
+      .as[(Double, Long, Double)].collect().sortBy(_._1)
+    // 0.2 (0.5) and 0.5 (0.0) pool to 1/4; 0.9 stays at 2/3
+    assert(table.toSeq == Seq((0.2, 2L, 0.25), (0.5, 2L, 0.25),
+      (0.9, 3L, 2.0 / 3)))
+    val applied = Calibration.applyTable(
+        Seq(0.1, 0.3, 0.9, 0.95).toDF("s"), table.toSeq.toDF("score", "n", "calibrated"), "s")
+      .select("calibrated").as[Double].collect().toSeq
+    assert(applied == Seq(0.25, 0.25, 2.0 / 3, 2.0 / 3))
+  }
+}
