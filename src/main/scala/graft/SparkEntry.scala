@@ -1670,6 +1670,21 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // robustness complement: the 3-core of the match graph — records
+    // surviving repeated deletion of everything with < 3 strong matches
+    // (entity trust kernels), relabeled within the core since peeling
+    // can split a component. Oracle = the peel itself, loop-unrolled
+    // (6 rounds; the sf0.01 graph converges in 2 — 3x margin, and any
+    // data change that needs more shows up as a hash mismatch)
+    "q_kcore" -> ((s, dir) => {
+      val edges = scoredNamePairs(s, dir)
+        .filter(col("jw") >= 0.95 &&
+          pmod(col("id1") + col("id2"), lit(17L)) === 0)
+        .select(col("id1"), col("id2"))
+      graft.cluster.Cores.kCore(edges, k = 3)
+        .orderBy(col("id"))
+    }),
+
     // C11 companion: clustering-threshold sensitivity sweep — transitive
     // entity statistics at three θ levels over the q_cc_components edge
     // subset. Oracle = ONE theta-parameterized recursive CTE (theta rides
@@ -2215,7 +2230,60 @@ object SparkEntry {
        |        FROM g5 GROUP BY 1)""".stripMargin
 
   /** DuckDB oracle SQL (same parquet tables, column names aligned). */
+  /** q_kcore DuckDB twin: the 3-core peel itself, loop-unrolled (the
+    * q_pagerank loop-unrolling idiom) — each step keeps nodes with >= 3
+    * neighbors among the previous step's survivors; 6 rounds vs the 2
+    * the sf0.01 graph needs, then components over the core edges. */
+  private val kcoreOracleSql: String = {
+    val steps = (1 to 6).map { i =>
+      s"""n$i AS MATERIALIZED (
+         |  SELECT a.u AS id FROM adj a
+         |  JOIN n${i - 1} x ON a.u = x.id
+         |  JOIN n${i - 1} y ON a.v = y.id
+         |  GROUP BY a.u HAVING count(*) >= 3)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE recs AS (
+       |  SELECT p_partkey AS id,
+       |         lower(trim(regexp_replace(p_name, '\\s+', ' ', 'g'))) AS name
+       |  FROM part),
+       |blocks AS (
+       |  SELECT id, tok AS block_key FROM recs,
+       |    unnest(regexp_split_to_array(name, '[^\\p{L}\\p{N}]+')) AS t(tok)
+       |  WHERE length(tok) > 0
+       |  GROUP BY id, tok),
+       |pairs AS (
+       |  SELECT DISTINCT a.id AS id1, b.id AS id2
+       |  FROM blocks a JOIN blocks b USING (block_key)
+       |  WHERE a.id < b.id),
+       |scored AS MATERIALIZED (
+       |  SELECT p.id1, p.id2
+       |  FROM pairs p
+       |  JOIN recs r1 ON p.id1 = r1.id
+       |  JOIN recs r2 ON p.id2 = r2.id
+       |  WHERE jaro_winkler_similarity(r1.name, r2.name) >= 0.95
+       |    AND (p.id1 + p.id2) % 17 = 0),
+       |adj AS MATERIALIZED (
+       |  SELECT id1 AS u, id2 AS v FROM scored
+       |  UNION ALL SELECT id2, id1 FROM scored),
+       |n0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM adj),
+       |$steps,
+       |ce AS (
+       |  SELECT s.id1, s.id2 FROM scored s
+       |  JOIN n6 a ON s.id1 = a.id
+       |  JOIN n6 b ON s.id2 = b.id),
+       |cadj AS (
+       |  SELECT id1 AS u, id2 AS v FROM ce
+       |  UNION ALL SELECT id2, id1 FROM ce),
+       |reach(id, n) AS (
+       |  SELECT u, v FROM cadj
+       |  UNION
+       |  SELECT r.id, a.v FROM reach r JOIN cadj a ON r.n = a.u)
+       |SELECT id, least(min(n), id) AS component
+       |FROM reach GROUP BY id ORDER BY id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_kcore" -> kcoreOracleSql,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
