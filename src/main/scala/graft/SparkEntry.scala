@@ -2229,7 +2229,6 @@ object SparkEntry {
        |          CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS dup5_frac
        |        FROM g5 GROUP BY 1)""".stripMargin
 
-  /** DuckDB oracle SQL (same parquet tables, column names aligned). */
   /** q_kcore DuckDB twin: the 3-core peel itself, loop-unrolled (the
     * q_pagerank loop-unrolling idiom) — each step keeps nodes with >= 3
     * neighbors among the previous step's survivors; 6 rounds vs the 2
@@ -2282,6 +2281,7 @@ object SparkEntry {
        |FROM reach GROUP BY id ORDER BY id""".stripMargin
   }
 
+  /** DuckDB oracle SQL (same parquet tables, column names aligned). */
   def oracleSql: Map[String, String] = Map(
     "q_kcore" -> kcoreOracleSql,
     "q1_agg" ->

@@ -2,6 +2,7 @@ package graft.cluster
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import ComponentGraphs.{simpleEdges, byComponent, collectComponent, Interner}
 
 /**
  * Bridge edges of the match graph — the over-merge repair primitive.
@@ -15,16 +16,15 @@ import org.apache.spark.sql.functions._
  * over-merged entity; the repair is local by construction, no
  * cluster-wide recompute.
  *
- * Scale shape: the input is normalized to a simple undirected graph
- * (canonical orientation, self-loops dropped, parallel duplicates
- * collapsed — a duplicated candidate pair is the same assertion, not a
- * second cable), then ONE base CC partitions the edge set by component
- * and each component runs an iterative explicit-stack low-link DFS in a
- * single task — O(V+E), primitive CSR adjacency + int arrays behind an
- * open-addressing intern table, ~40 B/edge. Components are entity-sized
- * by construction upstream (the giant-component cap in CC); the
- * `maxComponentEdges` guard fails fast with the offending component's
- * label rather than OOM if a caller feeds an uncapped graph.
+ * Scale shape: input normalized once to a simple undirected graph
+ * ([[ComponentGraphs.simpleEdges]]), ONE base CC partitions the edge
+ * set by component, and each component runs an iterative explicit-stack
+ * low-link DFS in a single task — O(V+E), primitive CSR adjacency +
+ * int arrays behind the shared open-addressing interner, ~40 B/edge.
+ * Components are entity-sized by construction upstream (the
+ * giant-component cap in CC); the `maxComponentEdges` guard fails fast
+ * with the offending component's label rather than OOM if a caller
+ * feeds an uncapped graph.
  */
 object Bridges {
 
@@ -34,24 +34,13 @@ object Bridges {
   private def lowLinkKernel(eu: Array[Long], ev: Array[Long])
       : (Array[Boolean], Array[Long]) = {
     val m = eu.length
-    // --- intern node ids -> [0, n) via open addressing ---
-    val tcap = Integer.highestOneBit(math.max(8, m * 4) - 1) << 1
-    val keys = new Array[Long](tcap); val used = new Array[Boolean](tcap)
-    val idx = new Array[Int](tcap)
-    val nodeId = new Array[Long](2 * m)
-    var n = 0
-    def intern(key: Long): Int = {
-      var h = java.lang.Long.hashCode(key) & (tcap - 1)
-      while (used(h) && keys(h) != key) h = (h + 1) & (tcap - 1)
-      if (used(h)) idx(h)
-      else {
-        keys(h) = key; used(h) = true; idx(h) = n; nodeId(n) = key
-        n += 1; idx(h)
-      }
-    }
+    val interner = new Interner(m)
     val es = new Array[Int](m); val et = new Array[Int](m)
     var i = 0
-    while (i < m) { es(i) = intern(eu(i)); et(i) = intern(ev(i)); i += 1 }
+    while (i < m) {
+      es(i) = interner.intern(eu(i)); et(i) = interner.intern(ev(i)); i += 1
+    }
+    val n = interner.n
     // --- CSR adjacency: arc j of edge e=j>>1, reverse arc = j^1 ---
     val deg = new Array[Int](n + 1)
     i = 0
@@ -113,42 +102,25 @@ object Bridges {
     }
     val cuts = new scala.collection.mutable.ArrayBuilder.ofLong
     i = 0
-    while (i < n) { if (isCut(i)) cuts += nodeId(i); i += 1 }
+    while (i < n) { if (isCut(i)) cuts += interner.nodeId(i); i += 1 }
     (isBridge, cuts.result())
   }
 
-  /** Normalized simple graph grouped by base-CC component, ready for the
-    * per-component kernel. */
-  private def byComponent(edges: DataFrame) = {
-    val spark = edges.sparkSession
+  /** [[bridgeEdges]] over an ALREADY-normalized simple edge frame —
+    * callers that have paid the distinct shuffle pass it here instead
+    * of re-normalizing. */
+  private[cluster] def bridgeEdgesSimple(simple: DataFrame,
+      maxComponentEdges: Int): DataFrame = {
+    val spark = simple.sparkSession
     import spark.implicits._
-    val simple = edges
-      .select(least(col("id1"), col("id2")).cast("long").as("u"),
-        greatest(col("id1"), col("id2")).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-    val base = ConnectedComponents.run(
-      simple.select(col("u").as("id1"), col("v").as("id2"))).labels
-    simple
-      .join(base.withColumnRenamed("id", "u")
-        .withColumnRenamed("component", "_comp"), Seq("u"))
-      .select(col("_comp"), col("u"), col("v"))
-      .as[(Long, Long, Long)]
-      .groupByKey(_._1)
-  }
-
-  private def collectComponent(comp: Long, it: Iterator[(Long, Long, Long)],
-      cap: Int): (Array[Long], Array[Long]) = {
-    val ub = new scala.collection.mutable.ArrayBuilder.ofLong
-    val vb = new scala.collection.mutable.ArrayBuilder.ofLong
-    var m = 0
-    it.foreach { t =>
-      if (m >= cap) throw new IllegalStateException(
-        s"component $comp exceeds maxComponentEdges=$cap — cap the " +
-          "match graph (giant-component cap) before cut analysis")
-      ub += t._2; vb += t._3; m += 1
-    }
-    (ub.result(), vb.result())
+    val cap = maxComponentEdges
+    byComponent(simple)
+      .flatMapGroups { (comp, it) =>
+        val (eu, ev) = collectComponent(comp, it, cap, "bridge analysis")
+        val (isBridge, _) = lowLinkKernel(eu, ev)
+        eu.indices.iterator.filter(isBridge).map(e => (eu(e), ev(e), comp))
+      }
+      .toDF("id1", "id2", "component")
   }
 
   /**
@@ -158,18 +130,8 @@ object Bridges {
    *         (id1, id2, component) with id1 < id2 and component = the
    *         CC label (min reachable id) of the edge's component
    */
-  def bridgeEdges(edges: DataFrame, maxComponentEdges: Int = 2000000): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-    val cap = maxComponentEdges
-    byComponent(edges)
-      .flatMapGroups { (comp, it) =>
-        val (eu, ev) = collectComponent(comp, it, cap)
-        val (isBridge, _) = lowLinkKernel(eu, ev)
-        eu.indices.iterator.filter(isBridge).map(e => (eu(e), ev(e), comp))
-      }
-      .toDF("id1", "id2", "component")
-  }
+  def bridgeEdges(edges: DataFrame, maxComponentEdges: Int = 2000000): DataFrame =
+    bridgeEdgesSimple(simpleEdges(edges), maxComponentEdges)
 
   /**
    * Articulation records: nodes whose removal disconnects their entity —
@@ -179,17 +141,35 @@ object Bridges {
    * @return one row per cut vertex: (id, component)
    */
   def cutVertices(edges: DataFrame, maxComponentEdges: Int = 2000000): DataFrame = {
-    val spark = edges.sparkSession
+    val simple = simpleEdges(edges)
+    val spark = simple.sparkSession
     import spark.implicits._
     val cap = maxComponentEdges
-    byComponent(edges)
+    byComponent(simple)
       .flatMapGroups { (comp, it) =>
-        val (eu, ev) = collectComponent(comp, it, cap)
+        val (eu, ev) = collectComponent(comp, it, cap, "cut analysis")
         val (_, cuts) = lowLinkKernel(eu, ev)
         cuts.iterator.map(id => (id, comp))
       }
       .toDF("id", "component")
   }
+
+  /** Canonical-orientation scores, max-deduped per pair. The groupBy
+    * IS the distinct, so `select(id1, id2)` of the result is already a
+    * simple edge frame (modulo self-loops) — no second shuffle. */
+  private def canonScores(scoredPairs: DataFrame, scoreCol: String): DataFrame =
+    scoredPairs.select(
+        least(col("id1"), col("id2")).cast("long").as("id1"),
+        greatest(col("id1"), col("id2")).cast("long").as("id2"),
+        col(scoreCol))
+      .filter(col("id1") =!= col("id2"))
+      .groupBy("id1", "id2").agg(max(col(scoreCol)).as(scoreCol))
+
+  private def weakOfSimple(simple: DataFrame, scores: DataFrame,
+      scoreCol: String, floor: Double, cap: Int): DataFrame =
+    bridgeEdgesSimple(simple, cap)
+      .join(scores, Seq("id1", "id2"))
+      .filter(col(scoreCol) < floor)
 
   /** Bridges whose score sits below `floor` — the review surface: each
     * row is one borderline edge whose veto splits an entity in two.
@@ -197,14 +177,9 @@ object Bridges {
     * on the canonical orientation. */
   def weakBridges(scoredPairs: DataFrame, scoreCol: String,
       floor: Double, maxComponentEdges: Int = 2000000): DataFrame = {
-    val canon = scoredPairs.select(
-      least(col("id1"), col("id2")).as("id1"),
-      greatest(col("id1"), col("id2")).as("id2"),
-      col(scoreCol))
-    bridgeEdges(canon.select("id1", "id2"), maxComponentEdges)
-      .join(canon.groupBy("id1", "id2").agg(max(col(scoreCol)).as(scoreCol)),
-        Seq("id1", "id2"))
-      .filter(col(scoreCol) < floor)
+    val scores = canonScores(scoredPairs, scoreCol)
+    weakOfSimple(scores.select("id1", "id2"), scores,
+      scoreCol, floor, maxComponentEdges)
   }
 
   /**
@@ -221,12 +196,9 @@ object Bridges {
    */
   def splitWeakBridges(scoredPairs: DataFrame, scoreCol: String,
       floor: Double, maxComponentEdges: Int = 2000000): DataFrame = {
-    val simple = scoredPairs
-      .select(least(col("id1"), col("id2")).cast("long").as("id1"),
-        greatest(col("id1"), col("id2")).cast("long").as("id2"))
-      .filter(col("id1") =!= col("id2"))
-      .distinct()
-    val weak = weakBridges(scoredPairs, scoreCol, floor, maxComponentEdges)
+    val scores = canonScores(scoredPairs, scoreCol)
+    val simple = scores.select("id1", "id2")
+    val weak = weakOfSimple(simple, scores, scoreCol, floor, maxComponentEdges)
       .select("id1", "id2")
     val kept = simple.join(weak, Seq("id1", "id2"), "left_anti")
     val labels = ConnectedComponents.run(kept).labels

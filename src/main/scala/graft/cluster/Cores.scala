@@ -2,6 +2,7 @@ package graft.cluster
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import ComponentGraphs.{simpleEdges, byComponent, collectComponent, Interner}
 
 /**
  * k-core decomposition of the match graph — the robustness complement
@@ -15,62 +16,29 @@ import org.apache.spark.sql.functions._
  *
  * Scale shape: one base CC partitions the edge set by component; each
  * component runs the linear bucket-peeling pass (O(V+E), primitive
- * arrays behind the same open-addressing intern idiom as Bridges) in a
- * single task, with the same fail-fast `maxComponentEdges` guard.
+ * arrays behind [[ComponentGraphs]]' shared interner) in a single
+ * task, with the same fail-fast `maxComponentEdges` guard as Bridges.
  */
 object Cores {
 
-  /**
-   * @param edges (id1, id2) match edges, any orientation, duplicates
-   *              and self-loops tolerated (normalized away)
-   * @return (id, core, component) per edge-incident node: its core
-   *         number and its base CC label (min reachable id)
-   */
-  def coreNumbers(edges: DataFrame, maxComponentEdges: Int = 2000000): DataFrame = {
-    val spark = edges.sparkSession
+  /** [[coreNumbers]] over an ALREADY-normalized simple edge frame. */
+  private[cluster] def coreNumbersSimple(simple: DataFrame,
+      maxComponentEdges: Int): DataFrame = {
+    val spark = simple.sparkSession
     import spark.implicits._
     val cap = maxComponentEdges
-    val simple = edges
-      .select(least(col("id1"), col("id2")).cast("long").as("u"),
-        greatest(col("id1"), col("id2")).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-    val base = ConnectedComponents.run(
-      simple.select(col("u").as("id1"), col("v").as("id2"))).labels
-    simple
-      .join(base.withColumnRenamed("id", "u")
-        .withColumnRenamed("component", "_comp"), Seq("u"))
-      .select(col("_comp"), col("u"), col("v"))
-      .as[(Long, Long, Long)]
-      .groupByKey(_._1)
+    byComponent(simple)
       .flatMapGroups { (comp, it) =>
-        val ub = new scala.collection.mutable.ArrayBuilder.ofLong
-        val vb = new scala.collection.mutable.ArrayBuilder.ofLong
-        var m = 0
-        it.foreach { t =>
-          if (m >= cap) throw new IllegalStateException(
-            s"component $comp exceeds maxComponentEdges=$cap — cap the " +
-              "match graph (giant-component cap) before core analysis")
-          ub += t._2; vb += t._3; m += 1
-        }
-        val eu = ub.result(); val ev = vb.result()
-        // intern node ids -> [0, n)
-        val tcap = Integer.highestOneBit(math.max(8, m * 4) - 1) << 1
-        val keys = new Array[Long](tcap); val used = new Array[Boolean](tcap)
-        val idx = new Array[Int](tcap); val nodeId = new Array[Long](2 * m)
-        var n = 0
-        def intern(key: Long): Int = {
-          var h = java.lang.Long.hashCode(key) & (tcap - 1)
-          while (used(h) && keys(h) != key) h = (h + 1) & (tcap - 1)
-          if (used(h)) idx(h)
-          else {
-            keys(h) = key; used(h) = true; idx(h) = n; nodeId(n) = key
-            n += 1; idx(h)
-          }
-        }
+        val (eu, ev) = collectComponent(comp, it, cap, "core analysis")
+        val m = eu.length
+        val interner = new Interner(m)
         val es = new Array[Int](m); val et = new Array[Int](m)
         var i = 0
-        while (i < m) { es(i) = intern(eu(i)); et(i) = intern(ev(i)); i += 1 }
+        while (i < m) {
+          es(i) = interner.intern(eu(i)); et(i) = interner.intern(ev(i))
+          i += 1
+        }
+        val n = interner.n
         // CSR adjacency
         val off = new Array[Int](n + 1)
         i = 0
@@ -127,10 +95,20 @@ object Cores {
           }
           i += 1
         }
-        (0 until n).iterator.map(x => (nodeId(x), core(x).toLong, comp))
+        (0 until n).iterator
+          .map(x => (interner.nodeId(x), core(x).toLong, comp))
       }
       .toDF("id", "core", "component")
   }
+
+  /**
+   * @param edges (id1, id2) match edges, any orientation, duplicates
+   *              and self-loops tolerated (normalized away)
+   * @return (id, core, component) per edge-incident node: its core
+   *         number and its base CC label (min reachable id)
+   */
+  def coreNumbers(edges: DataFrame, maxComponentEdges: Int = 2000000): DataFrame =
+    coreNumbersSimple(simpleEdges(edges), maxComponentEdges)
 
   /** Nodes of the k-core, relabeled WITHIN the core subgraph (deleting
     * low-core nodes can split a component; labels follow CC's
@@ -138,13 +116,9 @@ object Cores {
   def kCore(edges: DataFrame, k: Int,
       maxComponentEdges: Int = 2000000): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    val cores = coreNumbers(edges, maxComponentEdges)
+    val simple = simpleEdges(edges)
+    val cores = coreNumbersSimple(simple, maxComponentEdges)
       .filter(col("core") >= k).select(col("id"))
-    val simple = edges
-      .select(least(col("id1"), col("id2")).cast("long").as("id1"),
-        greatest(col("id1"), col("id2")).cast("long").as("id2"))
-      .filter(col("id1") =!= col("id2"))
-      .distinct()
     val coreEdges = simple
       .join(cores.withColumnRenamed("id", "id1"), Seq("id1"))
       .join(cores.withColumnRenamed("id", "id2"), Seq("id2"))

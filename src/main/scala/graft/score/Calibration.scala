@@ -81,9 +81,10 @@ object Calibration {
 
   /** Calibrate a scored frame with the fitted step function: each score
     * takes the calibrated value of the LARGEST fitted score ≤ it (scores
-    * below the smallest fitted point clamp to its value). Broadcast
-    * range lookup — the mapping is review-sized, the scored frame is
-    * not. */
+    * below the smallest fitted point clamp to its value; NaN propagates
+    * — a broken upstream ratio must surface, not masquerade as a
+    * confidently-low probability). Broadcast range lookup — the mapping
+    * is review-sized, the scored frame is not. */
   def applyTable(scored: DataFrame, mapping: DataFrame,
       scoreCol: String): DataFrame = {
     val spark = scored.sparkSession
@@ -95,7 +96,8 @@ object Calibration {
     val look = udf { s: Double =>
       val arr = bc.value
       var lo = 0; var hi = arr.length - 1
-      if (s <= arr(0)._1) arr(0)._2
+      if (s.isNaN) Double.NaN
+      else if (s <= arr(0)._1) arr(0)._2
       else {
         while (lo < hi) { // largest index with score <= s
           val mid = (lo + hi + 1) >>> 1
