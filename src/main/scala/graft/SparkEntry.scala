@@ -1685,6 +1685,22 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // entity shape diagnostics over the same graph: exact per-component
+    // diameter/radius — diameter ≈ n-1 is the chain-merge smell (the
+    // entity exists only by transitivity through borderline pairs).
+    // Oracle = bounded-walk BFS: rows (src, node, d) for every walk
+    // length ≤ 32 (UNION-deduped, so bounded), true distance = min d;
+    // real diameters here are ≤ ~6, so the cap has 5x margin and a
+    // violation surfaces as a hash mismatch
+    "q_entity_shapes" -> ((s, dir) => {
+      val edges = scoredNamePairs(s, dir)
+        .filter(col("jw") >= 0.95 &&
+          pmod(col("id1") + col("id2"), lit(17L)) === 0)
+        .select(col("id1"), col("id2"))
+      graft.cluster.Shape.entityShapes(edges)
+        .orderBy(col("component"))
+    }),
+
     // C11 companion: clustering-threshold sensitivity sweep — transitive
     // entity statistics at three θ levels over the q_cc_components edge
     // subset. Oracle = ONE theta-parameterized recursive CTE (theta rides
@@ -4443,6 +4459,64 @@ object SparkEntry {
         |LEFT JOIN exreach x ON x.excl = ed.eid AND x.node = ed.id2
         |WHERE x.node IS NULL
         |ORDER BY ed.id1, ed.id2""".stripMargin,
+
+    // per-source bounded-walk BFS: (src, node, d) for every walk length
+    // <= 32 — UNION dedups identical triples so the set is finite; the
+    // true BFS distance is min d, eccentricity max-of-min, and the
+    // component stats aggregate over the full-graph reach labels
+    "q_entity_shapes" ->
+      """WITH RECURSIVE recs AS (
+        |  SELECT p_partkey AS id,
+        |         lower(trim(regexp_replace(p_name, '\s+', ' ', 'g'))) AS name
+        |  FROM part),
+        |blocks AS (
+        |  SELECT id, tok AS block_key FROM recs,
+        |    unnest(regexp_split_to_array(name, '[^\p{L}\p{N}]+')) AS t(tok)
+        |  WHERE length(tok) > 0
+        |  GROUP BY id, tok),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2
+        |  FROM blocks a JOIN blocks b USING (block_key)
+        |  WHERE a.id < b.id),
+        |scored AS MATERIALIZED (
+        |  SELECT p.id1, p.id2
+        |  FROM pairs p
+        |  JOIN recs r1 ON p.id1 = r1.id
+        |  JOIN recs r2 ON p.id2 = r2.id
+        |  WHERE jaro_winkler_similarity(r1.name, r2.name) >= 0.95
+        |    AND (p.id1 + p.id2) % 17 = 0),
+        |adj AS MATERIALIZED (
+        |  SELECT id1 AS u, id2 AS v FROM scored
+        |  UNION ALL SELECT id2, id1 FROM scored),
+        |reach(id, n) AS (
+        |  SELECT u, v FROM adj
+        |  UNION
+        |  SELECT r.id, a.v FROM reach r JOIN adj a ON r.n = a.u),
+        |comp AS MATERIALIZED (
+        |  SELECT id, least(min(n), id) AS component FROM reach GROUP BY id),
+        |bd(src, node, d) AS (
+        |  SELECT u, u, 0 FROM (SELECT DISTINCT u FROM adj) t
+        |  UNION
+        |  SELECT b.src, a.v, b.d + 1
+        |  FROM bd b JOIN adj a ON a.u = b.node
+        |  WHERE b.d < 32),
+        |dist AS (
+        |  SELECT src, node, min(d) AS d FROM bd GROUP BY src, node),
+        |ecc AS (
+        |  SELECT src, max(d) AS e FROM dist GROUP BY src),
+        |stats AS (
+        |  SELECT c.component, count(*) AS n_nodes,
+        |         CAST(max(ecc.e) AS BIGINT) AS diameter,
+        |         CAST(min(ecc.e) AS BIGINT) AS radius
+        |  FROM ecc JOIN comp c ON c.id = ecc.src
+        |  GROUP BY c.component),
+        |ecount AS (
+        |  SELECT c.component, count(*) AS n_edges
+        |  FROM scored s JOIN comp c ON c.id = s.id1
+        |  GROUP BY c.component)
+        |SELECT s.component, s.n_nodes, e.n_edges, s.diameter, s.radius
+        |FROM stats s JOIN ecount e USING (component)
+        |ORDER BY s.component""".stripMargin,
 
     // weak-bridge set re-derived (exreach + score floor), removed, and
     // components recomputed over the kept edges; orphans label self
