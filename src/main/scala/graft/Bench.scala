@@ -7,9 +7,12 @@ import graft.model.PredicateSpec
 
 /**
  * Benchmark main — prints ONE JSON line:
- * {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
+ * {"metric":"total","value":<sec>,"unit":"sec","queries":{...},
+ *  "total_median":<sec>,"queries_median":{...},"sf":...,
  *  "pairs_scored":N,"scaling":{"pairs_per_sec_8":...,"pairs_per_sec_32":...,
  *  "efficiency":...}}
+ * ("queries"/"value" are per-query min-of-3 rounds — steal-robust
+ * headline; the *_median twins report the typical round.)
  *
  * Two parts:
  *  1. per-query wall times at SPARK_GRAFT_CPUS parallelism. Every query is
@@ -94,7 +97,7 @@ object Bench {
   private val snapshotReaders = Set("q_block_pairs", "q_score_pairs",
     "q_ngram_jaccard", "q_affine_scores", "q_threshold", "q_tfidf_cosine",
     "q_cc_components", "q_block_quality", "q_monge_elkan",
-    "q_uncertain_batch", "q_damerau_pairs")
+    "q_uncertain_batch", "q_damerau_pairs", "q_al_round")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -120,16 +123,25 @@ object Bench {
     // span one whole round; with three, two bursts must align to bias a
     // query's minimum. Snapshot memos are flushed between rounds so every
     // round pays the full pair-generation + snapshot build in its timings.
+    // The per-query MEDIAN rides alongside (round-3 verdict: symmetric
+    // evidence discipline with part 2's estimator trio — min is the
+    // steal-robust headline, median shows the typical round).
     val rounds1 = (1 to 3).map { _ =>
       val r = runRound()
       SparkEntry.clearSnapshotCaches()
       r
     }
-    val queryTimes = rounds1.transpose.map { samples =>
+    def medSeq(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val queryStats = rounds1.transpose.map { samples =>
       val name = samples.head._1
       val ok = samples.map(_._2).filter(_ >= 0)
-      name -> (if (ok.isEmpty) -1.0 else ok.min)
+      (name, if (ok.isEmpty) -1.0 else ok.min,
+        if (ok.isEmpty) -1.0 else medSeq(ok))
     }
+    val queryTimes = queryStats.map { case (n, mn, _) => n -> mn }
     // materialize the pair snapshot for the scaling runs (not timed).
     // 512 files: one read split each → 16+ uniform task waves at BOTH
     // parallelism levels, so wave-packing loss doesn't masquerade as a
@@ -189,10 +201,14 @@ object Bench {
 
     val qs = queryTimes.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
       .mkString("{", ",", "}")
+    val qsMed = queryStats.map { case (k, _, md) => s""""$k":${"%.3f".format(md)}""" }
+      .mkString("{", ",", "}")
     val total = queryTimes.map(_._2).filter(_ >= 0).sum
+    val totalMed = queryStats.map(_._3).filter(_ >= 0).sum
     def arr(xs: Array[Double]) = xs.map(x => "%.0f".format(x)).mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,""" +
+      s""""total_median":${"%.3f".format(totalMed)},"queries_median":$qsMed,"sf":"$sfDir",""" +
       s""""pairs_scored":$nPairs,"scaling":{"pairs_per_sec_8":${"%.0f".format(pps8)},""" +
       s""""pairs_per_sec_32":${"%.0f".format(pps32)},"efficiency":${"%.3f".format(eff)},""" +
       s""""estimator":"top3mean_of_10_interleaved","efficiency_best":${"%.3f".format(effBest)},""" +

@@ -1237,15 +1237,19 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
-    // REAL media decode for the uncompressed formats a pure JVM parses
-    // without codec libs (RIFF/WAVE PCM-16, BMP 24bpp) — the rows where
-    // the "decoder honestly stubbed" caveat no longer applies. The
-    // fixture is literal spec-conformant writer output (MediaGen):
+    // REAL media decode for every format a pure JVM parses without
+    // native codec libs (RIFF/WAVE PCM-16, BMP 24bpp via spec parsers;
+    // PNG + JPEG via the JDK's bundled ImageIO plugins) — the rows
+    // where the "decoder honestly stubbed" caveat no longer applies.
+    // The fixture is literal spec-conformant writer output (MediaGen):
     // mono + stereo-behind-a-decoy-LIST-chunk WAVs, bottom-up padded +
-    // top-down BMPs, and an unparseable payload that must degrade to
-    // format='unknown'. Constant input → constant output → green
-    // VALUES oracle (the q_hac_refine pattern); the signal/pixel math
-    // is independently hand-checked in CodecsSpec.
+    // top-down BMPs, a gradient PNG (lossless → means computable a
+    // priori), a solid-gray JPEG (DC-only blocks → the lossy codec
+    // still roundtrips the color exactly, CodecsSpec-verified), and an
+    // unparseable payload that must degrade to format='unknown'.
+    // Constant input → constant output → green VALUES oracle (the
+    // q_hac_refine pattern); the signal/pixel math is independently
+    // hand-checked in CodecsSpec.
     "q_media_decode" -> ((s, dir) => {
       import graft.fixtures.MediaGen
       import s.implicits._
@@ -1257,7 +1261,10 @@ object SparkEntry {
           Seq((10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120)))),
         (4L, MediaGen.bmp(3, 1, Seq((1, 2, 3), (4, 5, 6), (7, 8, 9)),
           topDown = true)),
-        (5L, "plain text payload".getBytes("UTF-8")))
+        (5L, "plain text payload".getBytes("UTF-8")),
+        (6L, MediaGen.png(2, 2,
+          Seq((10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120)))),
+        (7L, MediaGen.jpegSolid(16, 16, 128, 128, 128)))
         .toDF("media_id", "bytes")
       graft.multimodal.Media.decodeTable(media).orderBy(col("media_id"))
     }),
@@ -1298,6 +1305,38 @@ object SparkEntry {
           lit(-8.0) + lit(9.0) * col("jw") + lit(6.0) * col("lev_sim"))
         .select(col("id1"), col("id2"), col("z"))
       graft.score.Training.uncertainBatch(scored, batchSize = 100)
+        .select(col("id1"), col("id2"), round(col("z"), 6).as("z"))
+    }),
+
+    // SURVEY §3.3 — the composed active-learning ROUND-TRIP, the
+    // reference's get-unlabeled -> mark-pair -> train -> re-rank loop
+    // as ONE oracle-checked query: select the uncertain batch under the
+    // prior model, apply golden labels (the deterministic stand-in for
+    // the human: y = [jw >= 0.63], a cut inside the batch's score
+    // range so BOTH classes appear), refit two quantized GD steps
+    // (Training.fitLRQuantized — the GradLR micro-unit determinism
+    // contract, so the whole TRAINING RUN is engine-reproducible),
+    // re-score EVERY candidate pair with the refit weights, and
+    // re-select the next uncertain batch. The DuckDB twin unrolls the
+    // entire loop including both gradient steps.
+    "q_al_round" -> ((s, dir) => {
+      val feats = scoredNamePairs(s, dir)
+        .select(col("id1"), col("id2"), col("jw"), col("lev_sim"))
+      val prior = feats.select(col("id1"), col("id2"),
+        (lit(-8.0) + lit(9.0) * col("jw") + lit(6.0) * col("lev_sim")).as("z"))
+      val batch = graft.score.Training.uncertainBatch(prior, batchSize = 100)
+      val labeled = batch.select("id1", "id2")
+        .join(feats, Seq("id1", "id2"))
+        .withColumn("y", when(col("jw") >= 0.63, 1.0).otherwise(0.0))
+      val w = graft.score.Training.fitLRQuantized(
+        labeled, Seq("jw", "lev_sim"), "y", iters = 2, learnRate = 10.0)
+      val margin =
+        round(col("jw") * lit(1e6), 0).cast("long") * lit(w("jw")) +
+          round(col("lev_sim") * lit(1e6), 0).cast("long") * lit(w("lev_sim")) +
+          lit(1000000L) * lit(w("__bias__"))
+      val rescored = feats.select(col("id1"), col("id2"),
+        (margin.cast("double") / lit(1e12)).as("z"))
+      graft.score.Training.uncertainBatch(rescored, batchSize = 100)
         .select(col("id1"), col("id2"), round(col("z"), 6).as("z"))
     }),
 
@@ -1975,6 +2014,62 @@ object SparkEntry {
           col("p_type"), col("p_brand"))
       graft.cluster.Canonicalize.voteTable(parts, "entity",
           Seq("p_type", "p_brand"))
+        .orderBy(col("entity"))
+    }),
+
+    // G4 cluster confidence over a literal 4-cluster edge fixture — the
+    // last SURVEY §2 compute row without an oracle: per-record mean of
+    // intra-cluster incident edge scores, cross-cluster edges dropped,
+    // singletons (and edgeless members) = 1.0. The DuckDB twin rebuilds
+    // the whole computation, not just its answers.
+    "q_confidences" -> ((s, dir) => {
+      import s.implicits._
+      val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L),
+        (11L, 10L), (20L, 20L), (30L, 30L)).toDF("id", "component")
+      val scored = Seq(
+        (1L, 2L, 0.95), (2L, 3L, 0.85), (1L, 3L, 0.60), // triangle
+        (10L, 11L, 0.99), // pair
+        (10L, 20L, 0.97)) // cross-cluster -> must not count
+        .toDF("id1", "id2", "score")
+      graft.cluster.Canonicalize.confidences(labels, scored)
+        .select(col("id"), col("component"),
+          round(col("confidence"), 6).as("confidence"))
+        .orderBy(col("id"))
+    }),
+
+    // G5 medoid path over a literal cluster fixture — the reference's
+    // actual getCanonicalRep semantics (canonTable/medoidWeighted) with
+    // every branch pinned: separated costs, the 2-value majority-weight
+    // case, duplicate-multiplicity pull, the 256-char comparator cap
+    // (two long values identical through the cap tie exactly -> the
+    // lexicographically smaller wins; WITHOUT the cap the suffix would
+    // decide differently), an all-null entity, and null rows counting
+    // toward cluster_size. The DuckDB twin mirrors the capped weighted
+    // cost Σ cnt_j·(1−JW) including substr(v,1,256).
+    "q_canon_medoid" -> ((s, dir) => {
+      import s.implicits._
+      val longP = "p" * 256
+      val src = Seq(
+        // entity 1: 4 distinct values, well-separated costs
+        (1L, Option("johnson controls inc")),
+        (1L, Option("johnson controls incorporated")),
+        (1L, Option("johnson controls")),
+        (1L, Option("jonson kontrols gmbh")),
+        // entity 2: two values, 3-vs-1 multiplicity -> majority wins
+        (2L, Option("acme corp")), (2L, Option("acme corp")),
+        (2L, Option("acme corp")), (2L, Option("acme corporation")),
+        // entity 3: weighted pull + a null row (counts in cluster_size)
+        (3L, Option("york")), (3L, Option("york")), (3L, Option("york")),
+        (3L, Option("yorkshire")), (3L, Option("new york")),
+        (3L, None: Option[String]),
+        // entity 4: 256-char-cap tie -> lexicographic min of the longs
+        (4L, Option(longP + "aaa zebra")),
+        (4L, Option(longP + "bbb anchor")),
+        (4L, Option(longP + "ccc anchor")),
+        // entity 5: all-null -> null medoid, size kept
+        (5L, None: Option[String]), (5L, None: Option[String]))
+        .toDF("entity", "name")
+      graft.cluster.Canonicalize.canonTable(src, "entity", Seq("name"))
         .orderBy(col("entity"))
     }),
 
@@ -3241,7 +3336,7 @@ object SparkEntry {
         |    CASE WHEN doc_id % 10 < 6 THEN 'b0'
         |         WHEN doc_id % 10 < 9 THEN 'b1'
         |         ELSE 'b2' END AS bucket
-        |  FROM documents),
+        |  FROM documents WHERE doc_id IS NOT NULL),
         |c AS (SELECT bucket, count(*) AS n FROM d GROUP BY 1),
         |t AS (SELECT sum(sqrt(CAST(n AS DOUBLE))) AS tot FROM c),
         |r AS (SELECT bucket,
@@ -3896,6 +3991,104 @@ object SparkEntry {
         |SELECT id1, id2, round(z, 6) AS z
         |FROM mutual ORDER BY abs(z), id1, id2 LIMIT 100""".stripMargin,
 
+    // the whole active-learning loop unrolled: uncertain batch under
+    // the prior, golden labels, TWO micro-unit GD steps (the
+    // q_lr_quality idiom — contributions quantized to BIGINT before the
+    // sum, weight updates HALF_UP), re-score, re-rank
+    "q_al_round" ->
+      raw"""WITH recs AS (
+        |  SELECT p_partkey AS id,
+        |         lower(trim(regexp_replace(p_name, '\s+', ' ', 'g'))) AS name
+        |  FROM part),
+        |blocks AS (
+        |  SELECT id, tok AS block_key FROM recs,
+        |    unnest(regexp_split_to_array(name, '[^\p{L}\p{N}]+')) AS t(tok)
+        |  WHERE length(tok) > 0
+        |  GROUP BY id, tok),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS id1, b.id AS id2
+        |  FROM blocks a JOIN blocks b USING (block_key)
+        |  WHERE a.id < b.id),
+        |feat AS (
+        |  SELECT p.id1, p.id2,
+        |    jaro_winkler_similarity(r1.name, r2.name) AS jw,
+        |    (1.0 - CAST(levenshtein(r1.name, r2.name) AS DOUBLE)
+        |           / greatest(length(r1.name), length(r2.name))) AS lev_sim
+        |  FROM pairs p
+        |  JOIN recs r1 ON p.id1 = r1.id
+        |  JOIN recs r2 ON p.id2 = r2.id),
+        |scored0 AS (
+        |  SELECT id1, id2, -8.0 + 9.0*jw + 6.0*lev_sim AS z FROM feat),
+        |roles0 AS (
+        |  SELECT id1 AS rid, id1, id2, z FROM scored0
+        |  UNION ALL
+        |  SELECT id2 AS rid, id1, id2, z FROM scored0),
+        |ranked0 AS (
+        |  SELECT rid, id1, id2, z,
+        |    row_number() OVER (PARTITION BY rid ORDER BY abs(z), id1, id2) AS rk
+        |  FROM roles0),
+        |batch0 AS (
+        |  SELECT id1, id2 FROM (
+        |    SELECT id1, id2, z FROM ranked0 WHERE rk <= 1
+        |    GROUP BY id1, id2, z HAVING count(*) = 2)
+        |  ORDER BY abs(z), id1, id2 LIMIT 100),
+        |labeled AS (
+        |  SELECT f.id1, f.id2,
+        |    CAST(round(f.jw * 1e6, 0) AS BIGINT) AS xjw,
+        |    CAST(round(f.lev_sim * 1e6, 0) AS BIGINT) AS xlv,
+        |    CAST(1000000 AS BIGINT) AS xb,
+        |    CASE WHEN f.jw >= 0.63 THEN 1.0 ELSE 0.0 END AS y
+        |  FROM batch0 b JOIN feat f USING (id1, id2)),
+        |nn AS (SELECT count(*) AS n FROM labeled),
+        |g1 AS (
+        |  SELECT
+        |    CAST(sum(CAST(round(xjw * (0.5 - y), 0) AS BIGINT)) AS BIGINT) AS gjw,
+        |    CAST(sum(CAST(round(xlv * (0.5 - y), 0) AS BIGINT)) AS BIGINT) AS glv,
+        |    CAST(sum(CAST(round(xb  * (0.5 - y), 0) AS BIGINT)) AS BIGINT) AS gb
+        |  FROM labeled),
+        |w1 AS (
+        |  SELECT
+        |    0 - CAST(round(10.0 * g1.gjw / nn.n, 0) AS BIGINT) AS wjw,
+        |    0 - CAST(round(10.0 * g1.glv / nn.n, 0) AS BIGINT) AS wlv,
+        |    0 - CAST(round(10.0 * g1.gb  / nn.n, 0) AS BIGINT) AS wb
+        |  FROM g1, nn),
+        |r2 AS (
+        |  SELECT l.xjw, l.xlv, l.xb,
+        |    1.0 / (1.0 + exp(-CAST(l.xjw*w1.wjw + l.xlv*w1.wlv
+        |                           + l.xb*w1.wb AS DOUBLE) / 1e12)) - l.y AS r
+        |  FROM labeled l, w1),
+        |g2 AS (
+        |  SELECT
+        |    CAST(sum(CAST(round(xjw * r, 0) AS BIGINT)) AS BIGINT) AS gjw,
+        |    CAST(sum(CAST(round(xlv * r, 0) AS BIGINT)) AS BIGINT) AS glv,
+        |    CAST(sum(CAST(round(xb  * r, 0) AS BIGINT)) AS BIGINT) AS gb
+        |  FROM r2),
+        |w2 AS (
+        |  SELECT
+        |    w1.wjw - CAST(round(10.0 * g2.gjw / nn.n, 0) AS BIGINT) AS wjw,
+        |    w1.wlv - CAST(round(10.0 * g2.glv / nn.n, 0) AS BIGINT) AS wlv,
+        |    w1.wb  - CAST(round(10.0 * g2.gb  / nn.n, 0) AS BIGINT) AS wb
+        |  FROM w1, g2, nn),
+        |rescored AS (
+        |  SELECT f.id1, f.id2,
+        |    CAST(CAST(round(f.jw * 1e6, 0) AS BIGINT) * w2.wjw
+        |       + CAST(round(f.lev_sim * 1e6, 0) AS BIGINT) * w2.wlv
+        |       + 1000000 * w2.wb AS DOUBLE) / 1e12 AS z
+        |  FROM feat f, w2),
+        |roles AS (
+        |  SELECT id1 AS rid, id1, id2, z FROM rescored
+        |  UNION ALL
+        |  SELECT id2 AS rid, id1, id2, z FROM rescored),
+        |ranked AS (
+        |  SELECT rid, id1, id2, z,
+        |    row_number() OVER (PARTITION BY rid ORDER BY abs(z), id1, id2) AS rk
+        |  FROM roles),
+        |mutual AS (
+        |  SELECT id1, id2, z FROM ranked WHERE rk <= 1
+        |  GROUP BY id1, id2, z HAVING count(*) = 2)
+        |SELECT id1, id2, round(z, 6) AS z
+        |FROM mutual ORDER BY abs(z), id1, id2 LIMIT 100""".stripMargin,
+
     "q_tfidf_cosine" ->
       """WITH recs AS (
         |  SELECT p_partkey AS id,
@@ -4226,6 +4419,72 @@ object SparkEntry {
         |  any_value(cluster_size) AS cluster_size
         |FROM sz LEFT JOIN w ON sz.entity = w.entity
         |GROUP BY sz.entity ORDER BY sz.entity""".stripMargin,
+
+    // full rebuild of the confidence computation: intra-cluster edge
+    // filter, incident-score UNION ALL, per-record avg, singleton 1.0
+    "q_confidences" ->
+      """WITH labels(id, component) AS (VALUES
+        |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT)), (2, 1), (3, 1),
+        |  (10, 10), (11, 10), (20, 20), (30, 30)),
+        |sp(id1, id2, score) AS (VALUES
+        |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), 0.95), (2, 3, 0.85),
+        |  (1, 3, 0.60), (10, 11, 0.99), (10, 20, 0.97)),
+        |e AS (
+        |  SELECT sp.id1, sp.id2, sp.score FROM sp
+        |  JOIN labels l1 ON l1.id = sp.id1
+        |  JOIN labels l2 ON l2.id = sp.id2
+        |  WHERE l1.component = l2.component),
+        |inc AS (
+        |  SELECT id1 AS id, score FROM e
+        |  UNION ALL SELECT id2, score FROM e),
+        |a AS (SELECT id, avg(score) AS confidence FROM inc GROUP BY 1)
+        |SELECT l.id, l.component,
+        |  round(coalesce(a.confidence, 1.0), 6) AS confidence
+        |FROM labels l LEFT JOIN a USING (id)
+        |ORDER BY l.id""".stripMargin,
+
+    // independent rebuild of the weighted capped medoid: distinct
+    // (value, cnt) census, 64-value lexicographic cap, cost
+    // Σ cnt_j·(1−JW(substr 256)), min-cost winner with lexicographic
+    // tie-break, null rows kept in cluster_size
+    "q_canon_medoid" ->
+      """WITH src(entity, name) AS (VALUES
+        |  (CAST(1 AS BIGINT), 'johnson controls inc'),
+        |  (1, 'johnson controls incorporated'),
+        |  (1, 'johnson controls'),
+        |  (1, 'jonson kontrols gmbh'),
+        |  (2, 'acme corp'), (2, 'acme corp'), (2, 'acme corp'),
+        |  (2, 'acme corporation'),
+        |  (3, 'york'), (3, 'york'), (3, 'york'),
+        |  (3, 'yorkshire'), (3, 'new york'), (3, NULL),
+        |  (4, repeat('p', 256) || 'aaa zebra'),
+        |  (4, repeat('p', 256) || 'bbb anchor'),
+        |  (4, repeat('p', 256) || 'ccc anchor'),
+        |  (5, NULL), (5, NULL)),
+        |vals AS (
+        |  SELECT entity, name AS v, count(*) AS cnt FROM src
+        |  WHERE name IS NOT NULL AND len(name) > 0
+        |  GROUP BY 1, 2),
+        |capped AS (
+        |  SELECT entity, v, cnt FROM (
+        |    SELECT entity, v, cnt,
+        |      row_number() OVER (PARTITION BY entity ORDER BY v) AS rk
+        |    FROM vals)
+        |  WHERE rk <= 64),
+        |cost AS (
+        |  SELECT a.entity, a.v,
+        |    sum(CASE WHEN b.v = a.v THEN 0.0
+        |        ELSE b.cnt * (1.0 - jaro_winkler_similarity(
+        |               substr(a.v, 1, 256), substr(b.v, 1, 256))) END) AS c
+        |  FROM capped a JOIN capped b USING (entity)
+        |  GROUP BY 1, 2),
+        |win AS (
+        |  SELECT entity, first(v ORDER BY c, v) AS name FROM cost
+        |  GROUP BY 1),
+        |sz AS (SELECT entity, count(*) AS cluster_size FROM src GROUP BY 1)
+        |SELECT sz.entity, win.name, sz.cluster_size
+        |FROM sz LEFT JOIN win USING (entity)
+        |ORDER BY sz.entity""".stripMargin,
 
     "q_event_windows" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
@@ -4704,7 +4963,11 @@ object SparkEntry {
         |  (4, 'bmp', 3, -1, 24, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
         |   4.0, 5.0, 6.0),
         |  (5, 'unknown', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
-        |   NULL, NULL, NULL, NULL, NULL))
+        |   NULL, NULL, NULL, NULL, NULL),
+        |  (6, 'png', 2, 2, 24, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        |   55.0, 65.0, 75.0),
+        |  (7, 'jpeg', 16, 16, 24, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        |   128.0, 128.0, 128.0))
         |  t(media_id, format, width, height, bits, sample_rate, channels,
         |    n_samples, duration_sec, peak, rms, zero_crossings,
         |    mean_r, mean_g, mean_b)

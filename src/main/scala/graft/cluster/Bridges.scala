@@ -190,6 +190,9 @@ object Bridges {
    * nothing else moves. Every node of the ORIGINAL graph keeps a row
    * (a node orphaned by the deletion becomes its own singleton entity),
    * so the output is a total relabeling, not an edge-incident subset.
+   * The node universe is read from `scoredPairs` BEFORE the self-loop
+   * filter, so a record appearing only in self-loop pairs still gets
+   * its singleton row.
    *
    * @return (id, component) for every node of the input graph, labels
    *         carrying CC's min-reachable-id contract over the kept edges
@@ -202,7 +205,9 @@ object Bridges {
       .select("id1", "id2")
     val kept = simple.join(weak, Seq("id1", "id2"), "left_anti")
     val labels = ConnectedComponents.run(kept).labels
-    simple.select(explode(array(col("id1"), col("id2"))).as("id")).distinct()
+    scoredPairs
+      .select(explode(array(col("id1").cast("long"),
+        col("id2").cast("long"))).as("id")).distinct()
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }

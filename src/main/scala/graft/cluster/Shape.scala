@@ -13,12 +13,18 @@ import ComponentGraphs.{simpleEdges, byComponent, collectComponent, Interner}
  * [[Bridges]] and [[Cores]] then localize.
  *
  * Scale shape: one base CC partitions the edge set; each component runs
- * all-pairs BFS over primitive CSR arrays in a single task — exact, no
- * approximation, O(V·(V+E)) per component. That quadratic is the point
- * of the `maxComponentNodes` guard (default 4096): entity-sized
- * components cost ≤ a few ms; anything bigger should have hit the
- * giant-component cap upstream, so the guard fails fast instead of
- * burning a task on an uncapped graph.
+ * in a single task over primitive CSR arrays — exact, no approximation.
+ * The eccentricity loop is BoundingDiameters (Takes & Kosters 2011†,
+ * the iFUB family): each BFS from a chosen source fixes that node's
+ * eccentricity exactly and bounds every other node's within
+ * [max(d, ecc−d), ecc+d]; nodes whose bounds can no longer move the
+ * diameter OR the radius drop out, and real entity components resolve
+ * in a handful of BFS runs instead of V of them (worst case remains
+ * O(V·(V+E)) — the adversarial graphs where no bound helps). That
+ * residual quadratic is the point of the `maxComponentNodes` guard
+ * (default 4096): entity-sized components cost ≤ a few ms; anything
+ * bigger should have hit the giant-component cap upstream, so the guard
+ * fails fast instead of burning a task on an uncapped graph.
  */
 object Shape {
 
@@ -65,11 +71,17 @@ object Shape {
           arcTo(cur(et(i))) = es(i); cur(et(i)) += 1
           i += 1
         }
-        // all-pairs BFS: eccentricity per source, then max/min
+        // BoundingDiameters: exact diameter AND radius, few BFS typical
         val dist = new Array[Int](n); val queue = new Array[Int](n)
-        var diameter = 0; var radius = Int.MaxValue
-        var src = 0
-        while (src < n) {
+        val eccLo = new Array[Int](n)
+        val eccHi = new Array[Int](n)
+        java.util.Arrays.fill(eccHi, Int.MaxValue)
+        val active = new Array[Boolean](n)
+        java.util.Arrays.fill(active, true)
+        var nActive = n
+        var dLo = 0                 // max exact/lower ecc seen
+        var rHi = Int.MaxValue      // min exact/upper ecc seen
+        def bfsEcc(src: Int): Int = {
           java.util.Arrays.fill(dist, -1)
           dist(src) = 0; queue(0) = src
           var head = 0; var tail = 1
@@ -87,11 +99,75 @@ object Shape {
               a += 1
             }
           }
-          if (ecc > diameter) diameter = ecc
-          if (ecc < radius) radius = ecc
-          src += 1
+          ecc
         }
-        (comp, n.toLong, m.toLong, diameter.toLong, radius.toLong)
+        // first source: max-degree node (center-ish — the classic
+        // double-sweep opener); then alternate the bound we attack
+        var pick = 0
+        var v = 1
+        while (v < n) {
+          if (off(v + 1) - off(v) > off(pick + 1) - off(pick)) pick = v
+          v += 1
+        }
+        var highTurn = true
+        while (nActive > 0) {
+          val ecc = bfsEcc(pick)
+          if (ecc > dLo) dLo = ecc
+          if (ecc < rHi) rHi = ecc
+          // tighten every node's band with this BFS's distances, drop
+          // nodes that can no longer move the diameter or the radius,
+          // and choose the next source while scanning
+          var nextPick = -1; var nextKey = 0
+          v = 0
+          while (v < n) {
+            if (active(v)) {
+              val d = dist(v)
+              val lo = math.max(d, ecc - d)
+              if (lo > eccLo(v)) eccLo(v) = lo
+              if (ecc + d < eccHi(v)) eccHi(v) = ecc + d
+              if (eccLo(v) == eccHi(v) ||
+                  (eccHi(v) <= dLo && eccLo(v) >= rHi)) {
+                // resolved: an exact band contributes its value; a
+                // dominated band can't change either statistic
+                if (eccLo(v) == eccHi(v)) {
+                  if (eccLo(v) > dLo) dLo = eccLo(v)
+                  if (eccHi(v) < rHi) rHi = eccHi(v)
+                }
+                active(v) = false; nActive -= 1
+              } else {
+                // attack the larger gap: alternate between the node
+                // whose upper bound most exceeds dLo (diameter side)
+                // and the one whose lower bound most undercuts rHi
+                val key = if (highTurn) eccHi(v) else -eccLo(v)
+                if (nextPick < 0 || key > nextKey ||
+                    (key == nextKey &&
+                      off(v + 1) - off(v) > off(nextPick + 1) - off(nextPick))) {
+                  nextPick = v; nextKey = key
+                }
+              }
+            }
+            v += 1
+          }
+          // re-drop pass: dLo/rHi may have tightened after a node's
+          // bounds were tested above (monotone, so one extra sweep)
+          v = 0
+          while (v < n) {
+            if (active(v) && eccHi(v) <= dLo && eccLo(v) >= rHi) {
+              active(v) = false; nActive -= 1
+              if (v == nextPick) nextPick = -1
+            }
+            v += 1
+          }
+          if (nextPick < 0 && nActive > 0) {
+            // pick survived neither scan: take any remaining active node
+            v = 0
+            while (v < n && !active(v)) v += 1
+            nextPick = v
+          }
+          pick = nextPick
+          highTurn = !highTurn
+        }
+        (comp, n.toLong, m.toLong, dLo.toLong, rHi.toLong)
       }
       .toDF("component", "n_nodes", "n_edges", "diameter", "radius")
   }

@@ -167,7 +167,10 @@ object ThresholdSweep {
           while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
           x
         }
-        thArr.indices.iterator.map { lvl =>
+        // Materialized strictly (K tiny): the per-level rows read shared
+        // mutable union-find state, so a lazy iterator would make
+        // correctness depend on in-order single consumption downstream.
+        thArr.indices.toArray.map { lvl =>
           val ids = bucket(lvl).result()
           var i = 0
           while (i < ids.length) {

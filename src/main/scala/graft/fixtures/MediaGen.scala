@@ -3,9 +3,10 @@ package graft.fixtures
 import java.io.ByteArrayOutputStream
 
 /**
- * Deterministic uncompressed-media byte builders (WAV PCM-16, BMP
- * 24bpp) for the real-decoder fixtures (multimodal/Codecs.scala).
- * Spec-conformant writers†, seeded/literal payloads, no external data
+ * Deterministic media byte builders (WAV PCM-16 + BMP 24bpp
+ * spec-conformant writers†; PNG + solid-color JPEG via the JDK's own
+ * ImageIO encoders) for the real-decoder fixtures
+ * (multimodal/Codecs.scala). Seeded/literal payloads, no external data
  * — the same no-wall-clock contract as PagesGen.
  */
 object MediaGen {
@@ -66,6 +67,40 @@ object MediaGen {
       row.foreach { case (r, g, b) => o.write(b); o.write(g); o.write(r) }
       (w * 3 until stride).foreach(_ => o.write(0))
     }
+    o.toByteArray
+  }
+
+  /** Build an opaque-RGB BufferedImage from row-major (r,g,b) pixels. */
+  private def rgbImage(w: Int, h: Int,
+      pixels: Seq[(Int, Int, Int)]): java.awt.image.BufferedImage = {
+    require(pixels.length == w * h, "need w*h pixels")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    pixels.zipWithIndex.foreach { case ((r, g, b), i) =>
+      img.setRGB(i % w, i / w, (r << 16) | (g << 8) | b)
+    }
+    img
+  }
+
+  /** PNG writer via the JDK ImageIO plugin: lossless, so the decoded
+    * pixels — and therefore the fixture's expected channel means — are
+    * exactly the pixels passed in. */
+  def png(w: Int, h: Int, pixels: Seq[(Int, Int, Int)]): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgbImage(w, h, pixels), "png", o)
+    o.toByteArray
+  }
+
+  /** Solid-color JPEG via the JDK ImageIO plugin. A uniform image is a
+    * DC-only JPEG: every 8×8 block's AC coefficients are zero, the DC
+    * quantizes/dequantizes exactly, and constant chroma survives 4:2:0
+    * subsampling — so the decode roundtrips the color exactly and the
+    * expected means stay hand-computable despite the lossy codec†
+    * (verified in CodecsSpec before the oracle relies on it). */
+  def jpegSolid(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(
+      rgbImage(w, h, Seq.fill(w * h)((r, g, b))), "jpg", o)
     o.toByteArray
   }
 }

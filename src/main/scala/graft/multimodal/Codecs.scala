@@ -1,17 +1,20 @@
 package graft.multimodal
 
 /**
- * REAL decoders for the uncompressed container formats a pure JVM can
- * parse without codec libraries: RIFF/WAVE PCM-16 audio and BMP
- * (BITMAPINFOHEADER, 24bpp, BI_RGB) images. These replace
- * `Media.decodeStub` for their formats — the stub remains only for
- * compressed codecs (jpeg/opus/h264) that genuinely need native libs
- * absent from this container. Parsers are defensive: any structural
- * violation (bad magic, truncated chunk, unsupported bpp/compression)
- * yields None and the row degrades to format="unknown" rather than
- * throwing mid-stage.
+ * REAL decoders for the formats a pure JVM can parse without native
+ * codec libraries: RIFF/WAVE PCM-16 audio and BMP (BITMAPINFOHEADER,
+ * 24bpp, BI_RGB) images via hand-written spec parsers, plus JPEG and
+ * PNG via the JDK's own `javax.imageio` plugins (shipped with every
+ * JDK — no external jar; PNG decode is lossless and therefore exactly
+ * reproducible from the encoded pixels, JPEG decode is deterministic
+ * per decoder implementation). These replace `Media.decodeStub` for
+ * their formats — the stub remains only for compressed AUDIO/VIDEO
+ * codecs (opus/h264) that genuinely need native libs absent from this
+ * container. Parsers are defensive: any structural violation (bad
+ * magic, truncated chunk, unsupported bpp/compression) yields None and
+ * the row degrades to format="unknown" rather than throwing mid-stage.
  *
- * All byte order little-endian per both specs†.
+ * WAV/BMP byte order little-endian per both specs†.
  */
 object Codecs {
 
@@ -35,11 +38,15 @@ object Codecs {
   private def ascii(b: Array[Byte], o: Int, s: String): Boolean =
     o + s.length <= b.length && s.indices.forall(i => b(o + i) == s.charAt(i).toByte)
 
-  /** Container sniff by magic bytes: "wav" | "bmp" | "unknown". */
+  /** Container sniff by magic bytes:
+    * "wav" | "bmp" | "png" | "jpeg" | "unknown". */
   def detect(b: Array[Byte]): String =
     if (b == null) "unknown"
     else if (ascii(b, 0, "RIFF") && b.length >= 12 && ascii(b, 8, "WAVE")) "wav"
     else if (ascii(b, 0, "BM") && b.length >= 54) "bmp"
+    else if (b.length >= 8 && (b(0) & 0xff) == 0x89 && ascii(b, 1, "PNG")) "png"
+    else if (b.length >= 3 && (b(0) & 0xff) == 0xff &&
+      (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff) "jpeg"
     else "unknown"
 
   private def round6(x: Double): Double =
@@ -135,5 +142,40 @@ object Codecs {
     val n = w.toLong * h
     Some(BmpInfo(w, hRaw, bpp,
       round6(sr.toDouble / n), round6(sg.toDouble / n), round6(sb.toDouble / n)))
+  }
+
+  /**
+   * Decode a JPEG or PNG through the JDK's ImageIO plugins (headless-
+   * safe; no native libs). Channel means are exact integer sums over
+   * `getRGB` (sRGB-converted pixels) divided once — deterministic
+   * across partitionings; PNG roundtrips its encoded pixels exactly
+   * (lossless), so fixture means are hand-computable a priori. `bits`
+   * reports the decoded color model's pixel size (24 for opaque RGB,
+   * 32 with alpha). Any parse failure (truncated stream, unsupported
+   * variant) → None → format="unknown" upstream.
+   */
+  def parseImageIO(b: Array[Byte]): Option[BmpInfo] = {
+    val kind = detect(b)
+    if (kind != "png" && kind != "jpeg") return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+      val w = img.getWidth; val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      Some(BmpInfo(w, h, img.getColorModel.getPixelSize,
+        round6(sr.toDouble / n), round6(sg.toDouble / n),
+        round6(sb.toDouble / n)))
+    } catch { case _: java.io.IOException | _: RuntimeException => None }
   }
 }

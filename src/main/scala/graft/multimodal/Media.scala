@@ -9,11 +9,14 @@ import org.apache.spark.sql.types._
  * `binary` columns with typed metadata; decode / feature-extract /
  * frame-sample run per-partition in batches.
  *
- * The REAL codec layer (jpeg/opus/h264) is not present in this container,
- * so `decodeStub` below is a clearly-marked deterministic fake (a byte
- * histogram) standing in for the decoder — the Spark-side plumbing
- * (schema, partition-batched execution shape, feature column contract) is
- * real and tested. Swapping in a real decoder = replacing ONE function.
+ * REAL decoders cover WAV-PCM, BMP, JPEG and PNG (multimodal/Codecs —
+ * hand-written spec parsers + the JDK's own ImageIO plugins). The codec
+ * layer for compressed AUDIO/VIDEO (opus/h264) is not present in this
+ * container, so `decodeStub` below is a clearly-marked deterministic
+ * fake (a byte histogram) standing in for those decoders — the
+ * Spark-side plumbing (schema, partition-batched execution shape,
+ * feature column contract) is real and tested. Swapping in a real
+ * decoder = replacing ONE function.
  */
 object Media {
 
@@ -95,13 +98,13 @@ object Media {
     StructField("mean_b", DoubleType)))
 
   /**
-   * REAL decode over the media table for the uncompressed formats a
-   * pure JVM parses without codec libs (multimodal/Codecs.scala:
-   * RIFF/WAVE PCM-16, BMP 24bpp BI_RGB) — the formats where the
-   * "decoder is honestly stubbed" caveat no longer applies. Unparseable
-   * payloads degrade to format="unknown" with null features instead of
-   * failing the stage. Same per-partition batched shape as
-   * [[extractFeatures]].
+   * REAL decode over the media table for every format a pure JVM parses
+   * without native codec libs (multimodal/Codecs.scala: RIFF/WAVE
+   * PCM-16 and BMP 24bpp BI_RGB via spec parsers; JPEG and PNG via the
+   * JDK's bundled ImageIO plugins) — the formats where the "decoder is
+   * honestly stubbed" caveat no longer applies. Unparseable payloads
+   * degrade to format="unknown" with null features instead of failing
+   * the stage. Same per-partition batched shape as [[extractFeatures]].
    */
   def decodeTable(media: DataFrame): DataFrame = {
     implicit val enc = Encoders.row(decodeSchema)
@@ -119,6 +122,12 @@ object Media {
             }
             case "bmp" => Codecs.parseBmp(b) match {
               case Some(m) => Row(id, "bmp", m.width, m.height, m.bits,
+                null, null, null, null, null, null, null,
+                m.meanR, m.meanG, m.meanB)
+              case None => unknownRow(id)
+            }
+            case fmt @ ("png" | "jpeg") => Codecs.parseImageIO(b) match {
+              case Some(m) => Row(id, fmt, m.width, m.height, m.bits,
                 null, null, null, null, null, null, null,
                 m.meanR, m.meanG, m.meanB)
               case None => unknownRow(id)

@@ -59,24 +59,87 @@ object Calibration {
   /**
    * @param labeled frame carrying a raw score and a {0,1} (or [0,1])
    *                label per reviewed pair
+   * @param maxDistinctScores fail-fast bound on the driver collect:
+   *                pooling by score is only driver-sized when scores are
+   *                DISCRETE. A continuous-score frame (47M LR sigmoids)
+   *                has one distinct value per row and would collect the
+   *                whole frame — with the cap it fails fast and points
+   *                at [[fixedWidthBins]]/[[quantileBins]] instead of
+   *                OOMing the driver.
    * @return (score, n, calibrated): one row per distinct score,
    *         ascending, with the monotone calibrated probability
    */
   def isotonicTable(labeled: DataFrame, scoreCol: String,
-      labelCol: String): DataFrame = {
+      labelCol: String, maxDistinctScores: Int = 100000): DataFrame = {
     val spark = labeled.sparkSession
     import spark.implicits._
-    val pooled = labeled
+    val grouped = labeled
       .select(col(scoreCol).cast("double").as("score"),
         col(labelCol).cast("double").as("y"))
       .filter(col("score").isNotNull && col("y").isNotNull)
       .groupBy(col("score"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("ysum"))
-      .orderBy(col("score"))
+    // the count is one extra distributed aggregate over the already-
+    // pooled frame (distinct-score-sized input, 1-row output) — cheap
+    // insurance against a corpus-sized collect
+    val distinct = grouped.count()
+    require(distinct <= maxDistinctScores,
+      s"$distinct distinct scores exceed maxDistinctScores=" +
+        s"$maxDistinctScores - the PAV pool would collect one row per " +
+        "distinct score onto the driver. Pre-bin continuous scores " +
+        "(Calibration.fixedWidthBins / quantileBins) or raise the " +
+        "cap deliberately.")
+    val pooled = grouped.orderBy(col("score"))
       .as[(Double, Long, Double)].collect()
     val fit = pav(pooled.map(_._2.toDouble), pooled.map(_._3))
     pooled.indices.map(i => (pooled(i)._1, pooled(i)._2, fit(i)))
       .toDF("score", "n", "calibrated")
+  }
+
+  /**
+   * Pre-binning for mass calibration over CONTINUOUS scores: replaces
+   * each score with its bin's representative so [[isotonicTable]]'s
+   * distinct-score pool is bounded by `bins` regardless of corpus size.
+   *
+   *  - `fixedWidthBins`: score → lower edge of its width-(hi−lo)/bins
+   *    bin, clamped into [lo, hi]. One codegen'd expression, no shuffle,
+   *    deterministic — the default for probability-like scores on [0,1].
+   *  - `quantileBins`: bin edges = exact distributed quantiles
+   *    (stats/Quantiles — MSD-radix censuses, no sort, driver work
+   *    corpus-size-independent), so each bin carries equal mass even
+   *    under heavy score skew; the score maps to the largest edge ≤ it
+   *    via a broadcast range join of the `bins`-row edge table.
+   */
+  def fixedWidthBins(labeled: DataFrame, scoreCol: String, bins: Int,
+      lo: Double = 0.0, hi: Double = 1.0): DataFrame = {
+    require(bins > 0 && hi > lo, s"need bins>0 and hi>lo: $bins, [$lo,$hi]")
+    val width = (hi - lo) / bins
+    val idx = least(lit(bins - 1), greatest(lit(0),
+      floor((col(scoreCol).cast("double") - lit(lo)) / lit(width)).cast("int")))
+    labeled.withColumn(scoreCol, lit(lo) + idx * lit(width))
+  }
+
+  /** See [[fixedWidthBins]]. Equal-mass edges from the exact quantile
+    * operator (driver sees only the `bins`-element edge list — the
+    * quantile kernel's own censuses are 2^16-bounded); ties in heavy
+    * mass points collapse edges (fewer, larger bins — correct under
+    * PAV, which pools equal scores anyway). Scores below the smallest
+    * edge clamp up to it, so the output's distinct-score count is
+    * ≤ `bins` by construction. */
+  def quantileBins(labeled: DataFrame, scoreCol: String, bins: Int): DataFrame = {
+    require(bins > 0, s"need bins>0: $bins")
+    val qs = (1 to bins).map(_.toDouble / bins)
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val edgeArr = graft.stats.Quantiles.quantilesDisc(
+        labeled.select(col(scoreCol).cast("double").as(scoreCol)), scoreCol, qs)
+      .select(col("value").cast("double")).as[Double]
+      .collect().distinct.sorted
+    require(edgeArr.nonEmpty, "no scores to bin")
+    val arrCol = array(edgeArr.map(lit(_)): _*)
+    val s = col(scoreCol).cast("double")
+    labeled.withColumn(scoreCol, coalesce(
+      array_max(filter(arrCol, e => e <= s)), lit(edgeArr.head)))
   }
 
   /** Calibrate a scored frame with the fitted step function: each score

@@ -92,6 +92,59 @@ object Training {
     (featureNames.zip(w).toMap, b)
   }
 
+  /**
+   * Deterministic micro-unit LR fit over FIXED pair-feature columns —
+   * the oracle-checkable twin of [[fitLR]] for the composed
+   * active-learning round-trip (q_al_round; SURVEY §3.3). Borrows
+   * GradLR's determinism contract (score/GradLR.scala): feature values
+   * quantize to exact 1e-6 micro-units (long), weights live in
+   * micro-units, a pair's margin Σ xq_j·wq_j is an exact integer in
+   * 1e-12 units, σ(margin/1e12) is one libm call whose last-ulp noise
+   * is absorbed by rounding each per-pair gradient contribution
+   * round(xq_j·r) to a long BEFORE the order-independent sum — so
+   * training is bit-reproducible across partitionings, AQE re-plans,
+   * and engines (the DuckDB twin unrolls the identical steps).
+   *
+   * Scale shape: each step is ONE map-side-combinable aggregation over
+   * the labeled frame; the driver only ever sees the (k+1)-element
+   * sufficient statistic (gradient vector + row count), never rows —
+   * the FS/EM collapse pattern. Labeled sets are human-batch-sized by
+   * construction, but nothing here degrades if they are not.
+   *
+   * All rounding is HALF_UP (away from zero on ties) to match both
+   * Spark's `round` and DuckDB's — including the driver-side weight
+   * update, which goes through BigDecimal rather than `math.round`
+   * (floor(x+0.5) disagrees at negative halves).
+   *
+   * @return weights in micro-units by feature name; bias under "__bias__"
+   */
+  def fitLRQuantized(labeled: DataFrame, featureNames: Seq[String],
+      labelCol: String, iters: Int, learnRate: Double): Map[String, Long] = {
+    require(iters >= 1, "need at least one step")
+    val k = featureNames.length
+    val xq = featureNames.map(f =>
+      round(coalesce(col(f), lit(0.0)) * lit(1e6), 0).cast("long")) :+
+      lit(1000000L)
+    var w = Array.fill(k + 1)(0L)
+    for (_ <- 1 to iters) {
+      val margin = xq.zip(w).map { case (x, wj) => x * lit(wj) }
+        .reduce(_ + _)
+      val r = lit(1.0) /
+        (lit(1.0) + exp(-margin.cast("double") / lit(1e12))) -
+        col(labelCol).cast("double")
+      val aggs = xq.map(x =>
+        sum(round(x.cast("double") * r, 0).cast("long"))) :+ count(lit(1))
+      val row = labeled.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val n = row.getLong(k + 1).toDouble
+      require(n > 0, "no labeled pairs")
+      w = Array.tabulate(k + 1) { j =>
+        w(j) - BigDecimal(learnRate * row.getLong(j) / n)
+          .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+    }
+    (featureNames :+ "__bias__").zip(w).toMap
+  }
+
   /** Convenience: labeled (id1,id2,label) → features via the comparator
     * registry → fitted Model reusing `base`'s predicates/threshold. */
   def trainModel(attachedLabeled: DataFrame, base: Model,

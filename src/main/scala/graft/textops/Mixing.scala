@@ -58,7 +58,10 @@ object Mixing {
    * FILTER uses the raw rate). Rows with a NULL source are excluded
    * from the mix AND from the quota math — an unattributed row can't
    * join back to a rate, so counting its group would silently depress
-   * every real source's quota.
+   * every real source's quota. Rows with a NULL id are excluded the
+   * same way (explicitly, not via the null-propagating sampleKey
+   * comparison): a keyless row can never be kept, so counting it in
+   * `_n` would silently depress its source's realized quota.
    */
   def temperatureMix(docs: DataFrame, idCol: String, sourceCol: String,
       targetRows: Long, alpha: Double = 0.5): DataFrame = {
@@ -67,7 +70,8 @@ object Mixing {
     def share(n: Column): Column =
       if (alpha == 0.5) sqrt(n.cast("double"))
       else pow(n.cast("double"), lit(alpha))
-    val attributed = docs.filter(col(sourceCol).isNotNull)
+    val attributed =
+      docs.filter(col(sourceCol).isNotNull && col(idCol).isNotNull)
     val counts = attributed.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
       .withColumn("_w", share(col("_n")))
     val rates = counts

@@ -52,4 +52,44 @@ class CalibrationSpec extends SparkSpec {
       .select("calibrated").as[Double].collect().toSeq
     assert(applied == Seq(0.25, 0.25, 2.0 / 3, 2.0 / 3))
   }
+
+  test("isotonicTable fails fast on a continuous-score frame; binning fixes it") {
+    // 10^6 DISTINCT scores: the PAV pool would be a corpus-sized driver
+    // collect. The cap must throw BEFORE collecting...
+    val n = 1000000
+    val continuous = spark.range(n)
+      .select((col("id").cast("double") / n).as("s"),
+        (col("id") % 2).cast("int").as("lbl"))
+    val e = intercept[IllegalArgumentException] {
+      Calibration.isotonicTable(continuous, "s", "lbl",
+        maxDistinctScores = 10000)
+    }
+    assert(e.getMessage.contains("binScores") ||
+      e.getMessage.contains("distinct scores"), e.getMessage)
+    // ...and each pre-binning helper must bring the same frame under it.
+    val fixed = Calibration.fixedWidthBins(continuous, "s", bins = 100)
+    assert(fixed.select("s").distinct().count() <= 100)
+    val table = Calibration.isotonicTable(fixed, "s", "lbl",
+      maxDistinctScores = 10000)
+    assert(table.count() <= 100)
+    // label rate is ~0.5 in every bin (floating bin edges shift a few
+    // boundary rows) -> calibrated must be flat near 0.5
+    val cal = table.select("calibrated").as[Double].collect()
+    assert(cal.forall(c => math.abs(c - 0.5) < 1e-3), cal.take(5).toSeq)
+    val quant = Calibration.quantileBins(continuous, "s", bins = 50)
+    assert(quant.select("s").distinct().count() <= 50)
+    assert(quant.count() == n) // binning must not drop or collapse rows
+  }
+
+  test("quantileBins equal-mass edges under skew; scores below min clamp up") {
+    // 90% of mass at 0.99, the rest spread low: fixed-width would leave
+    // most bins empty; quantile edges collapse on the heavy point
+    val skewed = (Seq.fill(900)(0.99) ++ (1 to 100).map(_ / 1000.0))
+      .toDF("s")
+    val out = Calibration.quantileBins(skewed, "s", bins = 10)
+    assert(out.count() == 1000)
+    assert(out.select("s").distinct().count() <= 10)
+    // the heavy point must be its own bin value (exact quantiles hit it)
+    assert(out.filter(col("s") === 0.99).count() >= 900)
+  }
 }

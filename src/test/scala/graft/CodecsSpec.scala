@@ -3,8 +3,9 @@ package graft
 import graft.fixtures.MediaGen
 import graft.multimodal.{Codecs, Media}
 
-/** Real WAV-PCM/BMP decoders (multimodal/Codecs) against hand-computed
-  * signal/pixel math on spec-conformant writer output (MediaGen). */
+/** Real WAV-PCM/BMP/PNG/JPEG decoders (multimodal/Codecs) against
+  * hand-computed signal/pixel math on spec-conformant writer output
+  * (MediaGen; PNG/JPEG through the JDK's own ImageIO encoders). */
 class CodecsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -71,5 +72,43 @@ class CodecsSpec extends SparkSpec {
     assert(out(0).getDouble(10) == 707.106781) // rms column
     assert(out(2).getDouble(12) == 55.0)       // mean_r column
     assert(out(4).isNullAt(10) && out(4).isNullAt(12))
+  }
+
+  test("PNG roundtrips pixels exactly through ImageIO (lossless)") {
+    val px = Seq((10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120))
+    val bytes = MediaGen.png(2, 2, px)
+    assert(Codecs.detect(bytes) == "png")
+    val m = Codecs.parseImageIO(bytes).get
+    assert(m.width == 2 && m.height == 2 && m.bits == 24)
+    assert(m.meanR == 55.0 && m.meanG == 65.0 && m.meanB == 75.0)
+  }
+
+  test("solid-gray JPEG decodes to the exact color (DC-only blocks)") {
+    val bytes = MediaGen.jpegSolid(16, 16, 128, 128, 128)
+    assert(Codecs.detect(bytes) == "jpeg")
+    val m = Codecs.parseImageIO(bytes).get
+    assert(m.width == 16 && m.height == 16 && m.bits == 24)
+    assert(m.meanR == 128.0 && m.meanG == 128.0 && m.meanB == 128.0,
+      s"jpeg roundtrip drifted: ${(m.meanR, m.meanG, m.meanB)}")
+  }
+
+  test("truncated PNG/JPEG degrade to None, never throw") {
+    val png = MediaGen.png(2, 2, Seq.fill(4)((1, 2, 3)))
+    assert(Codecs.parseImageIO(png.take(20)).isEmpty)
+    val jpg = MediaGen.jpegSolid(8, 8, 0, 0, 0)
+    assert(Codecs.parseImageIO(jpg.take(8)).isEmpty)
+    assert(Codecs.parseImageIO("not an image".getBytes).isEmpty)
+  }
+
+  test("decodeTable handles png and jpeg rows") {
+    val media = Seq(
+      (1L, MediaGen.png(2, 2, Seq((10, 20, 30), (40, 50, 60),
+        (70, 80, 90), (100, 110, 120)))),
+      (2L, MediaGen.jpegSolid(16, 16, 128, 128, 128)))
+      .toDF("media_id", "bytes")
+    val out = Media.decodeTable(media).orderBy("media_id").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("png", "jpeg"))
+    assert(out(0).getInt(2) == 2 && out(0).getDouble(12) == 55.0)
+    assert(out(1).getInt(2) == 16 && out(1).getDouble(13) == 128.0)
   }
 }

@@ -128,4 +128,58 @@ class PipelineOpsSpec extends SparkSpec {
     Dedupe.cleanupScratch(spark, r)
     assert(!fs.exists(p), "cleanupScratch must remove the run dir")
   }
+
+  test("curation chain survives hostile rows; untouched rows stay " +
+      "byte-identical end to end") {
+    import graft.textops.TextOps
+    // the q_curate_pipeline stage order (line-dedup -> repetition filter
+    // -> PII redaction -> exact dedup) fed adversarial inputs: null,
+    // empty, newline-only, 4-byte-unicode (astral plane), a multi-MB
+    // single document, embedded NUL/control chars, CRLF, a 1-char doc.
+    // The kernels are individually fuzzed; this pins the COMPOSED
+    // pipeline's contract: no throw, and a clean row's bytes pass
+    // through untouched.
+    // pass-through rows must be long + low-repetition enough to clear
+    // the Gopher-style repetition filter (short texts legitimately fail
+    // the top-2-gram fraction: one repeated bigram dominates)
+    val big = (1 to 400000).map(i => "w" + i).mkString(" ") // ~2.9 MB, low repetition
+    val astral = "mixed 😀 emoji " +
+      (1 to 40).map(i => "astok" + i).mkString(" ") +
+      " gothic 𐍈 chars 🤖 end"
+    val clean = "a perfectly ordinary clean sentence " +
+      (1 to 40).map(i => "cltok" + i).mkString(" ") + " with no duplicates"
+    val rows = Seq(
+      (1L, null.asInstanceOf[String]),
+      (2L, ""),
+      (3L, "\n\n\n"),
+      (4L, astral),
+      (5L, big),
+      (6L, clean),
+      (7L, "control\u0000char\ttab\u0007bell " +
+        (1 to 40).map(i => "cttok" + i).mkString(" ")),
+      (8L, "crlf line one\r\nline two\r\n"),
+      (9L, "x"))
+      .toDF("doc_id", "text")
+    val lined = TextOps.dedupeLines(rows, "doc_id", "text", maxLineDf = 10L)
+    val kept = lined.filter(TextOps.repetitionKeep(col("text")))
+    val red = kept.select(col("doc_id"), TextOps.redactPii(col("text")).as("text"))
+    val survivors = TextOps.exactDupes(red, "doc_id", "text")
+      .filter(!col("is_dup")).select(col("id").as("doc_id"))
+    val out = red.join(survivors, Seq("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // no throw above IS the main assertion; now byte-identity:
+    assert(out(4L) == astral, "astral-plane row must pass byte-identical")
+    assert(out(5L) == big, "multi-MB row must pass byte-identical")
+    assert(out(6L) == clean)
+    assert(out(7L).startsWith("control\u0000char\ttab\u0007bell "),
+      "NUL/control chars are payload, not separators")
+    // null text normalizes to "" via line-rebuild (documented), so rows
+    // 1 and 2 are exact dups -> one representative; the newline-only row
+    // is NOT collapsed (empty lines are structure, not content)
+    assert(Seq(1L, 2L).filter(out.contains) == Seq(1L))
+    assert(out(3L) == "\n\n\n", "newline-only row must pass byte-identical")
+    // hostile rows never crash the stats kernels either
+    assert(rows.select(TextOps.qualityScore(col("text"))).count() == 9)
+    assert(rows.select(TextOps.piiCounts(col("text"))).count() == 9)
+  }
 }

@@ -26,11 +26,25 @@ class ShapeSpec extends SparkSpec {
       Map(1L -> ((3L, 3L, 1L, 1L)), 10L -> ((2L, 1L, 1L, 1L))))
   }
 
+  test("long path and even cycle: pruning must stay exact at the extremes") {
+    // 30-path: diameter 29, radius 15 — the worst case for naive bound
+    // tricks; BoundingDiameters must still return the exact pair
+    val path = (1L until 30L).map(i => (i, i + 1))
+    assert(shapes(path) == Map(1L -> ((30L, 29L, 29L, 15L))))
+    // 12-cycle: every ecc = 6 -> diameter = radius = 6
+    val cyc = (1L until 12L).map(i => (i, i + 1)) :+ (12L, 1L)
+    assert(shapes(cyc) == Map(1L -> ((12L, 12L, 6L, 6L))))
+  }
+
   test("fuzz: diameter/radius match naive Floyd-Warshall") {
     val rnd = new scala.util.Random(43)
-    for (round <- 0 until 4) {
-      val es = (0 until 40).map { _ =>
-        val a = rnd.nextInt(16).toLong; val b = rnd.nextInt(16).toLong
+    for (round <- 0 until 8) {
+      // later rounds are bigger and sparser (long chains survive),
+      // exercising the bound-pruning loop far from the clique regime
+      val nn = if (round < 4) 16 else 48
+      val ne = if (round < 4) 40 else 60
+      val es = (0 until ne).map { _ =>
+        val a = rnd.nextInt(nn).toLong; val b = rnd.nextInt(nn).toLong
         (math.min(a, b), math.max(a, b))
       }.filter(e => e._1 != e._2).distinct
       val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted

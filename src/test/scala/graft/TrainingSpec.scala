@@ -22,6 +22,33 @@ class TrainingSpec extends SparkSpec {
     assert(pNon < 0.3, s"pNon=$pNon")
   }
 
+  test("fitLRQuantized matches a hand-unrolled 2-step micro-unit fit") {
+    // 2 rows, 1 feature: x=(0.5 -> y=1), (0.25 -> y=0). Step 1 from zero
+    // weights: r = 0.5 - y, contributions round(xq*r):
+    //   g_f = round(5e5*-0.5) + round(2.5e5*0.5) = -250000 + 125000
+    //       = -125000;  g_b = round(1e6*-0.5) + round(1e6*0.5) = 0
+    // update (lr=2, n=2): w_f = -round(2*-125000/2) = 125000; w_b = 0.
+    val labeled = Seq((0.5, 1.0), (0.25, 0.0)).toDF("f", "y")
+    val w1 = Training.fitLRQuantized(labeled, Seq("f"), "y",
+      iters = 1, learnRate = 2.0)
+    assert(w1("f") == 125000L, s"w_f=${w1("f")}")
+    assert(w1("__bias__") == 0L, s"w_b=${w1("__bias__")}")
+    // step 2 by hand: margins m = xq*125000 -> 6.25e10 / 3.125e10;
+    // sigma(m/1e12) = sigma(0.0625)/sigma(0.03125)
+    val s1 = 1.0 / (1.0 + math.exp(-0.0625))
+    val s2 = 1.0 / (1.0 + math.exp(-0.03125))
+    val gf = math.round(5e5 * (s1 - 1.0)) + math.round(2.5e5 * s2)
+    val gb = math.round(1e6 * (s1 - 1.0)) + math.round(1e6 * s2)
+    val w2 = Training.fitLRQuantized(labeled, Seq("f"), "y",
+      iters = 2, learnRate = 2.0)
+    assert(w2("f") == 125000L - math.round(2.0 * gf / 2.0), s"w_f=${w2("f")}")
+    assert(w2("__bias__") == 0L - math.round(2.0 * gb / 2.0), s"w_b=${w2("__bias__")}")
+    // determinism across partitionings: same answer from 1 and 8 slices
+    val w2r = Training.fitLRQuantized(labeled.repartition(8), Seq("f"), "y",
+      iters = 2, learnRate = 2.0)
+    assert(w2 == w2r)
+  }
+
   test("greedyPredicateCover picks the discriminating predicate") {
     val recs = Seq(
       (1L, "alpha beta"), (2L, "alpha beta"), // dup pair blocked by token
