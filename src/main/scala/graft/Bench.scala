@@ -97,7 +97,7 @@ object Bench {
   private val snapshotReaders = Set("q_block_pairs", "q_score_pairs",
     "q_ngram_jaccard", "q_affine_scores", "q_threshold", "q_tfidf_cosine",
     "q_cc_components", "q_block_quality", "q_monge_elkan",
-    "q_uncertain_batch", "q_damerau_pairs", "q_al_round")
+    "q_uncertain_batch", "q_damerau_pairs", "q_al_round", "q_affine_dp")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

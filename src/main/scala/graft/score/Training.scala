@@ -193,12 +193,27 @@ object Training {
     val base = scored.select(col("id1"), col("id2"), col("z"))
     val roles = base.select(col("id1").as("rid"), col("id1"), col("id2"), col("z"))
       .unionByName(base.select(col("id2").as("rid"), col("id1"), col("id2"), col("z")))
-    val w = Window.partitionBy(col("rid"))
-      .orderBy(abs(col("z")).asc, col("id1").asc, col("id2").asc)
-    roles.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= perRecordCap)
-      // a pair appears once per endpoint role; mutual survival = 2 rows
-      .groupBy(col("id1"), col("id2"), col("z"))
+    // default cap 1 = each record's single most-uncertain pair: that is
+    // a min_by AGGREGATE, not a rank — map-side partial combine replaces
+    // the per-partition sort a row_number window pays over 2x the pair
+    // stream (measured 2x ~15 s per pass on 47M pairs at sf0.1; the
+    // struct order (|z|, id1, id2) is total, so the pick is identical)
+    val kept =
+      if (perRecordCap == 1)
+        roles.groupBy(col("rid"))
+          .agg(min_by(struct(col("id1"), col("id2"), col("z")),
+            struct(abs(col("z")), col("id1"), col("id2"))).as("_p"))
+          .select(col("_p.id1").as("id1"), col("_p.id2").as("id2"),
+            col("_p.z").as("z"))
+      else {
+        val w = Window.partitionBy(col("rid"))
+          .orderBy(abs(col("z")).asc, col("id1").asc, col("id2").asc)
+        roles.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= perRecordCap)
+          .select(col("id1"), col("id2"), col("z"))
+      }
+    // a pair appears once per endpoint role; mutual survival = 2 rows
+    kept.groupBy(col("id1"), col("id2"), col("z"))
       .agg(count(lit(1)).as("sides"))
       .filter(col("sides") === 2)
       .select(col("id1"), col("id2"), col("z"))

@@ -15,13 +15,18 @@ object ScaleRun {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val replicaPoints =
       if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(10, 40)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]").appName("graft-scale-run")
       .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", (cpus * 2).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_CODEC=zstd swaps the shuffle/scratch compression codec
+    // (default lz4) — the knob for testing whether a throughput dip is
+    // single-disk shuffle I/O (zstd ~2x smaller spill at some CPU cost)
+    sys.env.get("SPARK_GRAFT_CODEC").foreach(c =>
+      builder.config("spark.io.compression.codec", c))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // SPARK_GRAFT_SCALE_MODEL=combo swaps the flagship model's plain
     // 4×16-bit simhash banding for block-combination banding (b=6, k=3,
@@ -45,8 +50,17 @@ object ScaleRun {
       res.canon.write.format("noop").mode("overwrite").save()
       val secs = (System.nanoTime() - t0) / 1e9
       val m = res.metrics
-      println(f"""SCALE {"replicas":$r,"rows":${m.records},"pairs":${m.candidatePairs},""" +
-        f""""entities":${m.entities},"secs":$secs%.1f,"rows_per_sec":${(m.records / secs).toLong}}""")
+      val line =
+        f"""SCALE {"replicas":$r,"rows":${m.records},"pairs":${m.candidatePairs},""" +
+        f""""entities":${m.entities},"secs":$secs%.1f,"rows_per_sec":${(m.records / secs).toLong}}"""
+      println(line)
+      // stdout of a forked sbt run is lossy under output redirection —
+      // also append each point to a results file when asked
+      sys.env.get("SPARK_GRAFT_SCALE_OUT").foreach { f =>
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
+          line + "\n", java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      }
       // reclaim this point's run-scoped scratch before the next one — four
       // volume points in one JVM would otherwise stack ~input-sized
       // snapshots until the disk fills (deleteOnExit is JVM-exit only;
