@@ -1285,6 +1285,66 @@ object SparkEntry {
       graft.multimodal.Media.decodeTable(media).orderBy(col("media_id"))
     }),
 
+    // perceptual image hashing (dHash 9×8 box-mean difference hash —
+    // the image-side near-dup signature, ImageHash.scala): every
+    // constant is ANALYTICALLY derived, not transcribed from a run —
+    // a left-to-right gradient sets every bit (-1), a solid image none
+    // (0), alternating columns give 0x55 per row, a half-up/half-down
+    // split sets exactly the top 32 bits (-4294967296, written in BOTH
+    // BMP row layouts to pin the bottom-up flip), the 18×16 gradient
+    // exercises box averaging to the same hash as its 9×8 twin, and
+    // the PNG twin of the gradient pins BMP/ImageIO decoder geometry
+    // equality. Non-images and sub-grid images carry null hashes.
+    "q_image_dhash" -> ((s, dir) => {
+      import graft.fixtures.MediaGen
+      import s.implicits._
+      def grid(vOf: Int => Int): Seq[(Int, Int, Int)] =
+        (0 until 8).flatMap(_ => (0 until 9).map { x =>
+          val v = vOf(x); (v, v, v) })
+      val split = (0 until 8).flatMap(y => (0 until 9).map { x =>
+        val v = if (y < 4) x * 10 else (8 - x) * 10; (v, v, v) })
+      val media = Seq(
+        (1L, MediaGen.bmp(9, 8, grid(x => x * 10))),
+        (2L, MediaGen.bmp(9, 8, Seq.fill(72)((128, 128, 128)))),
+        (3L, MediaGen.bmp(9, 8, grid(x => if (x % 2 == 0) 200 else 100))),
+        (4L, MediaGen.bmp(18, 16, (0 until 16).flatMap(_ =>
+          (0 until 18).map { x => val v = (x / 2) * 10; (v, v, v) }))),
+        (5L, MediaGen.png(9, 8, grid(x => x * 10))),
+        (6L, MediaGen.png(9, 8, grid(x => (8 - x) * 10))),
+        (7L, MediaGen.jpegSolid(16, 16, 128, 128, 128)),
+        (8L, "not an image".getBytes("UTF-8")),
+        (9L, MediaGen.bmp(4, 4, Seq.fill(16)((1, 2, 3)))),
+        (10L, MediaGen.bmp(9, 8, split)),
+        (11L, MediaGen.bmp(9, 8, split, topDown = true)))
+        .toDF("media_id", "bytes")
+      graft.multimodal.Media.imageHashTable(media).orderBy(col("media_id"))
+    }),
+
+    // the banded Hamming near-dup join (the kernel under text simhash
+    // near-dup AND image dHash near-dup) against a signature table BOTH
+    // engines derive from the same 31+32-bit mixing arithmetic (no
+    // hash-function opacity — every operation is ANSI SQL), with
+    // two-bit-flipped partners planted every 5th base row. bands=4 >
+    // maxHamming=3, so banding recall is structural (pigeonhole) and
+    // the Spark output must equal DuckDB's brute-force
+    // bit_count(xor) <= 3 over all ~1.6M pairs exactly.
+    "q_hamming_neardup" -> ((s, dir) => {
+      def shOf(i: Column): Column =
+        pmod(i * lit(2654435761L), lit(2147483648L)) * lit(4294967296L) +
+          pmod((i * lit(40503L) + lit(12345L)) * lit(65537L), lit(4294967296L))
+      val base = s.range(0, 1500).select(col("id"), shOf(col("id")).as("sh"))
+      val planted = s.range(0, 300).select((col("id") * 5).as("b"))
+        .select((col("b") + 100000L).as("id"),
+          shOf(col("b")).bitwiseXOR(
+            expr("shiftleft(1L, cast(b % 60 as int))").bitwiseXOR(
+              expr("shiftleft(1L, cast((b*7+13) % 60 as int))"))).as("sh"))
+      graft.textops.TextOps.hammingNearDupPairs(
+          base.unionByName(planted), bands = 4, maxHamming = 3,
+          maxBucketSize = 10000)
+        .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // review queue (G7): window-ranked next-clusters over a synthetic
     // entity state derived from orders (component=custkey)
     "q_review_queue" -> ((s, dir) => {
@@ -5526,6 +5586,49 @@ object SparkEntry {
         |    n_samples, duration_sec, peak, rms, zero_crossings,
         |    mean_r, mean_g, mean_b)
         |ORDER BY media_id""".stripMargin,
+
+    // dHash constants derived on paper from the bit layout (row-major
+    // MSB-first, bit = left box mean < right box mean): gradient → all
+    // 64 bits → -1; solid → 0; alternating columns → 01010101 per row
+    // → 0x5555555555555555; top-half-gradient/bottom-half-reversed →
+    // bits 63..32 → -4294967296 (same constant for both BMP row
+    // layouts — the decoder flips bottom-up storage); box averaging
+    // (18×16) reduces to the 9×8 twin; PNG is lossless so its rows
+    // share the BMP constants; sub-grid and non-image rows are null
+    "q_image_dhash" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id, format,
+        |  CAST(dhash AS BIGINT) AS dhash
+        |FROM (VALUES
+        |  (1, 'bmp', -1), (2, 'bmp', 0), (3, 'bmp', 6148914691236517205),
+        |  (4, 'bmp', -1), (5, 'png', -1), (6, 'png', 0), (7, 'jpeg', 0),
+        |  (8, 'unknown', NULL), (9, 'bmp', NULL),
+        |  (10, 'bmp', -4294967296), (11, 'bmp', -4294967296))
+        |  t(media_id, format, dhash)
+        |ORDER BY media_id""".stripMargin,
+
+    // brute-force twin of the banded Hamming join: same signature
+    // arithmetic (2654435761 is Knuth's 2^32 golden-ratio multiplier;
+    // 65537 spreads the low half), all pairs, bit_count(xor) <= 3 —
+    // the banding (4 bands of 16 bits) must lose nothing at hamming 3
+    "q_hamming_neardup" ->
+      """WITH base AS (
+        |  SELECT i AS id,
+        |    ((i * 2654435761) % 2147483648) * 4294967296
+        |      + ((i * 40503 + 12345) * 65537) % 4294967296 AS sh
+        |  FROM range(0, 1500) t(i)),
+        |planted AS (
+        |  SELECT 100000 + b AS id,
+        |    xor(((b * 2654435761) % 2147483648) * 4294967296
+        |          + ((b * 40503 + 12345) * 65537) % 4294967296,
+        |        xor(1::BIGINT << CAST(b % 60 AS INT),
+        |            1::BIGINT << CAST((b*7+13) % 60 AS INT))) AS sh
+        |  FROM (SELECT j*5 AS b FROM range(0, 300) t(j)) q),
+        |sigs AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+        |SELECT a.id AS id1, b.id AS id2,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        |FROM sigs a JOIN sigs b ON a.id < b.id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY id1, id2""".stripMargin,
 
     // the decode stub is a normalized 16-bin byte histogram over the
     // UTF-8 bytes of text; the corpus is ASCII (verified), so char counts

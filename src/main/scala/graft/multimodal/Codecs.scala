@@ -144,6 +144,17 @@ object Codecs {
       round6(sr.toDouble / n), round6(sg.toDouble / n), round6(sb.toDouble / n)))
   }
 
+  /** Decoded pixel grid: packed 0xRRGGBB ints, row-major TOP-DOWN
+    * regardless of the container's storage order (bottom-up BMPs are
+    * flipped), so spatial hashes see the same geometry per format. */
+  final case class Pixels(width: Int, height: Int, rgb: Array[Int])
+
+  /** Pixel cap for [[pixels]]: beyond ~67M pixels (8192×8192) the
+    * integer cross-multiplication in ImageHash's exact box-mean compare
+    * could overflow a Long; a crawl pipeline downscales before hashing
+    * anyway, so larger payloads degrade to None like any parse failure. */
+  val maxPixelsForDecode: Long = 1L << 26
+
   /**
    * Decode a JPEG or PNG through the JDK's ImageIO plugins (headless-
    * safe; no native libs). Channel means are exact integer sums over
@@ -177,5 +188,63 @@ object Codecs {
         round6(sr.toDouble / n), round6(sg.toDouble / n),
         round6(sb.toDouble / n)))
     } catch { case _: java.io.IOException | _: RuntimeException => None }
+  }
+
+  /**
+   * Full pixel-grid decode for every image format this container can
+   * parse (BMP via the spec parser's field validation, PNG/JPEG via
+   * ImageIO) — the input to perceptual hashing, where spatial layout
+   * matters, unlike the order-free channel means above. Output rows are
+   * always top-down (bottom-up BMPs flipped here, once), packed
+   * 0xRRGGBB. None for non-images, structural violations, and payloads
+   * past [[maxPixelsForDecode]].
+   */
+  def pixels(b: Array[Byte]): Option[Pixels] = detect(b) match {
+    case "bmp" =>
+      // re-validate the header exactly like parseBmp (one source of
+      // truth for "is this a BMP we decode"), then walk the pixel array
+      if (parseBmp(b).isEmpty) return None
+      val pixelOff = le32(b, 10)
+      val w = le32(b, 18)
+      val hRaw = le32(b, 22)
+      val h = math.abs(hRaw)
+      if (w.toLong * h > maxPixelsForDecode) return None
+      val stride = ((w * 3 + 3) / 4) * 4
+      val out = new Array[Int](w * h)
+      var row = 0
+      while (row < h) {
+        // storage row `row` lands at display row `row` (top-down) or
+        // `h-1-row` (bottom-up, positive header height)
+        val dispRow = if (hRaw < 0) row else h - 1 - row
+        val base = pixelOff + row * stride
+        var x = 0
+        while (x < w) {
+          val p = base + 3 * x // BGR per spec
+          out(dispRow * w + x) =
+            ((b(p + 2) & 0xff) << 16) | ((b(p + 1) & 0xff) << 8) | (b(p) & 0xff)
+          x += 1
+        }
+        row += 1
+      }
+      Some(Pixels(w, h, out))
+    case "png" | "jpeg" =>
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+        val w = img.getWidth; val h = img.getHeight
+        if (w.toLong * h > maxPixelsForDecode) return None
+        val out = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            out(y * w + x) = img.getRGB(x, y) & 0xffffff
+            x += 1
+          }
+          y += 1
+        }
+        Some(Pixels(w, h, out))
+      } catch { case _: java.io.IOException | _: RuntimeException => None }
+    case _ => None
   }
 }

@@ -138,6 +138,32 @@ object Media {
       }
   }
 
+  /**
+   * Perceptual dHash over the media table: (media_id, format, dhash) —
+   * dhash null for non-images, undecodable payloads, and images smaller
+   * than the 9×8 hash grid (ImageHash documents why those aren't
+   * hashed). Same batched per-partition shape as [[decodeTable]]; the
+   * output is the signature input to `TextOps.hammingNearDupPairs`,
+   * which gives images the same banded near-dup join (plain or Manku
+   * combination banding) the text simhash path uses — one join kernel,
+   * two modalities.
+   */
+  def imageHashTable(media: DataFrame): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("dhash", LongType, nullable = true)))
+    implicit val enc = Encoders.row(out)
+    media.select(col("media_id"), col("bytes"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val b = r.getAs[Array[Byte]](1)
+          Row(r.getLong(0), Codecs.detect(b),
+            ImageHash.dhash64(b).map(Long.box).orNull)
+        }
+      }
+  }
+
   private def unknownRow(id: Long): Row =
     Row(id, "unknown", null, null, null, null, null, null, null, null,
       null, null, null, null, null)

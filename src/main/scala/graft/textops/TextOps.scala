@@ -1141,6 +1141,25 @@ object TextOps {
       if (materializeSignatures)
         graft.pipeline.Dedupe.snapshotIfResolvable(df.sparkSession, sigs, "simhash_sigs")
       else sigs
+    hammingNearDupPairs(withHash, bands, maxHamming, maxBucketSize, comboBlocks)
+  }
+
+  /**
+   * Banded Hamming near-dup join over ANY 64-bit signature table
+   * `sigs(id, sh)` — the hash-agnostic kernel under [[simhashDupePairs]]
+   * (text) and image dHash near-dup (`Media.imageHashTable` output,
+   * renamed to (id, sh)). Candidates from band-key equality (plain
+   * `bands` bands, or Manku combination banding when
+   * `comboBlocks > max(1, maxHamming)`), then exact hamming ≤
+   * `maxHamming` verification — so the OUTPUT is exact whenever the
+   * banding's structural-recall condition holds (plain: maxHamming <
+   * bands by pigeonhole; combo: k = max(1, maxHamming) differing blocks
+   * leave one clean key subset), and the banding choice only moves the
+   * candidate count, never the result.
+   */
+  def hammingNearDupPairs(sigs: DataFrame, bands: Int = 4,
+      maxHamming: Int = 3, maxBucketSize: Int = 1000,
+      comboBlocks: Int = 0): DataFrame = {
     val comboK = math.max(1, maxHamming)
     val bandCols = if (comboBlocks > comboK)
       graft.block.Blocking.simhashComboKeys(col("sh"), comboBlocks, comboK)
@@ -1155,9 +1174,9 @@ object TextOps {
           // as Blocking's simhash predicate)
           lit(if (width >= 64) -1L else (1L << width) - 1)))
     }
-    val blocks = withHash.select(col("id"), explode(array(bandCols: _*)).as("block_key"))
+    val blocks = sigs.select(col("id"), explode(array(bandCols: _*)).as("block_key"))
     val pairs = PairGen.candidatePairs(blocks, maxBucketSize)
-    PairGen.attachFields(pairs, withHash, "id", Seq("sh"))
+    PairGen.attachFields(pairs, sigs, "id", Seq("sh"))
       .withColumn("hamming", hamming64(col("sh_1"), col("sh_2")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id1"), col("id2"), col("hamming"))
