@@ -1401,9 +1401,15 @@ object SparkEntry {
       val prior = feats.select(col("id1"), col("id2"),
         (lit(-8.0) + lit(9.0) * col("jw") + lit(6.0) * col("lev_sim")).as("z"))
       val batch = graft.score.Training.uncertainBatch(prior, batchSize = 100)
-      val labeled = batch.select("id1", "id2")
-        .join(feats, Seq("id1", "id2"))
-        .withColumn("y", when(col("jw") >= 0.63, 1.0).otherwise(0.0))
+      // materialize the 100-row labeled batch ONCE: fitLRQuantized runs
+      // one aggregate action per gradient iteration, and each action on
+      // the lazy plan would re-run the whole 47M-pair batch selection —
+      // measured 2 × ~8 s of the query's 33 s at sf0.1
+      val labeled = graft.pipeline.Dedupe.ephemeralSnapshot(s,
+        batch.select("id1", "id2")
+          .join(feats, Seq("id1", "id2"))
+          .withColumn("y", when(col("jw") >= 0.63, 1.0).otherwise(0.0)),
+        "al_labeled")
       val w = graft.score.Training.fitLRQuantized(
         labeled, Seq("jw", "lev_sim"), "y", iters = 2, learnRate = 10.0)
       val margin =
