@@ -164,6 +164,20 @@ object Media {
       }
   }
 
+  /** Image near-duplicate pairs straight off a media table:
+    * [[imageHashTable]] (null-hash rows — non-images, undecodables —
+    * dropped) into the shared banded Hamming join. Output
+    * (id1, id2, hamming) over media_ids; exact for
+    * maxHamming < bands (or under combination banding), same contract
+    * as the text simhash path. */
+  def imageNearDupPairs(media: DataFrame, bands: Int = 4,
+      maxHamming: Int = 3, maxBucketSize: Int = 1000,
+      comboBlocks: Int = 0): DataFrame =
+    graft.textops.TextOps.hammingNearDupPairs(
+      imageHashTable(media).filter(col("dhash").isNotNull)
+        .select(col("media_id").as("id"), col("dhash").as("sh")),
+      bands, maxHamming, maxBucketSize, comboBlocks)
+
   private def unknownRow(id: Long): Row =
     Row(id, "unknown", null, null, null, null, null, null, null, null,
       null, null, null, null, null)

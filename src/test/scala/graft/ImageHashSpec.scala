@@ -78,6 +78,23 @@ class ImageHashSpec extends SparkSpec {
     assert(rows(1).getString(1) == "unknown" && rows(1).isNullAt(2))
   }
 
+  test("imageNearDupPairs: end-to-end decode->hash->join over a media table") {
+    // three renders of the same gradient (BMP, PNG, 2x-scaled BMP) all
+    // hash to -1 -> three hamming-0 pairs; the reversed gradient and a
+    // junk payload pair with nothing
+    val scaled = (0 until 16).flatMap(_ => (0 until 18).map { x =>
+      val v = (x / 2) * 10; (v, v, v) })
+    val media = Seq(
+      (1L, MediaGen.bmp(9, 8, gray9x8(_ * 10))),
+      (2L, MediaGen.png(9, 8, gray9x8(_ * 10))),
+      (3L, MediaGen.bmp(18, 16, scaled)),
+      (4L, MediaGen.png(9, 8, gray9x8(x => (8 - x) * 10))),
+      (5L, "junk".getBytes("UTF-8"))).toDF("media_id", "bytes")
+    val got = Media.imageNearDupPairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)))
+  }
+
   test("banded Hamming join equals brute force (plain and combo banding)") {
     val rnd = new scala.util.Random(4242)
     val hashes = (0L until 400L).map(i => i -> rnd.nextLong()).toMap
