@@ -156,6 +156,32 @@ object Codecs {
   val maxPixelsForDecode: Long = 1L << 26
 
   /**
+   * ImageIO decode with the dimension check BEFORE pixel allocation:
+   * a hostile web payload can be a decompression bomb — a few hundred
+   * bytes of PNG declaring 30000×30000 pixels would make a naive
+   * `ImageIO.read` allocate gigabytes per row. The reader API exposes
+   * the header dimensions without decoding, so oversized payloads are
+   * rejected for the cost of a header parse. None on any failure.
+   */
+  private def readImageCapped(b: Array[Byte],
+      maxPixels: Long): Option[java.awt.image.BufferedImage] =
+    try {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(in, true, true)
+          val w = reader.getWidth(0); val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) return None
+          Some(reader.read(0))
+        } finally reader.dispose()
+      } finally in.close()
+    } catch { case _: java.io.IOException | _: RuntimeException => None }
+
+  /**
    * Decode a JPEG or PNG through the JDK's ImageIO plugins (headless-
    * safe; no native libs). Channel means are exact integer sums over
    * `getRGB` (sRGB-converted pixels) divided once — deterministic
@@ -163,13 +189,16 @@ object Codecs {
    * (lossless), so fixture means are hand-computable a priori. `bits`
    * reports the decoded color model's pixel size (24 for opaque RGB,
    * 32 with alpha). Any parse failure (truncated stream, unsupported
-   * variant) → None → format="unknown" upstream.
+   * variant) or a payload declaring more than `maxPixels` pixels
+   * (decompression-bomb guard, see [[readImageCapped]]) → None →
+   * format="unknown" upstream.
    */
-  def parseImageIO(b: Array[Byte]): Option[BmpInfo] = {
+  def parseImageIO(b: Array[Byte],
+      maxPixels: Long = maxPixelsForDecode): Option[BmpInfo] = {
     val kind = detect(b)
     if (kind != "png" && kind != "jpeg") return None
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      val img = readImageCapped(b, maxPixels).orNull
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
       val w = img.getWidth; val h = img.getHeight
       var sr = 0L; var sg = 0L; var sb = 0L
@@ -197,9 +226,13 @@ object Codecs {
    * matters, unlike the order-free channel means above. Output rows are
    * always top-down (bottom-up BMPs flipped here, once), packed
    * 0xRRGGBB. None for non-images, structural violations, and payloads
-   * past [[maxPixelsForDecode]].
+   * past `maxPixels` — checked from the HEADER dimensions before any
+   * pixel allocation on every format (BMP dims live in the DIB header;
+   * ImageIO dims come from [[readImageCapped]]'s metadata read), so a
+   * decompression bomb costs a header parse, not gigabytes.
    */
-  def pixels(b: Array[Byte]): Option[Pixels] = detect(b) match {
+  def pixels(b: Array[Byte],
+      maxPixels: Long = maxPixelsForDecode): Option[Pixels] = detect(b) match {
     case "bmp" =>
       // re-validate the header exactly like parseBmp (one source of
       // truth for "is this a BMP we decode"), then walk the pixel array
@@ -208,7 +241,7 @@ object Codecs {
       val w = le32(b, 18)
       val hRaw = le32(b, 22)
       val h = math.abs(hRaw)
-      if (w.toLong * h > maxPixelsForDecode) return None
+      if (w.toLong * h > maxPixels) return None
       val stride = ((w * 3 + 3) / 4) * 4
       val out = new Array[Int](w * h)
       var row = 0
@@ -229,10 +262,9 @@ object Codecs {
       Some(Pixels(w, h, out))
     case "png" | "jpeg" =>
       try {
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        val img = readImageCapped(b, maxPixels).orNull
         if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
         val w = img.getWidth; val h = img.getHeight
-        if (w.toLong * h > maxPixelsForDecode) return None
         val out = new Array[Int](w * h)
         var y = 0
         while (y < h) {

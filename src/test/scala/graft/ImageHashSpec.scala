@@ -78,6 +78,22 @@ class ImageHashSpec extends SparkSpec {
     assert(rows(1).getString(1) == "unknown" && rows(1).isNullAt(2))
   }
 
+  test("decompression-bomb guard: oversized header dims bail before decode") {
+    // the cap is read from the HEADER (BMP DIB fields / ImageIO reader
+    // metadata) before any pixel allocation — probed with a tiny cap so
+    // the test needs no giant fixture
+    val png = MediaGen.png(9, 8, gray9x8(_ * 10))
+    val bmp = MediaGen.bmp(9, 8, gray9x8(_ * 10))
+    assert(Codecs.pixels(png, maxPixels = 50).isEmpty)
+    assert(Codecs.pixels(bmp, maxPixels = 50).isEmpty)
+    assert(Codecs.parseImageIO(png, maxPixels = 50).isEmpty)
+    assert(Codecs.pixels(png).isDefined && Codecs.pixels(bmp).isDefined)
+    assert(Codecs.parseImageIO(png).isDefined)
+    // truncated stream degrades to None, never throws
+    assert(Codecs.pixels(png.take(24)).isEmpty)
+    assert(Codecs.parseImageIO(png.take(24)).isEmpty)
+  }
+
   test("imageNearDupPairs: end-to-end decode->hash->join over a media table") {
     // three renders of the same gradient (BMP, PNG, 2x-scaled BMP) all
     // hash to -1 -> three hamming-0 pairs; the reversed gradient and a
