@@ -111,6 +111,19 @@ class ImageHashSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)))
   }
 
+  test("ImageScale's direct BMP writer decodes like the spec writer") {
+    // the probe writes BMP bytes in a tight loop for throughput; its
+    // output must decode to the same pixel grid the readable MediaGen
+    // writer would produce for those pixels
+    val direct = graft.tools.ImageScale.bmpBytes(42L)
+    val px = Codecs.pixels(direct).get
+    assert(px.width == 32 && px.height == 24)
+    val viaGen = MediaGen.bmp(32, 24, px.rgb.toSeq.map(p =>
+      ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)))
+    assert(Codecs.pixels(viaGen).get.rgb.sameElements(px.rgb))
+    assert(ImageHash.dhash64(direct) == ImageHash.dhash64(viaGen))
+  }
+
   test("banded Hamming join equals brute force (plain and combo banding)") {
     val rnd = new scala.util.Random(4242)
     val hashes = (0L until 400L).map(i => i -> rnd.nextLong()).toMap
