@@ -14,9 +14,14 @@ object ShowQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_EXPLAIN=1 prints the formatted physical plan instead
+    // of results (plan-audit mode)
+    val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
     args.foreach { n =>
       println(s"=== $n")
-      graft.SparkEntry.queries(n)(spark, sfDir).show(500, truncate = false)
+      val df = graft.SparkEntry.queries(n)(spark, sfDir)
+      if (explain) df.explain("formatted")
+      else df.show(500, truncate = false)
     }
     spark.stop()
   }
