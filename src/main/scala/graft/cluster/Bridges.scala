@@ -207,7 +207,12 @@ object Bridges {
     val labels = ConnectedComponents.run(kept).labels
     scoredPairs
       .select(explode(array(col("id1").cast("long"),
-        col("id2").cast("long"))).as("id")).distinct()
+        col("id2").cast("long"))).as("id"))
+      // a pair with a null endpoint contributes its non-null side only —
+      // without this, the exploded null would miss the labels join and
+      // surface as a phantom (null, null) row in the "total relabeling"
+      .filter(col("id").isNotNull)
+      .distinct()
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }

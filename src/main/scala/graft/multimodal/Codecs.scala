@@ -106,6 +106,32 @@ object Codecs {
     }
   }
 
+  /** Validated BMP geometry: (pixelOff, w, hRaw, stride). ONE source of
+    * truth for "is this a BMP we decode" — shared by [[parseBmp]] and
+    * [[pixels]] so neither pays the other's pixel pass. All arithmetic
+    * on header fields is Long: hostile headers can carry
+    * height = Int.MinValue (whose abs is still negative — it slipped
+    * the old `h == 0` check and made `new Array(w*h)` throw) or a width
+    * whose `w*3` wraps Int and corrupts the stride/bounds check into
+    * admitting out-of-range reads. `need <= b.length < 2^31` bounds
+    * every later Int index. */
+  private def bmpHeader(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (detect(b) != "bmp") return None
+    val pixelOff = le32(b, 10)
+    val dibSize = le32(b, 14)
+    if (dibSize < 40) return None // BITMAPCOREHEADER unsupported
+    val w = le32(b, 18)
+    val hRaw = le32(b, 22)
+    val h = math.abs(hRaw.toLong)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return None
+    val stride = ((w.toLong * 3 + 3) / 4) * 4
+    val need = pixelOff.toLong + stride * h
+    if (pixelOff < 14 + dibSize || need > b.length) return None
+    Some((pixelOff, w, hRaw, stride.toInt))
+  }
+
   /**
    * Parse a BMP with a BITMAPINFOHEADER (or larger V4/V5 header),
    * 24bpp, BI_RGB (no compression). Handles both bottom-up (positive
@@ -113,35 +139,24 @@ object Codecs {
    * padding; channel means don't depend on row order, so both layouts
    * share one accumulation pass.
    */
-  def parseBmp(b: Array[Byte]): Option[BmpInfo] = {
-    if (detect(b) != "bmp") return None
-    val pixelOff = le32(b, 10)
-    val dibSize = le32(b, 14)
-    if (dibSize < 40) return None // BITMAPCOREHEADER unsupported
-    val w = le32(b, 18)
-    val hRaw = le32(b, 22)
-    val h = math.abs(hRaw)
-    val bpp = le16(b, 28)
-    val compression = le32(b, 30)
-    if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
-    val stride = ((w * 3 + 3) / 4) * 4
-    val need = pixelOff.toLong + stride.toLong * h
-    if (pixelOff < 14 + dibSize || need > b.length) return None
-    var sr = 0L; var sg = 0L; var sb = 0L
-    var row = 0
-    while (row < h) {
-      var x = 0
-      val base = pixelOff + row * stride
-      while (x < w) {
-        val p = base + 3 * x // BGR order per spec
-        sb += b(p) & 0xff; sg += b(p + 1) & 0xff; sr += b(p + 2) & 0xff
-        x += 1
+  def parseBmp(b: Array[Byte]): Option[BmpInfo] = bmpHeader(b).map {
+    case (pixelOff, w, hRaw, stride) =>
+      val h = math.abs(hRaw)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var row = 0
+      while (row < h) {
+        var x = 0
+        val base = pixelOff + row * stride
+        while (x < w) {
+          val p = base + 3 * x // BGR order per spec
+          sb += b(p) & 0xff; sg += b(p + 1) & 0xff; sr += b(p + 2) & 0xff
+          x += 1
+        }
+        row += 1
       }
-      row += 1
-    }
-    val n = w.toLong * h
-    Some(BmpInfo(w, hRaw, bpp,
-      round6(sr.toDouble / n), round6(sg.toDouble / n), round6(sb.toDouble / n)))
+      val n = w.toLong * h
+      BmpInfo(w, hRaw, 24,
+        round6(sr.toDouble / n), round6(sg.toDouble / n), round6(sb.toDouble / n))
   }
 
   /** Decoded pixel grid: packed 0xRRGGBB ints, row-major TOP-DOWN
@@ -166,7 +181,11 @@ object Codecs {
   private def readImageCapped(b: Array[Byte],
       maxPixels: Long): Option[java.awt.image.BufferedImage] =
     try {
-      val in = javax.imageio.ImageIO.createImageInputStream(
+      // MemoryCacheImageInputStream explicitly: the createImageInputStream
+      // factory defaults to a FILE-cache stream, which would write every
+      // in-memory payload to a tmpdir file per row — needless disk and
+      // file-handle churn on a path that runs millions of times per stage
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(b))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(in)
@@ -234,32 +253,29 @@ object Codecs {
   def pixels(b: Array[Byte],
       maxPixels: Long = maxPixelsForDecode): Option[Pixels] = detect(b) match {
     case "bmp" =>
-      // re-validate the header exactly like parseBmp (one source of
-      // truth for "is this a BMP we decode"), then walk the pixel array
-      if (parseBmp(b).isEmpty) return None
-      val pixelOff = le32(b, 10)
-      val w = le32(b, 18)
-      val hRaw = le32(b, 22)
-      val h = math.abs(hRaw)
-      if (w.toLong * h > maxPixels) return None
-      val stride = ((w * 3 + 3) / 4) * 4
-      val out = new Array[Int](w * h)
-      var row = 0
-      while (row < h) {
-        // storage row `row` lands at display row `row` (top-down) or
-        // `h-1-row` (bottom-up, positive header height)
-        val dispRow = if (hRaw < 0) row else h - 1 - row
-        val base = pixelOff + row * stride
-        var x = 0
-        while (x < w) {
-          val p = base + 3 * x // BGR per spec
-          out(dispRow * w + x) =
-            ((b(p + 2) & 0xff) << 16) | ((b(p + 1) & 0xff) << 8) | (b(p) & 0xff)
-          x += 1
+      bmpHeader(b).flatMap { case (pixelOff, w, hRaw, stride) =>
+        val h = math.abs(hRaw)
+        if (w.toLong * h > maxPixels) None
+        else {
+          val out = new Array[Int](w * h)
+          var row = 0
+          while (row < h) {
+            // storage row `row` lands at display row `row` (top-down) or
+            // `h-1-row` (bottom-up, positive header height)
+            val dispRow = if (hRaw < 0) row else h - 1 - row
+            val base = pixelOff + row * stride
+            var x = 0
+            while (x < w) {
+              val p = base + 3 * x // BGR per spec
+              out(dispRow * w + x) =
+                ((b(p + 2) & 0xff) << 16) | ((b(p + 1) & 0xff) << 8) | (b(p) & 0xff)
+              x += 1
+            }
+            row += 1
+          }
+          Some(Pixels(w, h, out))
         }
-        row += 1
       }
-      Some(Pixels(w, h, out))
     case "png" | "jpeg" =>
       try {
         val img = readImageCapped(b, maxPixels).orNull

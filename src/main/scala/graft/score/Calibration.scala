@@ -114,9 +114,17 @@ object Calibration {
       lo: Double = 0.0, hi: Double = 1.0): DataFrame = {
     require(bins > 0 && hi > lo, s"need bins>0 and hi>lo: $bins, [$lo,$hi]")
     val width = (hi - lo) / bins
+    val s = col(scoreCol).cast("double")
     val idx = least(lit(bins - 1), greatest(lit(0),
-      floor((col(scoreCol).cast("double") - lit(lo)) / lit(width)).cast("int")))
-    labeled.withColumn(scoreCol, lit(lo) + idx * lit(width))
+      floor((s - lit(lo)) / lit(width)).cast("int")))
+    // null/NaN scores stay null/NaN instead of silently becoming the lo
+    // bin (greatest() SKIPS nulls and a non-ANSI NaN→int cast is 0, so
+    // the bare expression would fabricate real-looking bottom-bin rows
+    // that isotonicTable's isNotNull filter can no longer drop)
+    labeled.withColumn(scoreCol,
+      when(s.isNull, lit(null).cast("double"))
+        .when(isnan(s), lit(Double.NaN))
+        .otherwise(lit(lo) + idx * lit(width)))
   }
 
   /** See [[fixedWidthBins]]. Equal-mass edges from the exact quantile
@@ -132,14 +140,20 @@ object Calibration {
     val spark = labeled.sparkSession
     import spark.implicits._
     val edgeArr = graft.stats.Quantiles.quantilesDisc(
-        labeled.select(col(scoreCol).cast("double").as(scoreCol)), scoreCol, qs)
+        labeled.select(col(scoreCol).cast("double").as(scoreCol))
+          .filter(col(scoreCol).isNotNull && !isnan(col(scoreCol))), scoreCol, qs)
       .select(col("value").cast("double")).as[Double]
       .collect().distinct.sorted
     require(edgeArr.nonEmpty, "no scores to bin")
     val arrCol = array(edgeArr.map(lit(_)): _*)
     val s = col(scoreCol).cast("double")
-    labeled.withColumn(scoreCol, coalesce(
-      array_max(filter(arrCol, e => e <= s)), lit(edgeArr.head)))
+    // null/NaN preserved (not coalesced into the bottom edge): a failed
+    // comparator's row must stay filterable, not bias the first bin
+    labeled.withColumn(scoreCol,
+      when(s.isNull, lit(null).cast("double"))
+        .when(isnan(s), lit(Double.NaN))
+        .otherwise(coalesce(
+          array_max(filter(arrCol, e => e <= s)), lit(edgeArr.head))))
   }
 
   /** Calibrate a scored frame with the fitted step function: each score

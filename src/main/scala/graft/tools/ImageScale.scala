@@ -80,12 +80,7 @@ object ImageScale {
       val line =
         f"""IMGSCALE {"n":$n,"pairs":$found,"expected_pairs":$n,""" +
           f""""secs":$secs%.1f,"imgs_per_sec":${(n / secs).toLong}}"""
-      println(line)
-      sys.env.get("SPARK_GRAFT_SCALE_OUT").foreach { f =>
-        java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
-          line + "\n", java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.APPEND)
-      }
+      ProbeOut.emit(line)
     }
     spark.stop()
   }

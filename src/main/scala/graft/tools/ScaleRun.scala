@@ -53,14 +53,7 @@ object ScaleRun {
       val line =
         f"""SCALE {"replicas":$r,"rows":${m.records},"pairs":${m.candidatePairs},""" +
         f""""entities":${m.entities},"secs":$secs%.1f,"rows_per_sec":${(m.records / secs).toLong}}"""
-      println(line)
-      // stdout of a forked sbt run is lossy under output redirection —
-      // also append each point to a results file when asked
-      sys.env.get("SPARK_GRAFT_SCALE_OUT").foreach { f =>
-        java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
-          line + "\n", java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.APPEND)
-      }
+      ProbeOut.emit(line)
       // reclaim this point's run-scoped scratch before the next one — four
       // volume points in one JVM would otherwise stack ~input-sized
       // snapshots until the disk fills (deleteOnExit is JVM-exit only;

@@ -71,6 +71,17 @@ class BridgesSpec extends SparkSpec {
       30L -> 30L, 31L -> 30L, 32L -> 30L))
   }
 
+  test("splitWeakBridges: a null endpoint contributes its non-null side only") {
+    val scored = Seq(
+      (Some(1L), Some(2L), 0.99),
+      (Some(5L), None: Option[Long], 0.9) // hostile: half a pair
+    ).toDF("id1", "id2", "score")
+    val got = Bridges.splitWeakBridges(scored, "score", floor = 0.8)
+      .as[(Long, Long)].collect().toMap
+    // no phantom (null, null) row; 5 survives as its own singleton
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 5L))
+  }
+
   private def cuts(edges: Seq[(Long, Long)]): Set[Long] =
     Bridges.cutVertices(edges.toDF("id1", "id2"))
       .select("id").as[Long].collect().toSet

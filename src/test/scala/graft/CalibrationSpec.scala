@@ -81,6 +81,25 @@ class CalibrationSpec extends SparkSpec {
     assert(quant.count() == n) // binning must not drop or collapse rows
   }
 
+  test("binning preserves null and NaN scores instead of fabricating lo-bin rows") {
+    // greatest() skips nulls and a non-ANSI NaN->int cast is 0, so the
+    // bare expressions would silently move failed-comparator rows into
+    // the bottom bin with their labels — isotonicTable's isNotNull
+    // filter must still see them as null (NaN stays NaN: applyTable
+    // documents NaN propagation, not masking)
+    val rows = Seq((Some(0.37), 1.0), (None, 1.0), (Some(Double.NaN), 1.0),
+      (Some(0.92), 0.0)).toDF("s", "y")
+    for (binned <- Seq(
+        Calibration.fixedWidthBins(rows, "s", bins = 10),
+        Calibration.quantileBins(rows, "s", bins = 2))) {
+      val out = binned.select("s").collect().map(r =>
+        if (r.isNullAt(0)) "null"
+        else if (r.getDouble(0).isNaN) "nan" else "num")
+      assert(out.count(_ == "null") == 1 && out.count(_ == "nan") == 1 &&
+        out.count(_ == "num") == 2)
+    }
+  }
+
   test("quantileBins equal-mass edges under skew; scores below min clamp up") {
     // 90% of mass at 0.99, the rest spread low: fixed-width would leave
     // most bins empty; quantile edges collapse on the heavy point

@@ -100,6 +100,36 @@ class CodecsSpec extends SparkSpec {
     assert(Codecs.parseImageIO("not an image".getBytes).isEmpty)
   }
 
+  test("hostile BMP headers degrade to None, never throw") {
+    // hand-built 54-byte headers with adversarial geometry fields —
+    // cases a crawl WILL deliver that MediaGen's honest writer can't
+    def header(w: Int, h: Int): Array[Byte] = {
+      val b = new Array[Byte](54)
+      def le32(o: Int, v: Int): Unit = {
+        b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+        b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
+      }
+      b(0) = 'B'.toByte; b(1) = 'M'.toByte
+      le32(2, 54); le32(10, 54); le32(14, 40)
+      le32(18, w); le32(22, h); b(26) = 1; b(28) = 24
+      b
+    }
+    // height = Int.MinValue: math.abs is STILL negative — slipped the
+    // old h == 0 check, skipped the bounds walk, and made the pixel
+    // path throw NegativeArraySizeException inside a Spark task
+    assert(Codecs.parseBmp(header(1, Int.MinValue)).isEmpty)
+    assert(Codecs.pixels(header(1, Int.MinValue)).isEmpty)
+    // width whose w*3 wraps Int: the old Int stride corrupted the
+    // bounds check into admitting out-of-range reads
+    assert(Codecs.parseBmp(header(0x55555557, 1)).isEmpty)
+    assert(Codecs.pixels(header(0x55555557, 1)).isEmpty)
+    // negative width / zero height / negative pixel offset
+    assert(Codecs.parseBmp(header(-4, 4)).isEmpty)
+    assert(Codecs.parseBmp(header(4, 0)).isEmpty)
+    val negOff = header(2, 2); negOff(10) = -1; negOff(13) = -1
+    assert(Codecs.parseBmp(negOff).isEmpty && Codecs.pixels(negOff).isEmpty)
+  }
+
   test("decodeTable handles png and jpeg rows") {
     val media = Seq(
       (1L, MediaGen.png(2, 2, Seq((10, 20, 30), (40, 50, 60),
