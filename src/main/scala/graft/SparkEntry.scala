@@ -1320,6 +1320,36 @@ object SparkEntry {
       graft.multimodal.Media.imageHashTable(media).orderBy(col("media_id"))
     }),
 
+    // perceptual audio fingerprinting (eHash — 65 frame energies, one
+    // sign-of-delta bit per adjacent pair, AudioHash.scala), completing
+    // the modality triple on the shared Hamming kernel. Constants
+    // derived on paper exactly like q_image_dhash: monotone energy ramp
+    // sets every bit (-1), constant energy none (0), alternating
+    // loud/quiet frames give 0x5555..., ramp-up-then-down sets exactly
+    // the top 32 bits (the k=32/33 boundary frames have EQUAL energy,
+    // so the strictly-less bit stays 0); a stereo clip behind a decoy
+    // LIST chunk pins the shared RIFF walk; sub-frame clips and
+    // non-audio payloads carry null hashes.
+    "q_audio_ehash" -> ((s, dir) => {
+      import graft.fixtures.MediaGen
+      import s.implicits._
+      def frames(ampOf: Int => Int): Seq[Short] =
+        (0 until 65).flatMap(k => Seq.fill(16)(ampOf(k).toShort))
+      val media = Seq(
+        (1L, MediaGen.wav(Seq.fill(1040)(1000.toShort), 8000, 1)),
+        (2L, MediaGen.wav(Seq.tabulate(1040)(i => i.toShort), 8000, 1)),
+        (3L, MediaGen.wav(frames(k => if (k % 2 == 0) 2000 else 100), 8000, 1)),
+        (4L, MediaGen.wav(frames(k => if (k <= 32) k * 30 else (65 - k) * 30),
+          8000, 1)),
+        (5L, MediaGen.wav(Seq.fill(1040)(500.toShort), 44100, 2,
+          extraChunk = true)),
+        (6L, MediaGen.wav(Seq.fill(64)(100.toShort), 8000, 1)),
+        (7L, "not audio".getBytes("UTF-8")),
+        (8L, MediaGen.bmp(2, 2, Seq.fill(4)((9, 9, 9)))))
+        .toDF("media_id", "bytes")
+      graft.multimodal.Media.audioHashTable(media).orderBy(col("media_id"))
+    }),
+
     // the banded Hamming near-dup join (the kernel under text simhash
     // near-dup AND image dHash near-dup) against a signature table BOTH
     // engines derive from the same 31+32-bit mixing arithmetic (no
@@ -5610,6 +5640,22 @@ object SparkEntry {
         |  (8, 'unknown', NULL), (9, 'bmp', NULL),
         |  (10, 'bmp', -4294967296), (11, 'bmp', -4294967296))
         |  t(media_id, format, dhash)
+        |ORDER BY media_id""".stripMargin,
+
+    // eHash constants derived on paper from the bit layout (bit for
+    // frames (k,k+1) at position 63-k, set iff meanE(k) < meanE(k+1)
+    // STRICTLY): ramp → all 64 bits → -1; constant → 0; alternating
+    // loud/quiet frames → 0101... per pair → 0x5555555555555555;
+    // ramp-up-then-down → bits 63..32 (boundary frames equal → bit 0);
+    // sub-frame, non-audio and image payloads are null
+    "q_audio_ehash" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id, format,
+        |  CAST(ehash AS BIGINT) AS ehash
+        |FROM (VALUES
+        |  (1, 'wav', 0), (2, 'wav', -1), (3, 'wav', 6148914691236517205),
+        |  (4, 'wav', -4294967296), (5, 'wav', 0), (6, 'wav', NULL),
+        |  (7, 'unknown', NULL), (8, 'bmp', NULL))
+        |  t(media_id, format, ehash)
         |ORDER BY media_id""".stripMargin,
 
     // brute-force twin of the banded Hamming join: same signature

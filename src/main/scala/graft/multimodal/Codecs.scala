@@ -61,7 +61,10 @@ object Codecs {
    * payload is never mistaken for the data chunk (length-driven walk,
    * not marker search — the Warc.readWarc lesson).
    */
-  def parseWav(b: Array[Byte]): Option[WavInfo] = {
+  /** Validated WAV geometry: (channels, rate, dataOff, dataLen) for
+    * PCM-16 payloads — the chunk walk shared by [[parseWav]] and
+    * AudioHash so neither duplicates the RIFF framing rules. */
+  private[multimodal] def wavHeader(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     if (detect(b) != "wav") return None
     var off = 12
     var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
@@ -83,6 +86,14 @@ object Codecs {
     (fmt, data) match {
       case (Some((ch, rate, bits)), Some((dOff, dLen)))
           if ch > 0 && rate > 0 && bits == 16 =>
+        Some((ch, rate, dOff, dLen))
+      case _ => None
+    }
+  }
+
+  def parseWav(b: Array[Byte]): Option[WavInfo] =
+    wavHeader(b) match {
+      case Some((ch, rate, dOff, dLen)) =>
         val n = dLen / 2
         var i = 0
         var ss = 0L
@@ -100,11 +111,10 @@ object Codecs {
           i += 1
         }
         val rms = if (n == 0) 0.0 else math.sqrt(ss.toDouble / n)
-        Some(WavInfo(rate, ch, bits, n.toLong,
+        Some(WavInfo(rate, ch, 16, n.toLong,
           round6(n.toDouble / ch / rate), peak, round6(rms), zc))
       case _ => None
     }
-  }
 
   /** Validated BMP geometry: (pixelOff, w, hRaw, stride). ONE source of
     * truth for "is this a BMP we decode" — shared by [[parseBmp]] and

@@ -164,6 +164,37 @@ object Media {
       }
   }
 
+  /** Audio eHash over the media table: (media_id, format, ehash) —
+    * ehash null for non-WAV, undecodable, sub-frame, and over-cap
+    * payloads (AudioHash documents why). Same batched shape and same
+    * downstream join as [[imageHashTable]] — the modality triple
+    * (text/image/audio) shares one near-dup kernel. */
+  def audioHashTable(media: DataFrame): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("ehash", LongType, nullable = true)))
+    implicit val enc = Encoders.row(out)
+    media.select(col("media_id"), col("bytes"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val b = r.getAs[Array[Byte]](1)
+          Row(r.getLong(0), Codecs.detect(b),
+            AudioHash.ehash64(b).map(Long.box).orNull)
+        }
+      }
+  }
+
+  /** Audio near-duplicate pairs straight off a media table — the
+    * [[imageNearDupPairs]] contract over [[audioHashTable]]. */
+  def audioNearDupPairs(media: DataFrame, bands: Int = 4,
+      maxHamming: Int = 3, maxBucketSize: Int = 1000,
+      comboBlocks: Int = 0): DataFrame =
+    graft.textops.TextOps.hammingNearDupPairs(
+      audioHashTable(media).filter(col("ehash").isNotNull)
+        .select(col("media_id").as("id"), col("ehash").as("sh")),
+      bands, maxHamming, maxBucketSize, comboBlocks)
+
   /** Image near-duplicate pairs straight off a media table:
     * [[imageHashTable]] (null-hash rows — non-images, undecodables —
     * dropped) into the shared banded Hamming join. Output
