@@ -220,6 +220,32 @@ class PlanSpec extends SparkSpec {
         s"exchange carries a string payload column: ${a.name}")
   }
 
+  test("media near-dup shuffles only signatures — bytes never enter an exchange") {
+    // the structural form of the IMGSCALE_r4 scale claim: decode+hash
+    // run per-partition, and every exchange in the image/audio near-dup
+    // plans carries (id, 64-bit hash, band key) — never the binary
+    // payload. Same plain-AQE collection idiom as the exactDupes test.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.fixtures.MediaGen
+    val plain = spark.newSession()
+    plain.conf.set("spark.sql.adaptive.enabled", "false")
+    import plain.implicits._
+    val media = Seq(
+      (1L, MediaGen.png(9, 8, (0 until 72).map(i => (i, i, i)))),
+      (2L, MediaGen.wav(Seq.fill(1040)(100.toShort), 8000, 1)))
+      .toDF("media_id", "bytes")
+    for (out <- Seq(graft.multimodal.Media.imageNearDupPairs(media),
+        graft.multimodal.Media.audioNearDupPairs(media))) {
+      val exchanges = out.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty, "expected at least the band-key shuffle")
+      for (e <- exchanges; a <- e.output)
+        assert(a.dataType.typeName != "binary",
+          s"exchange carries a binary payload column: ${a.name}")
+    }
+  }
+
   test("keepBest picks winners with a partial max_by aggregate, no window") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
