@@ -55,8 +55,8 @@ object AudioHash {
         var i = 0
         while (i < n) {
           val f = ((i.toLong * Frames) / n).toInt
-          val s = ((b(dOff + 2 * i) & 0xff) |
-            ((b(dOff + 2 * i + 1) & 0xff) << 8)).toShort.toLong
+          // the same LE-16 decode parseWav applies to this data chunk
+          val s = Codecs.le16(b, dOff + 2 * i).toShort.toLong
           sums(f) += s * s
           cnts(f) += 1
           i += 1

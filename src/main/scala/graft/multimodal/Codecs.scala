@@ -29,7 +29,7 @@ object Codecs {
   final case class BmpInfo(width: Int, height: Int, bits: Int,
       meanR: Double, meanG: Double, meanB: Double)
 
-  private def le16(b: Array[Byte], o: Int): Int =
+  private[multimodal] def le16(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
   private def le32(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
@@ -52,34 +52,31 @@ object Codecs {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /**
-   * Parse a RIFF/WAVE file with 16-bit PCM samples. Walks the chunk
-   * list properly — skips unknown chunks (LIST, fact, …) with the
-   * spec's odd-size pad byte, takes `fmt ` before `data`, and clamps a
-   * data chunk that claims more bytes than the file carries (common in
-   * streamed writes). A "data" BYTE SEQUENCE inside another chunk's
-   * payload is never mistaken for the data chunk (length-driven walk,
-   * not marker search — the Warc.readWarc lesson).
-   */
   /** Validated WAV geometry: (channels, rate, dataOff, dataLen) for
     * PCM-16 payloads — the chunk walk shared by [[parseWav]] and
-    * AudioHash so neither duplicates the RIFF framing rules. */
+    * AudioHash so neither duplicates the RIFF framing rules. The walk
+    * offset is a Long: a hostile chunk declaring size ~2^31 would wrap
+    * an Int offset negative, keep the loop guard true, and index the
+    * array out of bounds — the same class of overflow bmpHeader guards
+    * against; every Int cast below is bounded by `off + 8 <= b.length`. */
   private[multimodal] def wavHeader(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     if (detect(b) != "wav") return None
-    var off = 12
+    var off = 12L
     var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
     var data: Option[(Int, Int)] = None     // (offset, len)
     while (off + 8 <= b.length && data.isEmpty) {
-      val size = le32(b, off + 4)
+      val size = le32(b, off.toInt + 4)
       if (size < 0) return None
-      val body = off + 8
-      if (ascii(b, off, "fmt ")) {
+      val body = off + 8 // <= b.length, so Int-safe where cast
+      if (ascii(b, off.toInt, "fmt ")) {
         if (size < 16 || body + 16 > b.length) return None
-        val audioFormat = le16(b, body)
+        val audioFormat = le16(b, body.toInt)
         if (audioFormat != 1) return None // PCM only
-        fmt = Some((le16(b, body + 2), le32(b, body + 4), le16(b, body + 14)))
-      } else if (ascii(b, off, "data")) {
-        data = Some((body, math.min(size.toLong, (b.length - body).toLong).toInt))
+        fmt = Some((le16(b, body.toInt + 2), le32(b, body.toInt + 4),
+          le16(b, body.toInt + 14)))
+      } else if (ascii(b, off.toInt, "data")) {
+        data = Some((body.toInt,
+          math.min(size.toLong, b.length - body).toInt))
       }
       off = body + size + (size & 1) // odd chunks carry a pad byte
     }
@@ -91,6 +88,15 @@ object Codecs {
     }
   }
 
+  /**
+   * Parse a RIFF/WAVE file with 16-bit PCM samples. Walks the chunk
+   * list properly — skips unknown chunks (LIST, fact, …) with the
+   * spec's odd-size pad byte, takes `fmt ` before `data`, and clamps a
+   * data chunk that claims more bytes than the file carries (common in
+   * streamed writes). A "data" BYTE SEQUENCE inside another chunk's
+   * payload is never mistaken for the data chunk (length-driven walk,
+   * not marker search — the Warc.readWarc lesson).
+   */
   def parseWav(b: Array[Byte]): Option[WavInfo] =
     wavHeader(b) match {
       case Some((ch, rate, dOff, dLen)) =>

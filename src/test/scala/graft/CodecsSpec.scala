@@ -100,6 +100,28 @@ class CodecsSpec extends SparkSpec {
     assert(Codecs.parseImageIO("not an image".getBytes).isEmpty)
   }
 
+  test("hostile WAV chunk sizes degrade to None, never throw") {
+    // a junk chunk declaring size ~2^31 used to wrap the Int walk
+    // offset negative, keep the loop guard true, and index out of
+    // bounds — crashing a Spark task instead of degrading
+    def riff(chunkSize: Int): Array[Byte] = {
+      val b = new Array[Byte](28)
+      def le32(o: Int, v: Int): Unit = {
+        b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+        b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
+      }
+      "RIFF".zipWithIndex.foreach { case (c, i) => b(i) = c.toByte }
+      le32(4, 20)
+      "WAVE".zipWithIndex.foreach { case (c, i) => b(8 + i) = c.toByte }
+      "JUNK".zipWithIndex.foreach { case (c, i) => b(12 + i) = c.toByte }
+      le32(16, chunkSize)
+      b
+    }
+    assert(Codecs.parseWav(riff(0x7ffffff0)).isEmpty)
+    assert(graft.multimodal.AudioHash.ehash64(riff(0x7ffffff0)).isEmpty)
+    assert(Codecs.parseWav(riff(-8)).isEmpty) // negative size: also None
+  }
+
   test("hostile BMP headers degrade to None, never throw") {
     // hand-built 54-byte headers with adversarial geometry fields —
     // cases a crawl WILL deliver that MediaGen's honest writer can't
