@@ -346,7 +346,10 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("rk"))
     }),
 
-    // flagship pipeline as a query (rows-only check: CC not SQL-expressible)
+    // flagship pipeline as a query. Oracle: frozen observed table
+    // (FrozenOracles — CC not independently SQL-expressible over xxhash
+    // ids; the q_dedupe_e2e recursive-CTE twin derives the same pipeline
+    // semantics independently on hash-free keys)
     "q_dedupe_pipeline" -> ((s, dir) => {
       val pages = PagesGen.fromDocuments(s, dir)
       runReclaimed(s, pages, Dedupe.Config(demoModel, collectMetrics = false))(
@@ -939,9 +942,9 @@ object SparkEntry {
     // incremental batch-vs-corpus NEAR dedup over the persisted MinHash
     // index: every doc_id%4==0 page borrows its successor's corpus text —
     // verbatim (recrawl), with an appended tail (near-dup), or keeps its
-    // own (novel). Rows-only: banding + the Jaccard estimate run on
-    // internal xxhash64 minhashes (green fixture twin:
-    // q_incr_neardup_fixture)
+    // own (novel). Oracle: frozen observed table — banding + the Jaccard
+    // estimate run on internal xxhash64 minhashes DuckDB cannot recompute;
+    // the green q_incr_neardup_fixture twin pins the kernel independently
     "q_incr_neardup" -> ((s, dir) => {
       import graft.textops.TextOps
       // no scan-widening repartition here: the signature kernel is cheap
@@ -1108,7 +1111,9 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // MinHash-LSH near-dup pairs over derived pages (rows-only: hash fns)
+    // MinHash-LSH near-dup pairs over derived pages. Oracle: frozen
+    // observed table (xxhash64 minhashes opaque to DuckDB; kernel pinned
+    // independently by the green q_minhash_fixture twin)
     "q_minhash_dedup" -> ((s, dir) => {
       import graft.textops.TextOps
       val pages = PagesGen.fromDocuments(s, dir)
@@ -1117,7 +1122,9 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
-    // SimHash near-dup pairs (rows-only: hash fns)
+    // SimHash near-dup pairs. Oracle: frozen observed table (xxhash64
+    // simhash opaque to DuckDB; kernel pinned independently by the green
+    // q_simhash_fixture twin)
     "q_simhash_dedup" -> ((s, dir) => {
       import graft.textops.TextOps
       val pages = PagesGen.fromDocuments(s, dir)
@@ -1465,14 +1472,32 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
-    // affine-gap comparator (C1 reference parity option) — no DuckDB twin
+    // affine-gap comparator (C1 reference parity option) at the FULL pair
+    // surface. Output is a 64-bucket digest covering every one of the
+    // ~468k pairs: n_pairs, the exact long sum of micro-quantized scores,
+    // and a bit_xor of per-pair (id1,id2,micro) hashes — any single
+    // score drift or pair-set change flips at least one bucket row. A
+    // digest (not raw rows) because 468k rows are too large to freeze as
+    // a VALUES oracle and the Gotoh DP too slow to re-run 468k× in
+    // DuckDB; q_affine_dp DOES re-run it cell-for-cell over its slice and
+    // q_affine_fixture pins the kernel on literals. All digest columns
+    // are integer-exact (long sums/xors commute), so the frozen observed
+    // oracle (FrozenOracles) is partition-order-proof by construction.
     "q_affine_scores" -> ((s, dir) => {
       attachedNamePairs(s, dir)
         .select(col("id1"), col("id2"),
-          round(affine_gap(col("name_1"), col("name_2")), 6).as("affine"))
+          round(affine_gap(col("name_1"), col("name_2")) * 1000000.0, 0)
+            .cast("long").as("micro"))
+        .groupBy(pmod(xxhash64(col("id1"), col("id2")), lit(64L)).as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("micro")).as("sum_micro"),
+          expr("bit_xor(xxhash64(id1, id2, micro))").as("sig"))
+        .orderBy(col("bucket"))
     }),
 
-    // phonetic (double-metaphone) blocking keys (B12) — no DuckDB metaphone
+    // phonetic (double-metaphone) blocking keys (B12). Oracle: frozen
+    // observed table (DuckDB has no metaphone; codes pinned independently
+    // by the green q_metaphone_fixture VALUES twin)
     "q_metaphone_block" -> ((s, dir) => {
       val recs = s.read.parquet(s"$dir/part.parquet")
         .select(col("p_partkey").as("id"), normalize_text(col("p_name")).as("name"))
@@ -1543,9 +1568,10 @@ object SparkEntry {
     }),
 
     // §2.6 G10: one-to-one record linkage (unique assignment) over the
-    // same gazetteer surface as q_gazetteer_jw — rows-only (iterative
-    // matching is not SQL-expressible); greedy-equality is pinned by the
-    // green fixture twin below + OneToOneSpec's sequential-greedy fuzz
+    // same gazetteer surface as q_gazetteer_jw. Oracle: frozen observed
+    // table (iterative matching is not SQL-expressible); greedy-equality
+    // is pinned independently by the green fixture twin below +
+    // OneToOneSpec's sequential-greedy fuzz
     "q_one_to_one" -> ((s, dir) => {
       val recs = s.read.parquet(s"$dir/part.parquet")
         .select(col("p_partkey").as("id"), normalize_text(col("p_name")).as("name"))
@@ -2071,8 +2097,10 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
-    // second-stage dedupeCanon (G6) over a deterministic subset of pages
-    // (rows-only: CC + pipeline not SQL-expressible)
+    // second-stage dedupeCanon (G6) over a deterministic subset of pages.
+    // Oracle: frozen observed table (CC + pipeline not SQL-expressible
+    // over xxhash ids; the remap seam is independently green via
+    // q_canon_remap)
     "q_dedupe_canon" -> ((s, dir) => {
       val pages = PagesGen.fromDocuments(s, dir)
         .filter(pmod(xxhash64(col("url")), lit(5L)) === 0)
@@ -2292,7 +2320,10 @@ object SparkEntry {
         .orderBy(col("id"), col("block_key"))
     }),
 
-    // IVF-style ANN (scale path; centroids hash-sampled — rows-only)
+    // IVF-style ANN (scale path; centroids hash-sampled). Oracle: frozen
+    // observed table — Lloyd centroid float sums verified identical across
+    // local[8]/local[32] before freezing; recall vs brute force pinned
+    // independently by the green q_ann_ivf_full twin
     "q_ann_ivf" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
@@ -2506,6 +2537,23 @@ object SparkEntry {
 
   /** DuckDB oracle SQL (same parquet tables, column names aligned). */
   def oracleSql: Map[String, String] = Map(
+    // Frozen observed-table oracles (round-5: the q_gazetteer idiom at
+    // the remaining scale paths). Each is the query's own sf0.01 output,
+    // regenerated at local[32] AND local[8] by tools.FreezeOracles and
+    // diffed byte-identical before freezing — regression pins for the
+    // paths whose internals (xxhash64 simhash/minhash keys, greedy
+    // iteration, Lloyd iterations, pipeline CC) DuckDB cannot recompute;
+    // every one has a green independently-derived fixture twin pinning
+    // the same kernel (see each query's comment).
+    "q_simhash_dedup" -> graft.fixtures.FrozenOracles.q_simhash_dedup,
+    "q_minhash_dedup" -> graft.fixtures.FrozenOracles.q_minhash_dedup,
+    "q_incr_neardup" -> graft.fixtures.FrozenOracles.q_incr_neardup,
+    "q_one_to_one" -> graft.fixtures.FrozenOracles.q_one_to_one,
+    "q_metaphone_block" -> graft.fixtures.FrozenOracles.q_metaphone_block,
+    "q_ann_ivf" -> graft.fixtures.FrozenOracles.q_ann_ivf,
+    "q_dedupe_pipeline" -> graft.fixtures.FrozenOracles.q_dedupe_pipeline,
+    "q_dedupe_canon" -> graft.fixtures.FrozenOracles.q_dedupe_canon,
+    "q_affine_scores" -> graft.fixtures.FrozenOracles.q_affine_scores,
     "q_kcore" -> kcoreOracleSql,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
