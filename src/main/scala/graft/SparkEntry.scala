@@ -1269,7 +1269,9 @@ object SparkEntry {
     // top-down BMPs, a gradient PNG (lossless → means computable a
     // priori), a solid-gray JPEG (DC-only blocks → the lossy codec
     // still roundtrips the color exactly, CodecsSpec-verified), and an
-    // unparseable payload that must degrade to format='unknown'.
+    // unparseable payload that must degrade to format='unknown', and an
+    // AVI whose stream-header geometry surfaces as width/height/bits
+    // (per-frame pixel features live in q_video_vhash).
     // Constant input → constant output → green VALUES oracle (the
     // q_hac_refine pattern); the signal/pixel math is independently
     // hand-checked in CodecsSpec.
@@ -1287,7 +1289,9 @@ object SparkEntry {
         (5L, "plain text payload".getBytes("UTF-8")),
         (6L, MediaGen.png(2, 2,
           Seq((10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120)))),
-        (7L, MediaGen.jpegSolid(16, 16, 128, 128, 128)))
+        (7L, MediaGen.jpegSolid(16, 16, 128, 128, 128)),
+        (8L, MediaGen.avi(9, 8, "DIB ",
+          Seq(MediaGen.dibFrame(9, 8, Seq.fill(72)((1, 2, 3)))))))
         .toDF("media_id", "bytes")
       graft.multimodal.Media.decodeTable(media).orderBy(col("media_id"))
     }),
@@ -1355,6 +1359,67 @@ object SparkEntry {
         (8L, MediaGen.bmp(2, 2, Seq.fill(4)((9, 9, 9)))))
         .toDF("media_id", "bytes")
       graft.multimodal.Media.audioHashTable(media).orderBy(col("media_id"))
+    }),
+
+    // video keyframe dHash (AVI container walk → per-frame image dHash,
+    // VideoHash.scala) — the FOURTH modality on the shared Hamming
+    // kernel. Constants are the same analytic 9×8 patterns q_image_dhash
+    // pins, carried as video frames: a gradient DIB frame sets every bit
+    // (-1), a solid frame none (0), alternating columns 0x5555…; the
+    // MJPEG row is a solid 16×16 JPEG whose dHash is 0 by construction
+    // (equal box means compare strictly-less) independent of the JPEG
+    // decoder; the audio-first AVI pins stream numbering (frames are
+    // '01db' there), the JUNK row pins the length-driven walk against a
+    // decoy '00db' banner, and non-video payloads carry null frame rows.
+    "q_video_vhash" -> ((s, dir) => {
+      import graft.fixtures.MediaGen
+      import s.implicits._
+      def grid(vOf: Int => Int): Seq[(Int, Int, Int)] =
+        (0 until 8).flatMap(_ => (0 until 9).map { x =>
+          val v = vOf(x); (v, v, v) })
+      val grad = MediaGen.dibFrame(9, 8, grid(x => x * 10))
+      val solid = MediaGen.dibFrame(9, 8, Seq.fill(72)((128, 128, 128)))
+      val alt = MediaGen.dibFrame(9, 8, grid(x => if (x % 2 == 0) 200 else 100))
+      val media = Seq(
+        (1L, MediaGen.avi(9, 8, "DIB ", Seq(grad, solid, alt))),
+        (2L, MediaGen.avi(16, 16, "MJPG",
+          Seq(MediaGen.jpegSolid(16, 16, 128, 128, 128)))),
+        (3L, MediaGen.avi(9, 8, "DIB ", Seq(grad), audioFirst = true)),
+        (4L, MediaGen.avi(9, 8, "DIB ", Seq(solid, grad), junk = true)),
+        (5L, "not a video".getBytes("UTF-8")),
+        (6L, MediaGen.wav(Seq[Short](0, 1, 2, 3), 8000, 1)))
+        .toDF("media_id", "bytes")
+      graft.multimodal.Media.videoHashTable(media)
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // clip-level video near-dup: keyframe dHashes through the SAME
+    // banded Hamming join as text/image/audio, folded to clip pairs.
+    // Hand-derived: clip 20 is clip 10 with ONE boundary-cell
+    // perturbation in frame 0 (row 0's col-8 box drops to col-7's
+    // value, so exactly the (row0, 7 vs 8) comparison flips — analytic
+    // hamming 1); the solid second frames match at hamming 0 → the pair
+    // matches on 2 sampled frames with min_hamming 0. Clip 30's
+    // alternating frame sits 32 bits from both patterns → no pair.
+    "q_video_neardup" -> ((s, dir) => {
+      import graft.fixtures.MediaGen
+      import s.implicits._
+      def grid(vOf: Int => Int): Seq[(Int, Int, Int)] =
+        (0 until 8).flatMap(_ => (0 until 9).map { x =>
+          val v = vOf(x); (v, v, v) })
+      val grad = MediaGen.dibFrame(9, 8, grid(x => x * 10))
+      val gradHam1 = MediaGen.dibFrame(9, 8,
+        (0 until 8).flatMap(y => (0 until 9).map { x =>
+          val v = if (y == 0 && x == 8) 70 else x * 10; (v, v, v) }))
+      val solid = MediaGen.dibFrame(9, 8, Seq.fill(72)((128, 128, 128)))
+      val alt = MediaGen.dibFrame(9, 8, grid(x => if (x % 2 == 0) 200 else 100))
+      val media = Seq(
+        (10L, MediaGen.avi(9, 8, "DIB ", Seq(grad, solid))),
+        (20L, MediaGen.avi(9, 8, "DIB ", Seq(gradHam1, solid))),
+        (30L, MediaGen.avi(9, 8, "DIB ", Seq(alt))))
+        .toDF("media_id", "bytes")
+      graft.multimodal.Media.videoNearDupPairs(media, maxBucketSize = 100)
+        .orderBy(col("id1"), col("id2"))
     }),
 
     // the banded Hamming near-dup join (the kernel under text simhash
@@ -5665,7 +5730,9 @@ object SparkEntry {
         |  (6, 'png', 2, 2, 24, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
         |   55.0, 65.0, 75.0),
         |  (7, 'jpeg', 16, 16, 24, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
-        |   128.0, 128.0, 128.0))
+        |   128.0, 128.0, 128.0),
+        |  (8, 'avi', 9, 8, 24, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        |   NULL, NULL, NULL))
         |  t(media_id, format, width, height, bits, sample_rate, channels,
         |    n_samples, duration_sec, peak, rms, zero_crossings,
         |    mean_r, mean_g, mean_b)
@@ -5705,6 +5772,31 @@ object SparkEntry {
         |  (7, 'unknown', NULL), (8, 'bmp', NULL))
         |  t(media_id, format, ehash)
         |ORDER BY media_id""".stripMargin,
+
+    // analytic constants: the q_image_dhash patterns as video frames
+    // (gradient -1, solid 0, alternating 0x5555… = 6148914691236517205);
+    // MJPEG solid is 0 independent of decoder (equal means, strict less)
+    "q_video_vhash" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id, format,
+        |  CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(dhash AS BIGINT) AS dhash
+        |FROM (VALUES
+        |  (1, 'avi', 0, -1), (1, 'avi', 1, 0),
+        |  (1, 'avi', 2, 6148914691236517205),
+        |  (2, 'avi', 0, 0), (3, 'avi', 0, -1),
+        |  (4, 'avi', 0, 0), (4, 'avi', 1, -1),
+        |  (5, 'unknown', NULL, NULL), (6, 'wav', NULL, NULL))
+        |  t(media_id, format, frame_idx, dhash)
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // hand-derived fold: clips 10/20 match on both sampled frames
+    // (gradient vs its 1-bit perturbation + solid vs solid at 0)
+    "q_video_neardup" ->
+      """SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
+        |  CAST(frames_matched AS BIGINT) AS frames_matched,
+        |  CAST(min_hamming AS INTEGER) AS min_hamming
+        |FROM (VALUES (10, 20, 2, 0)) t(id1, id2, frames_matched, min_hamming)
+        |ORDER BY id1""".stripMargin,
 
     // brute-force twin of the banded Hamming join: same signature
     // arithmetic (2654435761 is Knuth's 2^32 golden-ratio multiplier;

@@ -91,6 +91,96 @@ object MediaGen {
     o.toByteArray
   }
 
+  /** One RIFF chunk: id + le32 size + payload + odd-size pad byte. */
+  private def chunk(o: ByteArrayOutputStream, id: String,
+      payload: Array[Byte]): Unit = {
+    ascii(o, id); le32(o, payload.length); o.write(payload)
+    if ((payload.length & 1) == 1) o.write(0)
+  }
+  private def bytesOf(f: ByteArrayOutputStream => Unit): Array[Byte] = {
+    val o = new ByteArrayOutputStream(); f(o); o.toByteArray
+  }
+
+  /**
+   * AVI writer (RIFF 'AVI '): LIST(hdrl){avih, LIST(strl){strh, strf}}
+   * then LIST(movi){frame chunks}. `codec` is "DIB " (frames = raw
+   * bottom-up 24bpp stride-padded pixel data) or "MJPG" (frames =
+   * standalone JPEG payloads). `audioFirst` prepends a dummy 'auds'
+   * strl so the video stream becomes stream 01 — proving the parser
+   * tracks stream numbers instead of assuming "00dc". `junk` inserts a
+   * JUNK chunk whose payload carries a decoy "00db" banner before the
+   * movi list — proving the length-driven walk (the WAV decoy-LIST
+   * pattern).
+   */
+  def avi(w: Int, h: Int, codec: String, frames: Seq[Array[Byte]],
+      junk: Boolean = false, audioFirst: Boolean = false): Array[Byte] = {
+    require(codec == "DIB " || codec == "MJPG", codec)
+    val strl = bytesOf { s =>
+      ascii(s, "strl")
+      chunk(s, "strh", bytesOf { x =>
+        ascii(x, "vids"); ascii(x, codec)
+        le32(x, 0); le32(x, 0); le32(x, 0) // flags, prio+lang, initial
+        le32(x, 1); le32(x, 25)            // scale, rate (25 fps)
+        le32(x, 0); le32(x, frames.length) // start, length
+        le32(x, 0); le32(x, -1); le32(x, 0) // bufSize, quality, sampleSize
+        le16(x, 0); le16(x, 0); le16(x, w); le16(x, h) // rcFrame
+      })
+      chunk(s, "strf", bytesOf { x =>
+        le32(x, 40); le32(x, w); le32(x, h)
+        le16(x, 1); le16(x, 24) // planes, bpp
+        le32(x, if (codec == "MJPG") 0x47504A4D else 0) // biCompression
+        le32(x, 0); le32(x, 0); le32(x, 0); le32(x, 0); le32(x, 0)
+      })
+    }
+    val audioStrl = bytesOf { s =>
+      ascii(s, "strl")
+      chunk(s, "strh", bytesOf { x =>
+        ascii(x, "auds"); le32(x, 0)
+        (0 until 12).foreach(_ => le32(x, 0))
+      })
+      chunk(s, "strf", bytesOf { x => (0 until 4).foreach(_ => le32(x, 0)) })
+    }
+    val hdrl = bytesOf { s =>
+      ascii(s, "hdrl")
+      chunk(s, "avih", bytesOf { x =>
+        le32(x, 40000); le32(x, 0); le32(x, 0); le32(x, 0) // usec/frame …
+        le32(x, frames.length); le32(x, 0)
+        le32(x, if (audioFirst) 2 else 1) // dwStreams
+        le32(x, 0); le32(x, w); le32(x, h)
+        (0 until 4).foreach(_ => le32(x, 0))
+      })
+      if (audioFirst) chunk(s, "LIST", audioStrl)
+      chunk(s, "LIST", strl)
+    }
+    val streamId = if (audioFirst) "01" else "00"
+    val frameId = streamId + (if (codec == "DIB ") "db" else "dc")
+    val movi = bytesOf { s =>
+      ascii(s, "movi")
+      frames.foreach(f => chunk(s, frameId, f))
+    }
+    val body = bytesOf { s =>
+      ascii(s, "AVI ")
+      chunk(s, "LIST", hdrl)
+      if (junk) chunk(s, "JUNK", "decoy 00db banner".getBytes("UTF-8"))
+      chunk(s, "LIST", movi)
+    }
+    bytesOf { o => ascii(o, "RIFF"); le32(o, body.length); o.write(body) }
+  }
+
+  /** Raw AVI-DIB frame payload: bottom-up 24bpp rows with the BMP
+    * 4-byte stride padding — exactly what a '##db' chunk carries.
+    * `pixels` row-major top-down as (r,g,b), like [[bmp]]. */
+  def dibFrame(w: Int, h: Int, pixels: Seq[(Int, Int, Int)]): Array[Byte] = {
+    require(pixels.length == w * h, "need w*h pixels")
+    val stride = ((w * 3 + 3) / 4) * 4
+    bytesOf { o =>
+      pixels.grouped(w).toSeq.reverse.foreach { row =>
+        row.foreach { case (r, g, b) => o.write(b); o.write(g); o.write(r) }
+        (w * 3 until stride).foreach(_ => o.write(0))
+      }
+    }
+  }
+
   /** Solid-color JPEG via the JDK ImageIO plugin. A uniform image is a
     * DC-only JPEG: every 8×8 block's AC coefficients are zero, the DC
     * quantizes/dequantizes exactly, and constant chroma survives 4:2:0

@@ -19,8 +19,9 @@ package graft.multimodal
  *
  * Determinism contract (same discipline as ImageHash): energies are
  * exact Long sums of s², frames are compared by cross-multiplication
- * `sumL·nR < sumR·nL` (frame lengths differ by ±1 sample when 65
- * doesn't divide n — no division, no floats anywhere), so the hash is
+ * `sumL·nR < sumR·nL` (frame lengths differ by ±1 multichannel sample
+ * when 65 doesn't divide n/channels — no division, no floats
+ * anywhere), so the hash is
  * bit-identical across JVMs and partitionings. Overflow is excluded by
  * [[maxSamplesForHash]]: sum ≤ 2^30·(2^22/65) < 2^46, count ≤ 2^16,
  * product < 2^62.
@@ -41,25 +42,35 @@ object AudioHash {
    * `63 - k` — so a clip whose energy ramps up monotonically hashes to
    * all-ones (-1L), constant energy to 0L, which makes the
    * q_audio_ehash VALUES oracle hand-derivable. Channels are not
-   * unmixed: frames slice the interleaved stream, and per-channel
-   * energies add — the envelope survives. None for non-WAV payloads,
-   * clips shorter than one sample per frame, and clips past the cap.
+   * unmixed — per-channel energies add and the envelope survives — but
+   * frame boundaries are aligned to whole multichannel samples: frame
+   * assignment runs over the n/channels sample FRAMES, so an L/R pair
+   * is never split across two energy frames when 65 doesn't divide the
+   * count (a trailing partial multichannel sample, only possible in a
+   * malformed clip, is ignored). None for non-WAV payloads, clips
+   * shorter than one multichannel sample per frame, and clips past the
+   * cap.
    */
   def ehash64(b: Array[Byte]): Option[Long] =
-    Codecs.wavHeader(b).flatMap { case (_, _, dOff, dLen) =>
+    Codecs.wavHeader(b).flatMap { case (ch, _, dOff, dLen) =>
       val n = dLen / 2
-      if (n < Frames || n > maxSamplesForHash) None
+      val nf = n / ch // whole multichannel sample frames
+      if (nf < Frames || n > maxSamplesForHash) None
       else {
         val sums = new Array[Long](Frames)
         val cnts = new Array[Long](Frames)
-        var i = 0
-        while (i < n) {
-          val f = ((i.toLong * Frames) / n).toInt
-          // the same LE-16 decode parseWav applies to this data chunk
-          val s = Codecs.le16(b, dOff + 2 * i).toShort.toLong
-          sums(f) += s * s
-          cnts(f) += 1
-          i += 1
+        var j = 0
+        while (j < nf) {
+          val f = ((j.toLong * Frames) / nf).toInt
+          var c = 0
+          while (c < ch) {
+            // the same LE-16 decode parseWav applies to this data chunk
+            val s = Codecs.le16(b, dOff + 2 * (j * ch + c)).toShort.toLong
+            sums(f) += s * s
+            c += 1
+          }
+          cnts(f) += ch
+          j += 1
         }
         var hash = 0L
         var k = 0

@@ -39,10 +39,11 @@ object Codecs {
     o + s.length <= b.length && s.indices.forall(i => b(o + i) == s.charAt(i).toByte)
 
   /** Container sniff by magic bytes:
-    * "wav" | "bmp" | "png" | "jpeg" | "unknown". */
+    * "wav" | "avi" | "bmp" | "png" | "jpeg" | "unknown". */
   def detect(b: Array[Byte]): String =
     if (b == null) "unknown"
     else if (ascii(b, 0, "RIFF") && b.length >= 12 && ascii(b, 8, "WAVE")) "wav"
+    else if (ascii(b, 0, "RIFF") && b.length >= 12 && ascii(b, 8, "AVI ")) "avi"
     else if (ascii(b, 0, "BM") && b.length >= 54) "bmp"
     else if (b.length >= 8 && (b(0) & 0xff) == 0x89 && ascii(b, 1, "PNG")) "png"
     else if (b.length >= 3 && (b(0) & 0xff) == 0xff &&
@@ -173,6 +174,132 @@ object Codecs {
       val n = w.toLong * h
       BmpInfo(w, hRaw, 24,
         round6(sr.toDouble / n), round6(sg.toDouble / n), round6(sb.toDouble / n))
+  }
+
+  /** Validated AVI video geometry + frame index: width/height/bits from
+    * the first 'vids' stream's BITMAPINFOHEADER, the codec fourcc
+    * ("DIB " for uncompressed bottom-up DIB frames, "MJPG" for
+    * motion-JPEG where every frame is a standalone JPEG — the two
+    * codecs a pure JVM decodes), and the (offset, length) of every
+    * video frame chunk in the 'movi' list. */
+  final case class AviInfo(width: Int, height: Int, bits: Int,
+      codec: String, frames: IndexedSeq[(Int, Int)])
+
+  private val MJPG = 0x47504A4D // 'MJPG' fourcc, little-endian
+
+  /**
+   * AVI container walk (RIFF 'AVI '† — the same length-driven chunk
+   * discipline as [[wavHeader]], recursing into LIST bodies): 'hdrl'
+   * carries the main header and per-stream 'strh'/'strf' pairs; 'movi'
+   * carries the frame chunks, named `NNdb` (uncompressed DIB) / `NNdc`
+   * (compressed) where NN is the zero-based stream number — matched
+   * against the index of the first 'vids' stream, so an AVI whose audio
+   * stream is listed first still yields its video frames. A decoy
+   * "00db" byte sequence inside a JUNK/INFO payload is never mistaken
+   * for a frame (length walk, not marker search — the Warc lesson).
+   * All offsets are Long and every chunk is bounds-checked, so hostile
+   * sizes (negative, Int-wrapping) degrade to None, never index OOB.
+   * None unless the video stream is 24bpp BI_RGB DIB or MJPG.
+   */
+  private[multimodal] def aviScan(b: Array[Byte]): Option[AviInfo] = {
+    if (detect(b) != "avi") return None
+    var w = 0; var h = 0; var bits = 0; var codec: String = null
+    var streamIdx = -1     // streams seen so far (strl lists)
+    var videoStream = -1   // index of the first vids stream
+    var pendingVids = false // last strh in the current strl was vids
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var bad = false
+    def walk(start: Long, end: Long): Unit = {
+      var off = start
+      while (!bad && off + 8 <= end) {
+        val size = le32(b, off.toInt + 4)
+        if (size < 0 || off + 8 + size > end) { bad = true; return }
+        val body = off + 8
+        if (ascii(b, off.toInt, "LIST")) {
+          if (size >= 4) {
+            val lt = off.toInt + 8
+            if (ascii(b, lt, "hdrl") || ascii(b, lt, "movi")) {
+              walk(body + 4, body + size)
+            } else if (ascii(b, lt, "strl")) {
+              streamIdx += 1; pendingVids = false
+              walk(body + 4, body + size)
+            }
+            // other list types (INFO, odml …) are skipped by length
+          }
+        } else if (ascii(b, off.toInt, "strh")) {
+          if (size >= 8) {
+            pendingVids = ascii(b, body.toInt, "vids")
+            if (pendingVids && videoStream < 0) videoStream = streamIdx
+          }
+        } else if (ascii(b, off.toInt, "strf")) {
+          // first vids stream's BITMAPINFOHEADER wins
+          if (pendingVids && codec == null && size >= 40) {
+            w = le32(b, body.toInt + 4)
+            h = le32(b, body.toInt + 8)
+            bits = le16(b, body.toInt + 14)
+            codec = le32(b, body.toInt + 16) match {
+              case 0 => if (bits == 24) "DIB " else null
+              case MJPG => "MJPG"
+              case _ => null
+            }
+            if (codec == null) bad = true
+          }
+        } else if (videoStream >= 0 && off + 4 <= end &&
+            b(off.toInt) == ('0' + videoStream / 10).toByte &&
+            b(off.toInt + 1) == ('0' + videoStream % 10).toByte &&
+            b(off.toInt + 2) == 'd'.toByte &&
+            (b(off.toInt + 3) == 'b'.toByte || b(off.toInt + 3) == 'c'.toByte)) {
+          frames += ((body.toInt, size))
+        }
+        off = body + size + (size & 1) // odd chunks carry a pad byte
+      }
+    }
+    walk(12L, b.length.toLong)
+    if (bad || codec == null || w <= 0 || h <= 0 || frames.isEmpty) None
+    else Some(AviInfo(w, h, bits, codec, frames.toIndexedSeq))
+  }
+
+  /**
+   * Decode one AVI video frame to a top-down pixel grid. DIB frames are
+   * raw bottom-up 24bpp pixel data with the BMP 4-byte row padding (no
+   * per-frame header — geometry comes from the stream's
+   * BITMAPINFOHEADER); MJPG frames are standalone JPEGs routed through
+   * the capped ImageIO path, with a geometry check against the declared
+   * stream dims so a hostile oversized frame can't bypass the
+   * header-level bomb guard. None on any structural violation.
+   */
+  private[multimodal] def aviFramePixels(b: Array[Byte], info: AviInfo,
+      frame: Int, maxPixels: Long = maxPixelsForDecode): Option[Pixels] = {
+    if (frame < 0 || frame >= info.frames.length) return None
+    val (fOff, fLen) = info.frames(frame)
+    val w = info.width; val h = info.height
+    if (w.toLong * h > maxPixels) return None
+    info.codec match {
+      case "DIB " =>
+        val stride = ((w.toLong * 3 + 3) / 4) * 4
+        if (stride * h > fLen || fOff.toLong + fLen > b.length) None
+        else {
+          val out = new Array[Int](w * h)
+          var row = 0
+          while (row < h) {
+            val dispRow = h - 1 - row // AVI DIBs are bottom-up
+            val base = fOff + row * stride.toInt
+            var x = 0
+            while (x < w) {
+              val p = base + 3 * x // BGR per spec
+              out(dispRow * w + x) =
+                ((b(p + 2) & 0xff) << 16) | ((b(p + 1) & 0xff) << 8) | (b(p) & 0xff)
+              x += 1
+            }
+            row += 1
+          }
+          Some(Pixels(w, h, out))
+        }
+      case "MJPG" =>
+        if (fOff.toLong + fLen > b.length) None
+        else pixels(java.util.Arrays.copyOfRange(b, fOff, fOff + fLen), maxPixels)
+      case _ => None
+    }
   }
 
   /** Decoded pixel grid: packed 0xRRGGBB ints, row-major TOP-DOWN

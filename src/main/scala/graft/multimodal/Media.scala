@@ -9,11 +9,12 @@ import org.apache.spark.sql.types._
  * `binary` columns with typed metadata; decode / feature-extract /
  * frame-sample run per-partition in batches.
  *
- * REAL decoders cover WAV-PCM, BMP, JPEG and PNG (multimodal/Codecs —
- * hand-written spec parsers + the JDK's own ImageIO plugins). The codec
- * layer for compressed AUDIO/VIDEO (opus/h264) is not present in this
- * container, so `decodeStub` below is a clearly-marked deterministic
- * fake (a byte histogram) standing in for those decoders — the
+ * REAL decoders cover WAV-PCM, BMP, JPEG, PNG, and AVI video carrying
+ * DIB or motion-JPEG frames (multimodal/Codecs — hand-written spec
+ * parsers + the JDK's own ImageIO plugins). The codec layer for
+ * compressed audio and inter-frame video (opus/h264) is not present in
+ * this container, so `decodeStub` below is a clearly-marked
+ * deterministic fake (a byte histogram) standing in for those — the
  * Spark-side plumbing (schema, partition-batched execution shape,
  * feature column contract) is real and tested. Swapping in a real
  * decoder = replacing ONE function.
@@ -132,6 +133,13 @@ object Media {
                 m.meanR, m.meanG, m.meanB)
               case None => unknownRow(id)
             }
+            case "avi" => Codecs.aviScan(b) match {
+              // video geometry from the stream header; per-frame pixel
+              // features live in videoHashTable (frame-grain rows)
+              case Some(v) => Row(id, "avi", v.width, v.height, v.bits,
+                null, null, null, null, null, null, null, null, null, null)
+              case None => unknownRow(id)
+            }
             case _ => unknownRow(id)
           }
         }
@@ -183,6 +191,72 @@ object Media {
             AudioHash.ehash64(b).map(Long.box).orNull)
         }
       }
+  }
+
+  /** Sampled keyframe dHashes over the media table — the video analog
+    * of [[imageHashTable]], at FRAME grain: one row per sampled
+    * keyframe for parseable AVIs (frame_idx = original frame index,
+    * dhash null for an undecodable frame), one (null, null) row for
+    * everything else so every input id stays visible downstream. Frame
+    * BYTES never leave the partition that decoded them — only 64-bit
+    * signatures flow to the join (PlanSpec-asserted, same contract as
+    * image/audio). */
+  def videoHashTable(media: DataFrame,
+      maxFrames: Int = VideoHash.defaultMaxFrames): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = true),
+      StructField("dhash", LongType, nullable = true)))
+    implicit val enc = Encoders.row(out)
+    media.select(col("media_id"), col("bytes"))
+      .flatMap { r =>
+        val id = r.getLong(0)
+        val b = r.getAs[Array[Byte]](1)
+        val fmt = Codecs.detect(b)
+        if (fmt != "avi") Seq(Row(id, fmt, null, null))
+        else VideoHash.frameHashes(b, maxFrames) match {
+          case Some(fs) => fs.map { case (idx, h) =>
+            Row(id, "avi", idx, h.map(Long.box).orNull) }
+          case None => Seq(Row(id, "unknown", null, null))
+        }
+      }
+  }
+
+  /**
+   * Video near-duplicate pairs straight off a media table: sampled
+   * keyframe dHashes ([[videoHashTable]]) enter the SAME banded Hamming
+   * kernel as text/image/audio at frame grain — each frame keyed by
+   * xxhash64(media_id, frame_idx) (the engine's standard derived-id
+   * idiom; a collision at 10^12 scale costs one spurious candidate that
+   * the exact verify rejects) — and the frame-level matches fold back
+   * to clip pairs: (id1, id2, frames_matched, min_hamming), keeping a
+   * pair only when at least `minFramesMatched` sampled-frame pairs land
+   * within `maxHamming`. Cross-index matches count (frame 0 of a
+   * trimmed copy may align with frame 2 of the original); self-matches
+   * within one clip (static scenes) are dropped before the fold.
+   */
+  def videoNearDupPairs(media: DataFrame, bands: Int = 4,
+      maxHamming: Int = 3, maxBucketSize: Int = 1000,
+      comboBlocks: Int = 0, maxFrames: Int = VideoHash.defaultMaxFrames,
+      minFramesMatched: Int = 1): DataFrame = {
+    val fh = videoHashTable(media, maxFrames)
+      .filter(col("dhash").isNotNull)
+      .select(xxhash64(col("media_id"), col("frame_idx")).as("uid"),
+        col("media_id"), col("dhash"))
+    val framePairs = graft.textops.TextOps.hammingNearDupPairs(
+      fh.select(col("uid").as("id"), col("dhash").as("sh")),
+      bands, maxHamming, maxBucketSize, comboBlocks)
+    val m1 = fh.select(col("uid").as("id1"), col("media_id").as("vid1"))
+    val m2 = fh.select(col("uid").as("id2"), col("media_id").as("vid2"))
+    framePairs.join(m1, "id1").join(m2, "id2")
+      .filter(col("vid1") =!= col("vid2"))
+      .select(least(col("vid1"), col("vid2")).as("id1"),
+        greatest(col("vid1"), col("vid2")).as("id2"), col("hamming"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("frames_matched"),
+        min(col("hamming")).as("min_hamming"))
+      .filter(col("frames_matched") >= minFramesMatched)
   }
 
   /** Audio near-duplicate pairs straight off a media table — the

@@ -77,4 +77,20 @@ class AudioHashSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)))
   }
+
+  test("stereo frames hold whole L/R pairs: channel swap never moves a bit") {
+    // 131 multichannel samples: 65 ∤ 131, so frame boundaries fall at
+    // odd interleaved indices — the exact case where slicing the raw
+    // interleaved stream would split an L/R pair across two energy
+    // frames. With pair-aligned framing, swapping the channels permutes
+    // samples WITHIN frames only, so the energies (and the hash) are
+    // invariant; the pre-fix slicing fails this for seeded random pairs.
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(131)((rnd.nextInt(4000) - 2000, rnd.nextInt(4000) - 2000))
+    def wavOf(ps: Seq[(Int, Int)]) = MediaGen.wav(
+      ps.flatMap { case (l, r) => Seq(l.toShort, r.toShort) }, 8000, 2)
+    val a = AudioHash.ehash64(wavOf(pairs))
+    val b = AudioHash.ehash64(wavOf(pairs.map(_.swap)))
+    assert(a.nonEmpty && a == b)
+  }
 }

@@ -232,10 +232,13 @@ class PlanSpec extends SparkSpec {
     import plain.implicits._
     val media = Seq(
       (1L, MediaGen.png(9, 8, (0 until 72).map(i => (i, i, i)))),
-      (2L, MediaGen.wav(Seq.fill(1040)(100.toShort), 8000, 1)))
+      (2L, MediaGen.wav(Seq.fill(1040)(100.toShort), 8000, 1)),
+      (3L, MediaGen.avi(9, 8, "DIB ",
+        Seq(MediaGen.dibFrame(9, 8, Seq.fill(72)((7, 7, 7)))))))
       .toDF("media_id", "bytes")
     for (out <- Seq(graft.multimodal.Media.imageNearDupPairs(media),
-        graft.multimodal.Media.audioNearDupPairs(media))) {
+        graft.multimodal.Media.audioNearDupPairs(media),
+        graft.multimodal.Media.videoNearDupPairs(media))) {
       val exchanges = out.queryExecution.executedPlan.collect {
         case e: ShuffleExchangeExec => e
       }
