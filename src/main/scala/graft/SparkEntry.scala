@@ -1245,6 +1245,47 @@ object SparkEntry {
         .orderBy(col("messy_id"))
     }),
 
+    // ADVICE r4: an independently-derivable spot check on the frozen
+    // q_gazetteer oracle, so the flagship surface is not pinned ONLY by
+    // its own prior output. For pinned messy docs whose rank-1 canon is
+    // the true parent, the score is re-derived from the raw parquet text
+    // in BOTH engines: PagesGen's -v1 derivation collapses under
+    // normalize_text to cnorm || ' © example inc', and the DuckDB twin
+    // rebuilds exactly that, substitutes the 2-byte '©' with ASCII '@'
+    // on both sides (DuckDB JW/levenshtein count UTF-8 bytes, ours
+    // counts chars — the substitution makes byte math equal char math
+    // without changing any distance), and pushes jw/lev_sim through the
+    // demoModel sigmoid. Matching scores prove the frozen table's
+    // numbers are what the model arithmetic says they should be, from
+    // source data the system never touched.
+    "q_gazetteer_spot" -> ((s, dir) => {
+      val spotDocs = Seq(11L, 37L, 120L, 208L, 261L, 333L, 404L)
+      val pages = PagesGen.fromDocuments(s, dir)
+      val prepared = Dedupe.ephemeralSnapshot(s,
+        Dedupe.prepare(pages).drop("html"), "gaz_spot_prep")
+      val canon = prepared.filter(!col("url").endsWith("-v1"))
+      val messy = prepared.filter(col("url").endsWith("-v1"))
+      val matched = graft.pipeline.Gazetteer.matchRecords(s, messy, canon,
+        graft.pipeline.Gazetteer.Config(demoModel, nMatches = 1,
+          maxCanonBlockSize = 200))
+      val urls = prepared.select(col("id"), col("url"))
+      // rlike prefilters before the ANSI cast: the other side's urls
+      // produce '' from regexp_extract, which ANSI-cast refuses
+      matched
+        .join(urls.filter(col("url").rlike("/\\d+-v1$"))
+          .select(col("id").as("messy_id"),
+            regexp_extract(col("url"), "/(\\d+)-v1$", 1).cast("long").as("doc_id")),
+          Seq("messy_id"))
+        .join(urls.filter(col("url").rlike("/\\d+$"))
+          .select(col("id").as("canon_id"),
+            regexp_extract(col("url"), "/(\\d+)$", 1).cast("long").as("canon_doc")),
+          Seq("canon_id"))
+        .filter(col("doc_id").isin(spotDocs: _*))
+        .select(col("doc_id"), col("canon_doc"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("doc_id"))
+    }),
+
     // multimodal plumbing: batched feature extraction over binary columns.
     // Green-checkable: the deterministic decode stub is a byte histogram,
     // so DuckDB reproduces bins from the (all-ASCII) source text — feat0 =
@@ -4431,6 +4472,35 @@ object SparkEntry {
         |FROM pairs p LEFT JOIN dots d USING (id1, id2)
         |ORDER BY id1, id2""".stripMargin,
 
+    // INDEPENDENT rebuild of the flagship gazetteer scores for the
+    // pinned docs (ADVICE r4): rebuilds the -v1 text derivation from the
+    // raw parquet (normalize collapses PagesGen's doubled space, so
+    // mnorm = cnorm || ' © example inc'), substitutes the 2-byte '©'
+    // with ASCII '@' on both sides so DuckDB's byte-counting JW/lev
+    // equals our char-counting kernels (substitution is 1-char↔1-char
+    // and '@' never occurs in the vocab — no distance changes), and
+    // pushes jw/lev_sim/exact_lang through the demoModel sigmoid.
+    "q_gazetteer_spot" ->
+      """WITH spot AS (
+        |  SELECT * FROM (VALUES (11),(37),(120),(208),(261),(333),(404)) s(doc_id)),
+        |base AS (
+        |  SELECT d.doc_id,
+        |    lower(trim(regexp_replace(d.text, '\s+', ' ', 'g'))) AS cnorm
+        |  FROM documents d JOIN spot USING (doc_id)),
+        |sc AS (
+        |  SELECT doc_id, replace(cnorm, '©', '@') AS c,
+        |    replace(cnorm || ' © example inc', '©', '@') AS m
+        |  FROM base),
+        |f AS (
+        |  SELECT doc_id, jaro_winkler_similarity(c, m) AS jw,
+        |    1.0 - CAST(levenshtein(c, m) AS DOUBLE)
+        |      / greatest(length(c), length(m)) AS lev_sim
+        |  FROM sc)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(doc_id AS BIGINT) AS canon_doc,
+        |  round(1.0/(1.0 + exp(-(-13.0 + 6.0*jw + 9.0*lev_sim + 0.4))), 6) AS score
+        |FROM f ORDER BY doc_id""".stripMargin,
+
     // frozen observed table (the q_simhash_combo_fixture idiom at
     // full surface): the flagship gazetteer pipeline blocks on
     // simhash-of-text keys, which DuckDB cannot recompute (xxhash64
@@ -5704,6 +5774,11 @@ object SparkEntry {
     // literal fixture -> constant expected output; hand-derived in
     // CodecsSpec (rms = sqrt(exact integer sum / n) to 6 decimals,
     // channel means = exact integer sums / (w*h))
+    // JPEG rows (7): constants derived under the container's JDK-bundled
+    // ImageIO plugin (OpenJDK 17, com.sun.imageio JPEGImageReader) —
+    // decoder identity asserted by name in CodecsSpec so a swapped
+    // reader fails at the assumption, not as an opaque hash mismatch;
+    // solid DC-only JPEGs roundtrip exactly under any conformant IDCT
     "q_media_decode" ->
       """SELECT CAST(media_id AS BIGINT) AS media_id, format,
         |  CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,

@@ -81,6 +81,22 @@ object ExprKernels {
 
   def hamming64(a: Long, b: Long): Int = Sim.hamming64(a, b)
 
+  /** Largest-step-≤ binary search over a sorted step table (the
+    * isotonic-calibration apply kernel): value of the largest fitted
+    * score ≤ s; clamps below the smallest step, propagates NaN (a
+    * broken upstream ratio must surface, not masquerade as a
+    * confidently-low probability). */
+  def stepLookup(s: Double, scores: Array[Double], values: Array[Double]): Double = {
+    if (java.lang.Double.isNaN(s)) return Double.NaN
+    if (s <= scores(0)) return values(0)
+    var lo = 0; var hi = scores.length - 1
+    while (lo < hi) { // largest index with scores(idx) <= s
+      val mid = (lo + hi + 1) >>> 1
+      if (scores(mid) <= s) lo = mid else hi = mid - 1
+    }
+    values(lo)
+  }
+
   private def toStringArray(arr: ArrayData): Array[String] = {
     val n = arr.numElements()
     val out = new Array[String](n)
@@ -92,6 +108,31 @@ object ExprKernels {
     }
     out
   }
+}
+
+/** Step-function lookup (the isotonic-calibration apply): value of the
+  * largest fitted score ≤ the input over a plan-shipped sorted table.
+  * A native expression rather than a Scala UDF so the corpus-sized
+  * calibrate stage stays inside whole-stage codegen — the table rides
+  * the task binary via `addReferenceObj` (review-sized by the isotonic
+  * cap), and the generated code calls the same static kernel
+  * `nullSafeEval` uses. */
+case class StepLookupExpr(child: Expression, scores: Array[Double],
+    values: Array[Double]) extends UnaryExpression {
+  require(scores.nonEmpty && scores.length == values.length,
+    s"step table shape: ${scores.length} scores vs ${values.length} values")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_step_lookup"
+  override protected def nullSafeEval(s: Any): Any =
+    ExprKernels.stepLookup(s.asInstanceOf[Double], scores, values)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sRef = ctx.addReferenceObj("stepScores", scores, "double[]")
+    val vRef = ctx.addReferenceObj("stepValues", values, "double[]")
+    defineCodeGen(ctx, ev, s => s"graft.expr.ExprKernels.stepLookup($s, $sRef, $vRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** Jaro-Winkler similarity in [0,1] (DuckDB/rapidfuzz variant; §2.5 C1). */

@@ -25,6 +25,11 @@ object gfunctions {
   /** Character n-grams → array<string>. */
   def char_ngrams(s: Column, n: Int): Column = c(CharNGramsExpr(x(s), n))
 
+  /** Step-function lookup over a sorted (scores, values) table — the
+    * codegen'd isotonic-calibration apply. */
+  def step_lookup(s: Column, scores: Array[Double],
+      values: Array[Double]): Column = c(StepLookupExpr(x(s), scores, values))
+
   /** n-token shingles over an array<string> column → array<string>. */
   def token_shingles(tokens: Column, n: Int): Column = c(TokenShinglesExpr(x(tokens), n))
 

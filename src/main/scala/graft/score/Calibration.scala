@@ -160,8 +160,12 @@ object Calibration {
     * takes the calibrated value of the LARGEST fitted score ≤ it (scores
     * below the smallest fitted point clamp to its value; NaN propagates
     * — a broken upstream ratio must surface, not masquerade as a
-    * confidently-low probability). Broadcast range lookup — the mapping
-    * is review-sized, the scored frame is not. */
+    * confidently-low probability). The lookup is a native codegen'd
+    * expression (`StepLookupExpr`: binary search over the plan-shipped
+    * sorted table), not a Scala UDF — this apply runs once per CORPUS
+    * row, and a UDF here was the one non-codegen operator on that path;
+    * the mapping itself is review-sized (isotonic cap), so shipping it
+    * in the task binary costs what the broadcast did. */
   def applyTable(scored: DataFrame, mapping: DataFrame,
       scoreCol: String): DataFrame = {
     val spark = scored.sparkSession
@@ -169,20 +173,7 @@ object Calibration {
     val steps = mapping.select(col("score"), col("calibrated"))
       .as[(Double, Double)].collect().sortBy(_._1)
     require(steps.nonEmpty, "empty calibration mapping")
-    val bc = spark.sparkContext.broadcast(steps)
-    val look = udf { s: Double =>
-      val arr = bc.value
-      var lo = 0; var hi = arr.length - 1
-      if (s.isNaN) Double.NaN
-      else if (s <= arr(0)._1) arr(0)._2
-      else {
-        while (lo < hi) { // largest index with score <= s
-          val mid = (lo + hi + 1) >>> 1
-          if (arr(mid)._1 <= s) lo = mid else hi = mid - 1
-        }
-        arr(lo)._2
-      }
-    }
-    scored.withColumn("calibrated", look(col(scoreCol).cast("double")))
+    scored.withColumn("calibrated", graft.gfunctions.step_lookup(
+      col(scoreCol).cast("double"), steps.map(_._1), steps.map(_._2)))
   }
 }

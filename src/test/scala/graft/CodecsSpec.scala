@@ -163,4 +163,21 @@ class CodecsSpec extends SparkSpec {
     assert(out(0).getInt(2) == 2 && out(0).getDouble(12) == 55.0)
     assert(out(1).getInt(2) == 16 && out(1).getDouble(13) == 128.0)
   }
+
+  test("JPEG decoder identity: the JDK-bundled plugin serves the fixtures") {
+    // the q_media_decode/q_image_dhash JPEG constants (means 128.0,
+    // dhash 0) were derived under the container JDK (OpenJDK 17,
+    // com.sun.imageio JPEG plugin). A swapped-in third-party ImageIO
+    // reader with different IDCT rounding must fail HERE, at the named
+    // assumption, not as an opaque oracle hash mismatch downstream.
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(MediaGen.jpegSolid(8, 8, 1, 2, 3)))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      assert(readers.hasNext, "no JPEG reader installed")
+      val cls = readers.next().getClass.getName
+      assert(cls == "com.sun.imageio.plugins.jpeg.JPEGImageReader",
+        s"JPEG fixtures pinned to the JDK decoder, but reader is $cls")
+    } finally in.close()
+  }
 }

@@ -249,6 +249,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("calibration apply is a codegen'd expression, not a UDF") {
+    // the calibrate stage runs once per corpus row; the step lookup must
+    // sit inside a WholeStageCodegen span (StepLookupExpr), with no
+    // Scala UDF anywhere on the path
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    import spark.implicits._
+    val scored = spark.range(0, 1000).select((col("id") / 1000.0).as("score"))
+    val mapping = Seq((0.1, 0.2), (0.5, 0.6), (0.9, 0.95))
+      .toDF("score", "calibrated")
+    val out = graft.score.Calibration.applyTable(scored, mapping, "score")
+    val p = out.queryExecution.executedPlan
+    assert(p.collect { case w: WholeStageCodegenExec => w }
+      .exists(_.toString.contains("graft_step_lookup")),
+      "step lookup must be inside a WholeStageCodegen span")
+    assert(!p.toString.contains("UDF"), "no Scala UDF on the calibrate path")
+  }
+
   test("keepBest picks winners with a partial max_by aggregate, no window") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
