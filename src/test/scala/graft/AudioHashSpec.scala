@@ -78,6 +78,12 @@ class AudioHashSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)))
   }
 
+  test("AudioScale pattern WAV hashes to its pattern (boundary-curve invariant)") {
+    import graft.tools.AudioScale
+    for (p <- Seq(0L, -1L, 0x123456789abcdefL, -987654321L, Long.MinValue))
+      assert(AudioHash.ehash64(AudioScale.patternWavBytes(p)).contains(p))
+  }
+
   test("stereo frames hold whole L/R pairs: channel swap never moves a bit") {
     // 131 multichannel samples: 65 ∤ 131, so frame boundaries fall at
     // odd interleaved indices — the exact case where slicing the raw

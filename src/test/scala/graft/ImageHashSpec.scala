@@ -111,6 +111,21 @@ class ImageHashSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)))
   }
 
+  test("boundary-mode pattern BMP hashes to its pattern; planted distances analytic") {
+    import graft.tools.ImageScale
+    // dhash(patternBmpBytes(P)) == P for arbitrary patterns — the
+    // invariant the IMGSCALE boundary curve's expected-pair count rests on
+    for (p <- Seq(0L, -1L, 0x123456789abcdefL, -987654321L, Long.MinValue))
+      assert(ImageHash.dhash64(ImageScale.patternBmpBytes(p)).contains(p))
+    // family member distances: 0/1/2/3 from base; cross C-D=3, C-E=4, D-E=5
+    val hs = (0 until 5).map(m => ImageHash.dhash64(
+      ImageScale.patternBmpBytes(ImageScale.memberPattern(42L, m))).get)
+    def d(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(d(hs(0), hs(1)) == 0 && d(hs(0), hs(2)) == 1 &&
+      d(hs(0), hs(3)) == 2 && d(hs(0), hs(4)) == 3)
+    assert(d(hs(2), hs(3)) == 3 && d(hs(2), hs(4)) == 4 && d(hs(3), hs(4)) == 5)
+  }
+
   test("ImageScale's direct BMP writer decodes like the spec writer") {
     // the probe writes BMP bytes in a tight loop for throughput; its
     // output must decode to the same pixel grid the readable MediaGen
