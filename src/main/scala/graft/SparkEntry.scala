@@ -1434,6 +1434,45 @@ object SparkEntry {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
+    // the ONE-CALL multimodal near-dup API (Media.nearDupPairs): a
+    // mixed media table — modality detected per row, hashed by the
+    // right kernel (image dHash / audio eHash / video keyframe dHash),
+    // joined WITHIN modality on the shared banded Hamming kernel.
+    // Analytic expectations: the PNG and BMP render the same gradient
+    // (decoder-geometry equality → equal dHash → image pair at 0), two
+    // gains of one envelope share an eHash (audio pair at 0), the two
+    // clips match on both sampled frames (video pair, min_hamming 0,
+    // frames_matched 2). The PLANTED CROSS-MODALITY COLLISION — a solid
+    // image (dHash 0) and a constant clip (eHash 0) — must NOT pair:
+    // signatures never cross modalities.
+    "q_media_neardup" -> ((s, dir) => {
+      import graft.fixtures.MediaGen
+      import s.implicits._
+      def grid(vOf: Int => Int): Seq[(Int, Int, Int)] =
+        (0 until 8).flatMap(_ => (0 until 9).map { x =>
+          val v = vOf(x); (v, v, v) })
+      def env(ampOf: Int => Int): Seq[Short] =
+        (0 until 65).flatMap(k => Seq.fill(16)(ampOf(k).toShort))
+      val grad = MediaGen.dibFrame(9, 8, grid(x => x * 10))
+      val gradHam1 = MediaGen.dibFrame(9, 8,
+        (0 until 8).flatMap(y => (0 until 9).map { x =>
+          val v = if (y == 0 && x == 8) 70 else x * 10; (v, v, v) }))
+      val solid = MediaGen.dibFrame(9, 8, Seq.fill(72)((128, 128, 128)))
+      val media = Seq(
+        (1L, MediaGen.png(9, 8, grid(x => x * 10))),
+        (2L, MediaGen.bmp(9, 8, grid(x => x * 10))),
+        (3L, MediaGen.bmp(9, 8, Seq.fill(72)((128, 128, 128)))),
+        (4L, MediaGen.wav(env(k => (k % 13) * 7 + 5), 8000, 1)),
+        (5L, MediaGen.wav(env(k => ((k % 13) * 7 + 5) * 2), 8000, 1)),
+        (6L, MediaGen.wav(Seq.fill(1040)(1000.toShort), 8000, 1)),
+        (7L, MediaGen.avi(9, 8, "DIB ", Seq(grad, solid))),
+        (8L, MediaGen.avi(9, 8, "DIB ", Seq(gradHam1, solid))),
+        (9L, "no modality here".getBytes("UTF-8")))
+        .toDF("media_id", "bytes")
+      graft.multimodal.Media.nearDupPairs(media, maxBucketSize = 100)
+        .orderBy(col("modality"), col("id1"), col("id2"))
+    }),
+
     // clip-level video near-dup: keyframe dHashes through the SAME
     // banded Hamming join as text/image/audio, folded to clip pairs.
     // Hand-derived: clip 20 is clip 10 with ONE boundary-cell
@@ -5863,6 +5902,18 @@ object SparkEntry {
         |  (5, 'unknown', NULL, NULL), (6, 'wav', NULL, NULL))
         |  t(media_id, format, frame_idx, dhash)
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // hand-derived: one pair per modality, the cross-modality collision
+    // (image dHash 0 vs audio eHash 0) absent by contract
+    "q_media_neardup" ->
+      """SELECT modality, CAST(id1 AS BIGINT) AS id1,
+        |  CAST(id2 AS BIGINT) AS id2, CAST(hamming AS INTEGER) AS hamming,
+        |  CAST(frames_matched AS BIGINT) AS frames_matched
+        |FROM (VALUES
+        |  ('audio', 4, 5, 0, 1), ('image', 1, 2, 0, 1),
+        |  ('video', 7, 8, 0, 2))
+        |  t(modality, id1, id2, hamming, frames_matched)
+        |ORDER BY modality, id1""".stripMargin,
 
     // hand-derived fold: clips 10/20 match on both sampled frames
     // (gradient vs its 1-bit perturbation + solid vs solid at 0)

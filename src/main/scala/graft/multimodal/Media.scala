@@ -283,6 +283,87 @@ object Media {
         .select(col("media_id").as("id"), col("dhash").as("sh")),
       bands, maxHamming, maxBucketSize, comboBlocks)
 
+  /** ONE decode pass over a mixed media table → per-row 64-bit
+    * signatures for every modality this container hashes: images →
+    * dHash, WAV audio → eHash, AVI video → per-sampled-keyframe dHash
+    * (frame_idx set only for video). Rows no pure-JVM parser handles
+    * emit nothing — near-dup can't say anything about them. The output
+    * is signature-sized (~20 B/row), which is what makes persisting it
+    * cheap while the media table is not. */
+  def signatureTable(media: DataFrame,
+      maxFrames: Int = VideoHash.defaultMaxFrames): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("modality", StringType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = true),
+      StructField("sig", LongType, nullable = false)))
+    implicit val enc = Encoders.row(out)
+    media.select(col("media_id"), col("bytes"))
+      .flatMap { r =>
+        val id = r.getLong(0)
+        val b = r.getAs[Array[Byte]](1)
+        Codecs.detect(b) match {
+          case "bmp" | "png" | "jpeg" =>
+            ImageHash.dhash64(b).map(h => Row(id, "image", null, h)).toSeq
+          case "wav" =>
+            AudioHash.ehash64(b).map(h => Row(id, "audio", null, h)).toSeq
+          case "avi" =>
+            VideoHash.frameHashes(b, maxFrames).toSeq.flatMap(_.collect {
+              case (idx, Some(h)) => Row(id, "video", idx, h)
+            })
+          case _ => Seq.empty
+        }
+      }
+  }
+
+  /**
+   * The one-call multimodal near-dup API the per-modality entry points
+   * imply: detect each row's modality, hash with the right kernel, and
+   * join WITHIN each modality through the one shared banded Hamming
+   * kernel — a dHash colliding with an eHash is meaningless, so
+   * signatures never cross modalities (the fixture plants exactly that
+   * collision to prove it). Output: (modality, id1, id2, hamming,
+   * frames_matched) — hamming is the video pair's min over matched
+   * frames, frames_matched is 1 for image/audio. The signature table is
+   * persisted before the three joins branch from it: it is ~20 B/row
+   * while decode is the dominant cost, so one decode pass serves all
+   * modalities (at crawl scale you'd checkpoint it; MEMORY_AND_DISK
+   * keeps the library free of a filesystem contract).
+   */
+  def nearDupPairs(media: DataFrame, bands: Int = 4, maxHamming: Int = 3,
+      maxBucketSize: Int = 1000, comboBlocks: Int = 0,
+      maxFrames: Int = VideoHash.defaultMaxFrames,
+      minFramesMatched: Int = 1): DataFrame = {
+    val sigs = signatureTable(media, maxFrames)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def kernel(subset: DataFrame) = graft.textops.TextOps.hammingNearDupPairs(
+      subset, bands, maxHamming, maxBucketSize, comboBlocks)
+    def flat(modality: String) =
+      kernel(sigs.filter(col("modality") === modality)
+          .select(col("media_id").as("id"), col("sig").as("sh")))
+        .select(lit(modality).as("modality"), col("id1"), col("id2"),
+          col("hamming"), lit(1L).as("frames_matched"))
+    val vf = sigs.filter(col("modality") === "video")
+      .select(xxhash64(col("media_id"), col("frame_idx")).as("uid"),
+        col("media_id"), col("sig"))
+    val videoPairs = {
+      val framePairs = kernel(vf.select(col("uid").as("id"), col("sig").as("sh")))
+      framePairs
+        .join(vf.select(col("uid").as("id1"), col("media_id").as("vid1")), "id1")
+        .join(vf.select(col("uid").as("id2"), col("media_id").as("vid2")), "id2")
+        .filter(col("vid1") =!= col("vid2"))
+        .select(least(col("vid1"), col("vid2")).as("id1"),
+          greatest(col("vid1"), col("vid2")).as("id2"), col("hamming"))
+        .groupBy(col("id1"), col("id2"))
+        .agg(min(col("hamming")).as("hamming"),
+          count(lit(1)).as("frames_matched"))
+        .filter(col("frames_matched") >= minFramesMatched)
+        .select(lit("video").as("modality"), col("id1"), col("id2"),
+          col("hamming"), col("frames_matched"))
+    }
+    flat("image").unionByName(flat("audio")).unionByName(videoPairs)
+  }
+
   private def unknownRow(id: Long): Row =
     Row(id, "unknown", null, null, null, null, null, null, null, null,
       null, null, null, null, null)

@@ -60,4 +60,20 @@ class MediaSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSeq
     assert(idxs == Seq(0, 1, 2, 3))
   }
+
+  test("nearDupPairs: one decode pass, per-modality joins, no cross-modality pairs") {
+    import graft.fixtures.MediaGen
+    import spark.implicits._
+    // a solid image (dHash 0) and a constant clip (eHash 0) share a
+    // signature VALUE — the unified API must still never pair them
+    val media = Seq(
+      (1L, MediaGen.bmp(9, 8, Seq.fill(72)((128, 128, 128)))),
+      (2L, MediaGen.png(9, 8, Seq.fill(72)((128, 128, 128)))),
+      (3L, MediaGen.wav(Seq.fill(1040)(1000.toShort), 8000, 1)),
+      (4L, MediaGen.wav(Seq.fill(1040)(70.toShort), 8000, 1)))
+      .toDF("media_id", "bytes")
+    val got = Media.nearDupPairs(media, maxBucketSize = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("image", 1L, 2L), ("audio", 3L, 4L)))
+  }
 }
