@@ -232,19 +232,31 @@ object Training {
       volumeBudget: Long = 10000000L): Seq[PredicateSpec] = {
     import graft.block.Blocking
     // per-candidate: covered dup-pair set (collected as pair ids — labeled
-    // dup sets are small) + volume
+    // dup sets are small) + volume. All candidates ride ONE tagged union
+    // (candidate index as a column), so the whole census is two Spark
+    // jobs total instead of two PER candidate — the round-4 note about
+    // this loop crawling at hundreds of candidates
+    val tagged = candidates.zipWithIndex.map { case (p, i) =>
+      Blocking.blockingMap(records, Seq(p), "id")
+        .select(lit(i).as("cand"), col("id"), col("block_key"))
+    }.reduce(_ unionByName _)
+    val volumes: Map[Int, Long] = tagged
+      .groupBy("cand", "block_key").count()
+      .groupBy("cand")
+      .agg(coalesce(sum(col("count") * (col("count") - 1) / 2), lit(0L))
+        .cast("long").as("volume")) // Spark `/` is double division
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val b1 = tagged.withColumnRenamed("id", "id1")
+    val b2 = tagged.withColumnRenamed("id", "id2")
+    val coveredBy: Map[Int, Set[(Long, Long)]] = dupePairs
+      .join(b1, "id1").join(b2, Seq("cand", "id2", "block_key"))
+      .select(col("cand"), col("id1"), col("id2")).distinct()
+      .collect().groupBy(_.getInt(0))
+      .map { case (c, rows) =>
+        c -> rows.map(r => (r.getLong(1), r.getLong(2))).toSet }
     val stats = candidates.zipWithIndex.map { case (p, i) =>
-      val blocks = Blocking.blockingMap(records, Seq(p), "id")
-      val b1 = blocks.withColumnRenamed("id", "id1")
-      val b2 = blocks.withColumnRenamed("id", "id2")
-      val covered = dupePairs.join(b1, "id1").join(b2, Seq("id2", "block_key"))
-        .select(col("id1"), col("id2")).distinct()
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val volume = blocks.groupBy("block_key").count()
-        .agg(coalesce(sum(col("count") * (col("count") - 1) / 2), lit(0L))
-          .cast("long")) // Spark `/` is double division
-        .collect()(0).getLong(0)
-      (p, covered, volume)
+      (p, coveredBy.getOrElse(i, Set.empty[(Long, Long)]),
+        volumes.getOrElse(i, 0L))
     }
     val chosen = scala.collection.mutable.ArrayBuffer.empty[PredicateSpec]
     val coveredSoFar = scala.collection.mutable.Set.empty[(Long, Long)]
