@@ -1264,7 +1264,14 @@ object SparkEntry {
       val prepared = Dedupe.ephemeralSnapshot(s,
         Dedupe.prepare(pages).drop("html"), "gaz_spot_prep")
       val canon = prepared.filter(!col("url").endsWith("-v1"))
-      val messy = prepared.filter(col("url").endsWith("-v1"))
+      // messy side pre-filtered to the pinned docs: each messy record's
+      // blocking, scoring, and rank-1 pick are independent of other
+      // messy rows (the window partitions by messy_id) and the canon
+      // block census is canon-side only, so the 7 output rows are
+      // IDENTICAL to the full run's — this just stops paying the other
+      // ~2000 messy records' matching to read 7 rows
+      val messy = prepared.filter(col("url").isin(
+        spotDocs.map(d => s"https://docs.example/$d-v1"): _*))
       val matched = graft.pipeline.Gazetteer.matchRecords(s, messy, canon,
         graft.pipeline.Gazetteer.Config(demoModel, nMatches = 1,
           maxCanonBlockSize = 200))
@@ -1284,6 +1291,43 @@ object SparkEntry {
         .select(col("doc_id"), col("canon_doc"),
           round(col("score"), 6).as("score"))
         .orderBy(col("doc_id"))
+    }),
+
+    // T1 blocked training sampling at the real pair surface. The
+    // pre-thinning is a seeded HASH THRESHOLD (partition-free since the
+    // round-5 rewrite — df.sample seeds per partition, so the labeled
+    // sample used to move with partition layout), and the final pick is
+    // hash-ordered-limit: the whole query is a pure function of
+    // (data, seed), so the scale path carries a frozen observed oracle
+    // (stability across local[8]/local[32] verified by the freezer);
+    // TrainingSpec pins seed-determinism and the blocked/random split
+    "q_training_sample" -> ((s, dir) => {
+      val recs = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey").as("id"))
+      val blocked = attachedNamePairs(s, dir).select(col("id1"), col("id2"))
+      graft.score.Training.samplePairsForLabeling(recs, blocked,
+          nBlocked = 40, nRandom = 20, seed = 7L)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // S4 bucketed entity sink as a QUERY: write→read round trip through
+    // TableIO.writeBucketed (bucket = pmod(xxhash64(component), 8) — the
+    // path-layout contract point lookups depend on), digested per
+    // bucket. Deterministic: seed-free range data + a pure hash of
+    // literal component ids, so the frozen oracle pins the layout, the
+    // bucket assignment, and the round trip's losslessness (counts +
+    // id sums must survive the write)
+    "q_bucketed_sink" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_q_sink").toString
+      val entities = s.range(0, 1000).toDF("id")
+        .withColumn("component", pmod(col("id"), lit(37L)))
+      graft.io.TableIO.writeBucketed(entities, graft.io.TableIO.Path(out),
+        bucketCol = "component", numBuckets = 8)
+      s.read.parquet(out)
+        .groupBy(col("bucket").cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+          countDistinct(col("component")).as("n_components"))
+        .orderBy(col("bucket"))
     }),
 
     // multimodal plumbing: batched feature extraction over binary columns.
@@ -2691,6 +2735,8 @@ object SparkEntry {
     // every one has a green independently-derived fixture twin pinning
     // the same kernel (see each query's comment).
     "q_simhash_dedup" -> graft.fixtures.FrozenOracles.q_simhash_dedup,
+    "q_training_sample" -> graft.fixtures.FrozenOracles.tables("q_training_sample"),
+    "q_bucketed_sink" -> graft.fixtures.FrozenOracles.tables("q_bucketed_sink"),
     "q_minhash_dedup" -> graft.fixtures.FrozenOracles.q_minhash_dedup,
     "q_incr_neardup" -> graft.fixtures.FrozenOracles.q_incr_neardup,
     "q_one_to_one" -> graft.fixtures.FrozenOracles.q_one_to_one,

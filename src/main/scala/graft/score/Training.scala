@@ -32,15 +32,28 @@ object Training {
       val n = blockedPairs.count().toDouble
       if (n == 0) 0.0 else math.min(1.0, nBlocked * 1.2 / n)
     }
+    // pre-thinning is a seeded HASH THRESHOLD, not df.sample(): Spark's
+    // sample seeds per PARTITION, so the thinned superset (and with it
+    // the labeled sample and the model fitted on it) changed with
+    // partition layout; xxhash64 < frac·2^20 keeps the same binomial
+    // thinning as a pure function of (data, seed) — which is also what
+    // lets q_training_sample carry a frozen oracle
+    def hashKeep(h: org.apache.spark.sql.Column, frac: Double) =
+      pmod(h, lit(1048576L)) < lit((frac * 1048576L).toLong)
     // orderBy before limit: a bare limit() keeps whichever rows arrive
-    // first under the physical plan, so the labeled sample (and the model
-    // fitted on it) changed with partition count — the seeded hash order
-    // makes the pick a pure function of (data, seed)
-    val fromBlocks = blockedPairs.sample(withReplacement = false, blockedFrac, seed)
+    // first under the physical plan — the seeded hash order makes the
+    // final pick a pure function of the (now partition-free) superset
+    val blockedThinned =
+      if (blockedFrac >= 1.0) blockedPairs
+      else blockedPairs.filter(
+        hashKeep(xxhash64(col("id1"), col("id2"), lit(seed + 3)), blockedFrac))
+    val fromBlocks = blockedThinned
       .orderBy(xxhash64(col("id1"), col("id2"), lit(seed)))
       .limit(nBlocked)
     val ids = records.select(col("id"))
-    val r1 = ids.sample(withReplacement = false, math.min(1.0, 4.0 * nRandom / math.max(1, records.count())), seed + 1)
+    val rFrac = math.min(1.0, 4.0 * nRandom / math.max(1, records.count()))
+    val r1 = (if (rFrac >= 1.0) ids
+      else ids.filter(hashKeep(xxhash64(col("id"), lit(seed + 4)), rFrac)))
       .withColumn("rnd", xxhash64(col("id"), lit(seed)))
     val r2 = r1.select(col("id").as("id2"), col("rnd").as("rnd2"))
     val random = r1.select(col("id").as("id1"), col("rnd"))
