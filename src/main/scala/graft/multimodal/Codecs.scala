@@ -201,7 +201,7 @@ object Codecs {
    * sizes (negative, Int-wrapping) degrade to None, never index OOB.
    * None unless the video stream is 24bpp BI_RGB DIB or MJPG.
    */
-  private[multimodal] def aviScan(b: Array[Byte]): Option[AviInfo] = {
+  private[graft] def aviScan(b: Array[Byte]): Option[AviInfo] = {
     if (detect(b) != "avi") return None
     var w = 0; var h = 0; var bits = 0; var codec: String = null
     var streamIdx = -1     // streams seen so far (strl lists)

@@ -238,7 +238,8 @@ class PlanSpec extends SparkSpec {
       .toDF("media_id", "bytes")
     for (out <- Seq(graft.multimodal.Media.imageNearDupPairs(media),
         graft.multimodal.Media.audioNearDupPairs(media),
-        graft.multimodal.Media.videoNearDupPairs(media))) {
+        graft.multimodal.Media.videoNearDupPairs(media),
+        graft.multimodal.Media.nearDupPairs(media))) {
       val exchanges = out.queryExecution.executedPlan.collect {
         case e: ShuffleExchangeExec => e
       }

@@ -89,6 +89,16 @@ class VideoHashSpec extends SparkSpec {
       (2L, "unknown", -1, null), (3L, "wav", -1, null)))
   }
 
+  test("VideoScale pattern AVI hashes to its pattern (boundary-curve invariant)") {
+    import graft.tools.{ImageScale, VideoScale}
+    for (p <- Seq(0L, -1L, 0x123456789abcdefL, -987654321L, Long.MinValue)) {
+      assert(VideoHash.frameHashes(VideoScale.patternAviBytes(p))
+        .contains(Seq((0, Some(p)))))
+      // and it agrees with the image-side construction of the same pattern
+      assert(ImageHash.dhash64(ImageScale.patternBmpBytes(p)).contains(p))
+    }
+  }
+
   test("clip-level near-dup fold: matched frames count, self-pairs drop") {
     // B = A with one boundary-cell perturbation in frame 0 (hamming 1);
     // C shares no frame within distance 3 of anything
