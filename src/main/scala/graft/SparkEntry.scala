@@ -1293,6 +1293,40 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // S5 session metrics + per-partition lineage as a QUERY: the
+    // flagship runs over a deterministic sub-corpus with a checkpoint
+    // dir, then the PERSISTED artifacts ($ckpt/metrics/{scored_pairs,
+    // labels,run}) are read back and projected to their
+    // partition-independent content — per-stage lineage row TOTALS (the
+    // per-partition split is layout-private by design) and the one-row
+    // scoring-metrics table unpivoted to (metric, value). Frozen oracle
+    // (freezer-verified stable across local[8]/local[32]): the S5
+    // artifacts are oracle-pinned, not just unit-tested.
+    "q_lineage" -> ((s, dir) => {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q_lineage").toString
+      val pages = PagesGen.fromDocuments(s, dir)
+        .filter(pmod(xxhash64(col("url")), lit(7L)) === 0)
+      val res = Dedupe.run(s, pages, Dedupe.Config(demoModel,
+        checkpointDir = Some(ckpt), collectMetrics = true))
+      // run() writes every S5 artifact eagerly; nothing to force
+      Dedupe.cleanupScratch(s, res)
+      def lineageTotal(stage: String) =
+        s.read.parquet(s"$ckpt/metrics/$stage")
+          .agg(coalesce(sum(col("n_rows")), lit(0L)).as("value"))
+          .select(lit(s"lineage_${stage}_rows").as("metric"), col("value"))
+      val runMetrics = s.read.parquet(s"$ckpt/metrics/run").selectExpr(
+        """stack(9,
+          |  'records', records, 'exact_groups', exactGroups,
+          |  'block_keys', blockKeys, 'plural_keys', pluralKeys,
+          |  'capped_keys', cappedKeys, 'candidate_pairs', candidatePairs,
+          |  'edges_above_theta', edgesAboveTheta, 'entities', entities,
+          |  'cc_iterations', cast(ccIterations AS bigint)
+          |) AS (metric, value)""".stripMargin)
+      lineageTotal("scored_pairs").unionByName(lineageTotal("labels"))
+        .unionByName(runMetrics)
+        .orderBy(col("metric"))
+    }),
+
     // T1 blocked training sampling at the real pair surface. The
     // pre-thinning is a seeded HASH THRESHOLD (partition-free since the
     // round-5 rewrite — df.sample seeds per partition, so the labeled
@@ -2737,6 +2771,7 @@ object SparkEntry {
     "q_simhash_dedup" -> graft.fixtures.FrozenOracles.q_simhash_dedup,
     "q_training_sample" -> graft.fixtures.FrozenOracles.tables("q_training_sample"),
     "q_bucketed_sink" -> graft.fixtures.FrozenOracles.tables("q_bucketed_sink"),
+    "q_lineage" -> graft.fixtures.FrozenOracles.tables("q_lineage"),
     "q_minhash_dedup" -> graft.fixtures.FrozenOracles.q_minhash_dedup,
     "q_incr_neardup" -> graft.fixtures.FrozenOracles.q_incr_neardup,
     "q_one_to_one" -> graft.fixtures.FrozenOracles.q_one_to_one,
