@@ -113,7 +113,8 @@ object MediaGen {
    * pattern).
    */
   def avi(w: Int, h: Int, codec: String, frames: Seq[Array[Byte]],
-      junk: Boolean = false, audioFirst: Boolean = false): Array[Byte] = {
+      junk: Boolean = false, audioFirst: Boolean = false,
+      recWrap: Boolean = false): Array[Byte] = {
     require(codec == "DIB " || codec == "MJPG", codec)
     val strl = bytesOf { s =>
       ascii(s, "strl")
@@ -156,7 +157,13 @@ object MediaGen {
     val frameId = streamId + (if (codec == "DIB ") "db" else "dc")
     val movi = bytesOf { s =>
       ascii(s, "movi")
-      frames.foreach(f => chunk(s, frameId, f))
+      // recWrap: each frame inside its own LIST('rec ') sublist - the
+      // interleaved-AVI layout the parser must descend
+      frames.foreach { f =>
+        if (recWrap) chunk(s, "LIST",
+          bytesOf { r => ascii(r, "rec "); chunk(r, frameId, f) })
+        else chunk(s, frameId, f)
+      }
     }
     val body = bytesOf { s =>
       ascii(s, "AVI ")

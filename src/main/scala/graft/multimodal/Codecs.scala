@@ -218,7 +218,10 @@ object Codecs {
         if (ascii(b, off.toInt, "LIST")) {
           if (size >= 4) {
             val lt = off.toInt + 8
-            if (ascii(b, lt, "hdrl") || ascii(b, lt, "movi")) {
+            // 'rec ' sublists: interleaved AVIs group each chunk-of-frames
+            // inside LIST('rec ') within movi — descend like movi itself
+            if (ascii(b, lt, "hdrl") || ascii(b, lt, "movi") ||
+                ascii(b, lt, "rec ")) {
               walk(body + 4, body + size)
             } else if (ascii(b, lt, "strl")) {
               streamIdx += 1; pendingVids = false

@@ -39,6 +39,12 @@ class VideoHashSpec extends SparkSpec {
     assert(VideoHash.frameHashes(b).contains(Seq((0, Some(-1L)))))
   }
 
+  test("interleaved layout: frames inside LIST('rec ') sublists are found") {
+    val b = MediaGen.avi(9, 8, "DIB ", Seq(grad, solid), recWrap = true)
+    assert(VideoHash.frameHashes(b).contains(Seq(
+      (0, Some(-1L)), (1, Some(0L)))))
+  }
+
   test("JUNK decoy carrying a 00db banner is skipped by chunk length") {
     val b = MediaGen.avi(9, 8, "DIB ", Seq(grad, solid), junk = true)
     assert(VideoHash.frameHashes(b).contains(Seq(
