@@ -209,7 +209,14 @@ object Codecs {
     var pendingVids = false // last strh in the current strl was vids
     val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     var bad = false
-    def walk(start: Long, end: Long): Unit = {
+    // depth cap: walk() recurses per LIST nesting level, and a hostile
+    // few-KB payload of thousands of nested 'rec ' LISTs would otherwise
+    // throw StackOverflowError — an Error no decode guard catches, so it
+    // would kill the stage instead of degrading. Real AVIs nest ≤ 3
+    // (RIFF → movi → rec); 16 is generous, beyond it the walk refuses.
+    val maxDepth = 16
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      if (depth > maxDepth) { bad = true; return }
       var off = start
       while (!bad && off + 8 <= end) {
         val size = le32(b, off.toInt + 4)
@@ -222,10 +229,10 @@ object Codecs {
             // inside LIST('rec ') within movi — descend like movi itself
             if (ascii(b, lt, "hdrl") || ascii(b, lt, "movi") ||
                 ascii(b, lt, "rec ")) {
-              walk(body + 4, body + size)
+              walk(body + 4, body + size, depth + 1)
             } else if (ascii(b, lt, "strl")) {
               streamIdx += 1; pendingVids = false
-              walk(body + 4, body + size)
+              walk(body + 4, body + size, depth + 1)
             }
             // other list types (INFO, odml …) are skipped by length
           }
@@ -257,7 +264,7 @@ object Codecs {
         off = body + size + (size & 1) // odd chunks carry a pad byte
       }
     }
-    walk(12L, b.length.toLong)
+    walk(12L, b.length.toLong, 0)
     if (bad || codec == null || w <= 0 || h <= 0 || frames.isEmpty) None
     else Some(AviInfo(w, h, bits, codec, frames.toIndexedSeq))
   }

@@ -82,6 +82,21 @@ class CodecsFuzzSpec extends SparkSpec {
     }
   }
 
+  test("deeply nested LIST recursion is depth-capped, not stack-overflowed") {
+    // a few-KB payload of thousands of nested 'rec ' LISTs would blow the
+    // walk's stack without the depth cap - StackOverflowError is an Error
+    // no decode guard catches, so this must degrade to None instead
+    val o = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = { o.write(v & 0xff); o.write((v >> 8) & 0xff)
+      o.write((v >> 16) & 0xff); o.write((v >> 24) & 0xff) }
+    def asc(s: String): Unit = s.foreach(c => o.write(c.toInt))
+    val depth = 20000
+    asc("RIFF"); le32(4 + depth * 12); asc("AVI ")
+    for (d <- depth to 1 by -1) { asc("LIST"); le32(4 + (d - 1) * 12); asc("rec ") }
+    val hostile = o.toByteArray
+    assert(VideoHash.frameHashes(hostile).isEmpty) // None, no throw
+  }
+
   test("hostile length fields: saturated/negative sizes in RIFF and BMP headers") {
     for ((name, bytes) <- fixtures; if bytes.length > 8) {
       // overwrite each 4-byte aligned window with extreme LE values —
