@@ -266,7 +266,7 @@ object Ann {
       .join(vecs.select(col("item_id").as("id2"), col("ivec").as("v2")), "id2")
       .filter(cosine(col("v1"), col("v2")) >= tau)
       .select(col("id1"), col("id2"))
-    val labels = graft.cluster.ConnectedComponents.run(edges).labels
+    val labels = graft.cluster.ConnectedComponents.labels(edges)
     val grouped = assigned
       .join(labels.select(col("id").as("item_id"), col("component")),
         Seq("item_id"), "left")

@@ -199,12 +199,19 @@ object Bridges {
    */
   def splitWeakBridges(scoredPairs: DataFrame, scoreCol: String,
       floor: Double, maxComponentEdges: Int = 2000000): DataFrame = {
-    val scores = canonScores(scoredPairs, scoreCol)
+    // materialize the canon-score census once: it feeds the bridge
+    // analysis' edge frame, the weak-score join AND the kept-edge
+    // anti-join — three consumers that would each re-run the groupBy
+    // (and the full scored-pair scan behind it) otherwise
+    val scores = Checkpoints.checkpointed(
+      canonScores(scoredPairs, scoreCol), scoredPairs.sparkSession)
     val simple = scores.select("id1", "id2")
     val weak = weakOfSimple(simple, scores, scoreCol, floor, maxComponentEdges)
       .select("id1", "id2")
     val kept = simple.join(weak, Seq("id1", "id2"), "left_anti")
-    val labels = ConnectedComponents.run(kept).labels
+    // kept ⊆ the canonical simple edges, so the relabel skips CC's
+    // re-normalize distinct and takes the size-adaptive labels path
+    val labels = ConnectedComponents.labelsOfSimple(kept)
     scoredPairs
       .select(explode(array(col("id1").cast("long"),
         col("id2").cast("long"))).as("id"))

@@ -30,8 +30,12 @@ private[cluster] object ComponentGraphs {
       : KeyValueGroupedDataset[Long, (Long, Long, Long)] = {
     val spark = simple.sparkSession
     import spark.implicits._
-    val base = ConnectedComponents.run(simple.select("id1", "id2")).labels
-    simple
+    // materialize the simple edges ONCE: they feed both the base CC and
+    // the labels join below — without the cut the (often expensive)
+    // distinct subtree behind simpleEdges executes twice
+    val s = Checkpoints.checkpointed(simple.select("id1", "id2"), spark)
+    val base = ConnectedComponents.labelsOfSimple(s, alreadyMaterialized = true)
+    s
       .join(base.withColumnRenamed("id", "id1")
         .withColumnRenamed("component", "_comp"), Seq("id1"))
       .select(col("_comp"), col("id1"), col("id2"))

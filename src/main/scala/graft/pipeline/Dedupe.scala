@@ -317,8 +317,22 @@ object Dedupe {
   private def runInternal(spark: SparkSession, pages: DataFrame, config: Config,
       resumeScored: Option[DataFrame]): Result = {
     val model = config.model
+    // the checkpoint dir is SparkContext-global state: restore it after
+    // the run (every CC iteration inside run() is eager, so nothing reads
+    // the dir lazily afterwards) — without this, one checkpointed run
+    // silently switched every LATER CC in the same context from
+    // localCheckpoint to reliable disk checkpoints under this run's dir
+    val prevCkptDir = spark.sparkContext.getCheckpointDir
     config.checkpointDir.foreach(d =>
       spark.sparkContext.setCheckpointDir(s"$d/cc"))
+    try runBody(spark, pages, config, resumeScored)
+    finally if (config.checkpointDir.isDefined)
+      spark.sparkContext.setCheckpointDir(prevCkptDir.orNull)
+  }
+
+  private def runBody(spark: SparkSession, pages: DataFrame, config: Config,
+      resumeScored: Option[DataFrame]): Result = {
+    val model = config.model
     // ephemeral snapshots land under the checkpoint dir when one is set —
     // a cluster run with Config.checkpointDir needs no extra scratch conf.
     // All of a run's snapshots share ONE per-run directory: one
@@ -435,7 +449,12 @@ object Dedupe {
     // ---- stage 4: threshold + transitive closure (G2)
     val edges = scored.filter(col("score") >= model.threshold)
       .select(col("id1"), col("id2"))
-    val cc = ConnectedComponents.run(edges)
+    // the metrics path reports the CC round count (q_lineage pins it), so
+    // it keeps run(); metrics-off runs take the size-adaptive labels path
+    // (identical labels, no round-count observability)
+    val cc =
+      if (config.collectMetrics) ConnectedComponents.run(edges)
+      else ConnectedComponents.CCResult(ConnectedComponents.labels(edges), -1)
     val repLabels0 = reps.select(col("id"))
       .join(cc.labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
