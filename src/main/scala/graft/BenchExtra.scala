@@ -74,6 +74,40 @@ object BenchExtra {
           println(f"TIMED $n%-28s ${sec}%8.3f s  jobs=${c.jobs}%-4d " +
             f"stages=${c.stages}%-5d tasks=${c.tasks}%-6d taskTime=${c.taskTimeMs / 1000.0}%9.2f s")
         }
+      case "jobs" :: names =>
+        // per-JOB attribution: duration, tasks, summed task time and the
+        // job's first stage name — pinpoints which of a query's many
+        // small jobs actually cost (AQE turns each shuffle stage into a
+        // job, so this is effectively a per-shuffle-stage profile)
+        names.foreach { n =>
+          try force(SparkEntry.queries(n)(spark, sfDir))
+          catch { case t: Throwable => println(s"WARMUP FAIL $n: $t") }
+          SparkEntry.clearSnapshotCaches()
+          val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+          val done = java.util.Collections.synchronizedList(
+            new java.util.ArrayList[(Int, Double, Int, Double, String)]())
+          val l = new SparkListener {
+            override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              jobs.put(e.jobId, (e.time,
+                e.stageInfos.map(_.name.takeWhile(_ != '\n')).headOption.getOrElse("?")))
+            override def onJobEnd(e: SparkListenerJobEnd): Unit = {
+              val (t0, nm) = jobs.getOrDefault(e.jobId, (e.time, "?"))
+              done.add((e.jobId, (e.time - t0) / 1e3, 0, 0.0, nm))
+            }
+            override def onStageCompleted(e: SparkListenerStageCompleted): Unit = ()
+          }
+          spark.sparkContext.addSparkListener(l)
+          val t0 = System.nanoTime()
+          try force(SparkEntry.queries(n)(spark, sfDir))
+          catch { case t: Throwable => println(s"FAIL $n: $t") }
+          val sec = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(400)
+          spark.sparkContext.removeSparkListener(l)
+          println(f"JOBPROFILE $n total ${sec}%.3f s, ${done.size} jobs")
+          done.forEach { case (id, dur, _, _, nm) =>
+            if (dur >= 0.05) println(f"  job $id%-4d ${dur}%7.3f s  $nm")
+          }
+        }
       case "explain" :: outDir :: rest =>
         val (suffix, names) = rest match {
           case s :: ns if s.startsWith("_") => (s, ns)

@@ -532,9 +532,16 @@ object SparkEntry {
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("text"))
-      val model = Dsir.fit(docs.filter(col("doc_id") % 5 === 0), docs,
-        "doc_id", "text")
-      Dsir.score(docs, "doc_id", "text", model).orderBy(col("doc_id"))
+      // one gram census, snapshotted: fit's two censuses and the scoring
+      // pass all derive from it (gramFeatures over the target slice ==
+      // the full-corpus features filtered to target ids — per-doc
+      // grouping). Same counts, same weights, same scores; measured ~3x
+      // fewer explode+census passes per query.
+      val feats = graft.pipeline.Dedupe.snapshotIfResolvable(s,
+        Dsir.gramFeatures(docs, "doc_id", "text"), "dsir_feats")
+      val model = Dsir.fitFromFeatures(
+        feats.filter(col("id") % 5 === 0), feats)
+      Dsir.scoreFromFeatures(docs, "doc_id", feats, model).orderBy(col("doc_id"))
     }),
 
     // the selection step: keep the 100 most target-like docs under the
@@ -545,9 +552,11 @@ object SparkEntry {
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("text"))
-      val model = Dsir.fit(docs.filter(col("doc_id") % 5 === 0), docs,
-        "doc_id", "text")
-      Dsir.selectTopK(Dsir.score(docs, "doc_id", "text", model),
+      val feats = graft.pipeline.Dedupe.snapshotIfResolvable(s,
+        Dsir.gramFeatures(docs, "doc_id", "text"), "dsir_feats_sel")
+      val model = Dsir.fitFromFeatures(
+        feats.filter(col("id") % 5 === 0), feats)
+      Dsir.selectTopK(Dsir.scoreFromFeatures(docs, "doc_id", feats, model),
         "doc_id", 100)
     }),
 
@@ -1278,8 +1287,8 @@ object SparkEntry {
       // one materialized prepare: the canon block census, both block-join
       // legs and the two field attaches are separate plan branches — each
       // would re-run the scan → normalize chain otherwise
-      val prepared = Dedupe.ephemeralSnapshot(s,
-        Dedupe.prepare(pages).drop("html"), "gaz_prep")
+      val prepared = Dedupe.widenIfNarrow(Dedupe.ephemeralSnapshot(s,
+        Dedupe.prepare(pages).drop("html"), "gaz_prep"))
       val canon = prepared.filter(!col("url").endsWith("-v1"))
       val messy = prepared.filter(col("url").endsWith("-v1"))
       graft.pipeline.Gazetteer.matchRecords(s, messy, canon,
@@ -1306,8 +1315,8 @@ object SparkEntry {
     "q_gazetteer_spot" -> ((s, dir) => {
       val spotDocs = Seq(11L, 37L, 120L, 208L, 261L, 333L, 404L)
       val pages = PagesGen.fromDocuments(s, dir)
-      val prepared = Dedupe.ephemeralSnapshot(s,
-        Dedupe.prepare(pages).drop("html"), "gaz_spot_prep")
+      val prepared = Dedupe.widenIfNarrow(Dedupe.ephemeralSnapshot(s,
+        Dedupe.prepare(pages).drop("html"), "gaz_spot_prep"))
       val canon = prepared.filter(!col("url").endsWith("-v1"))
       // messy side pre-filtered to the pinned docs: each messy record's
       // blocking, scoring, and rank-1 pick are independent of other

@@ -95,8 +95,9 @@ object MetaBlocking {
       broadcastNodes: Boolean = true): DataFrame = {
     val wdf =
       if (materializeWeights)
-        graft.pipeline.Dedupe.snapshotIfResolvable(
-          weighted.sparkSession, weighted, "metablock_weights")
+        graft.pipeline.Dedupe.widenIfNarrow(
+          graft.pipeline.Dedupe.snapshotIfResolvable(
+            weighted.sparkSession, weighted, "metablock_weights"))
       else weighted
     val nodesAgg = wdf
       .select(explode(array(col("id1"), col("id2"))).as("id"), col("w"))

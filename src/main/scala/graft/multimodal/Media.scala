@@ -340,8 +340,9 @@ object Media {
     // standard multi-consumer idiom, same as minhashDupePairs) keeps the
     // one-decode-pass property without the block-manager leak: the path
     // is registered for Dedupe.reclaimLibraryScratch / JVM-exit cleanup.
-    val sigs = graft.pipeline.Dedupe.snapshotIfResolvable(
-      media.sparkSession, signatureTable(media, maxFrames), "media_sigs")
+    val sigs = graft.pipeline.Dedupe.widenIfNarrow(
+      graft.pipeline.Dedupe.snapshotIfResolvable(
+        media.sparkSession, signatureTable(media, maxFrames), "media_sigs"))
     def kernel(subset: DataFrame) = graft.textops.TextOps.hammingNearDupPairs(
       subset, bands, maxHamming, maxBucketSize, comboBlocks)
     def flat(modality: String) =

@@ -201,6 +201,22 @@ object Dedupe {
     (spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema), census)
   }
 
+  /**
+   * Scan-parallelism floor for SNAPSHOT READS (round-6; the same idiom as
+   * the raw-pages floor in runInternal): a small scratch snapshot written
+   * as N tiny files packs into 1-2 read splits under the 128m default, and
+   * every downstream per-row kernel (tokenize, simhash, comparators, the
+   * 2x explode feeding a census) then runs on 1-2 threads regardless of
+   * cores. One cheap shuffle of the small frame restores full width; a
+   * snapshot that already scans wide (the 100 TB case — thousands of
+   * splits) passes through untouched, so nothing is added at scale.
+   * Round-robin repartition only — callers are all row-order-insensitive.
+   */
+  private[graft] def widenIfNarrow(df: DataFrame): DataFrame = {
+    val width = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < width) df.repartition(width) else df
+  }
+
   private val librarySnapshots = scala.collection.mutable.ListBuffer[String]()
 
   /**
@@ -268,7 +284,7 @@ object Dedupe {
     val fs = pairsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(pairsPath), s"no pairs snapshot at $dir/pairs")
     runInternal(spark, pages, config,
-      Some(spark.read.parquet(s"$dir/pairs")))
+      Some(widenIfNarrow(spark.read.parquet(s"$dir/pairs"))))
   }
 
   /** Derived columns over the north-rule pages schema
@@ -353,8 +369,8 @@ object Dedupe {
       p.toString
     }
     def snap(df: DataFrame, tag: String): DataFrame =
-      ephemeralSnapshot(spark, df, tag, Some(runScratch),
-        registerDeleteOnExit = false)
+      widenIfNarrow(ephemeralSnapshot(spark, df, tag, Some(runScratch),
+        registerDeleteOnExit = false))
 
     // ---- stage 1: prepare + exact pre-group (G1)
     // Scan-parallelism floor: the per-row prepare/blocking work (NFKC,
@@ -429,7 +445,18 @@ object Dedupe {
         pairsForMetrics = Some(pairs)
         val fields = requiredFields(model.featureNames)
         val attached = PairGen.attachFields(pairs, reps, "id", fields)
+        // project the attached record fields away BEFORE the snapshot:
+        // scorePairs carries its input columns through, so the resume
+        // point / scored snapshot used to persist BOTH sides' multi-KB
+        // text fields per pair — pair-count × page-size write
+        // amplification (the dominant cost of the small-corpus pipeline
+        // runs, and at crawl scale a payload-through-the-sink violation
+        // of the shuffle-metadata-not-bytes rule). Every consumer
+        // (threshold edges, CC, confidences, resume, eval) reads only
+        // (id1, id2, features, score) — the documented Result contract.
         val scored0 = Scoring.scorePairs(attached, model)
+          .select(col("id1") +: col("id2") +:
+            model.featureNames.map(col) :+ col("score"): _*)
         config.checkpointDir match {
           case Some(dir) => // resume point (BASELINE.json:6)
             scored0.write.mode("overwrite").parquet(s"$dir/pairs")
@@ -437,7 +464,7 @@ object Dedupe {
             // S5: per-partition lineage of the resume point, persisted
             // alongside it (cheap: one columnar count over the snapshot)
             writeLineage(dir, "scored_pairs", snap)
-            snap
+            widenIfNarrow(snap)
           case None =>
             // scored pairs feed TWO downstream consumers (CC edges +
             // per-record confidences); without a snapshot the whole

@@ -96,19 +96,32 @@ object Dsir {
     * corpus. `bits` switches both censuses to hashed-bucket features. */
   def fit(target: DataFrame, raw: DataFrame, idCol: String, textCol: String,
           alpha: Double = 0.1, bits: Option[Int] = None): DsirModel = {
-    require(alpha > 0.0, "Laplace smoothing needs alpha > 0")
-    def census(df: DataFrame, as: String) = {
+    def prep(df: DataFrame) = {
       val f0 = gramFeatures(df, idCol, textCol)
-      val f = bits.map(b => hashGrams(f0, b)).getOrElse(f0)
-      f.groupBy("gram").agg(sum("c").as(as))
+      bits.map(b => hashGrams(f0, b)).getOrElse(f0)
     }
+    fitFromFeatures(prep(target), prep(raw), alpha, bits)
+  }
+
+  /** [[fit]] over PRECOMPUTED per-doc gram features ([[gramFeatures]],
+    * already [[hashGrams]]-bucketed when `bits` is set) — a caller that
+    * also scores the same corpus computes the explode+census pass ONCE
+    * and reuses it here (round-6: fit+score used to run gramFeatures
+    * three times per query; filtering a full-corpus feature frame to the
+    * target ids is identical to gramFeatures over the filtered corpus,
+    * because the (id, gram) grouping is per-document). */
+  def fitFromFeatures(targetFeats: DataFrame, rawFeats: DataFrame,
+      alpha: Double = 0.1, bits: Option[Int] = None): DsirModel = {
+    require(alpha > 0.0, "Laplace smoothing needs alpha > 0")
+    def census(f: DataFrame, as: String) =
+      f.groupBy("gram").agg(sum("c").as(as))
     // materialize once: weights AND totals derive from the joined census,
     // and without the cut each downstream action re-runs both censuses
     val joined = Checkpoints.checkpointed(
-      census(target, "tc").join(census(raw, "rc"), Seq("gram"), "full")
+      census(targetFeats, "tc").join(census(rawFeats, "rc"), Seq("gram"), "full")
         .select(col("gram"), coalesce(col("tc"), lit(0L)).as("tc"),
           coalesce(col("rc"), lit(0L)).as("rc")),
-      target.sparkSession)
+      targetFeats.sparkSession)
     val totals = joined.agg(sum("tc").as("tt"), sum("rc").as("rt"),
       count(lit(1)).as("v"))
     def lw(tc: Column, rc: Column): Column =
@@ -128,7 +141,15 @@ object Dsir {
   def score(docs: DataFrame, idCol: String, textCol: String,
             model: DsirModel): DataFrame = {
     val f0 = gramFeatures(docs, idCol, textCol)
-    val f = model.bits.map(b => hashGrams(f0, b)).getOrElse(f0)
+    scoreFromFeatures(docs, idCol,
+      model.bits.map(b => hashGrams(f0, b)).getOrElse(f0), model)
+  }
+
+  /** [[score]] over PRECOMPUTED gram features (same feature space as the
+    * model: [[hashGrams]]-bucketed iff the model was fit with `bits`). */
+  def scoreFromFeatures(docs: DataFrame, idCol: String, feats: DataFrame,
+      model: DsirModel): DataFrame = {
+    val f = feats
     val w = if (model.bits.isDefined) broadcast(model.weights) else model.weights
     val scored = f.join(w, Seq("gram"), "left")
       .crossJoin(broadcast(model.unseen))

@@ -601,7 +601,8 @@ object TextOps {
       .withColumn("sig", minhash(col("shingles"), k))
     val shingled =
       if (materializeSignatures)
-        graft.pipeline.Dedupe.snapshotIfResolvable(df.sparkSession, sigs, "minhash_sigs")
+        graft.pipeline.Dedupe.widenIfNarrow(
+          graft.pipeline.Dedupe.snapshotIfResolvable(df.sparkSession, sigs, "minhash_sigs"))
       else sigs
     // band keys via THE shared definition (minhashBandKeys), so the
     // incremental index and the batch operator cannot desynchronize
@@ -1139,7 +1140,8 @@ object TextOps {
       simhash64(tokens(lower(col(textCol)))).as("sh"))
     val withHash =
       if (materializeSignatures)
-        graft.pipeline.Dedupe.snapshotIfResolvable(df.sparkSession, sigs, "simhash_sigs")
+        graft.pipeline.Dedupe.widenIfNarrow(
+          graft.pipeline.Dedupe.snapshotIfResolvable(df.sparkSession, sigs, "simhash_sigs"))
       else sigs
     hammingNearDupPairs(withHash, bands, maxHamming, maxBucketSize, comboBlocks)
   }
