@@ -87,9 +87,12 @@ object BenchExtra {
           val done = java.util.Collections.synchronizedList(
             new java.util.ArrayList[(Int, Double, Int, Double, String)]())
           val l = new SparkListener {
-            override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-              jobs.put(e.jobId, (e.time,
-                e.stageInfos.map(_.name.takeWhile(_ != '\n')).headOption.getOrElse("?")))
+            override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+              val desc = Option(e.properties)
+                .flatMap(p => Option(p.getProperty("spark.job.description")))
+              jobs.put(e.jobId, (e.time, desc.getOrElse(
+                e.stageInfos.map(_.name.takeWhile(_ != '\n')).headOption.getOrElse("?"))))
+            }
             override def onJobEnd(e: SparkListenerJobEnd): Unit = {
               val (t0, nm) = jobs.getOrDefault(e.jobId, (e.time, "?"))
               done.add((e.jobId, (e.time - t0) / 1e3, 0, 0.0, nm))

@@ -185,8 +185,10 @@ object Canonicalize {
       .join(lab.withColumnRenamed("id", "id1").withColumnRenamed("component", "c1"), "id1")
       .join(lab.withColumnRenamed("id", "id2").withColumnRenamed("component", "c2"), "id2")
       .filter(col("c1") === col("c2"))
-    val incident = e.select(col("id1").as("id"), col("score"))
-      .union(e.select(col("id2").as("id"), col("score")))
+    // one scan, not a two-leg union: the union form evaluated the scored
+    // join subtree (and the snapshot scan behind it) twice
+    val incident = e.select(
+        explode(array(col("id1"), col("id2"))).as("id"), col("score"))
       .groupBy("id").agg(avg("score").as("confidence"))
     lab.join(incident, Seq("id"), "left")
       .select(col("id"), col("component"),

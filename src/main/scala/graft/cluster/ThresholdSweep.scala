@@ -91,11 +91,15 @@ object ThresholdSweep {
     val spark = scoredPairs.sparkSession
     import spark.implicits._
     val thDesc = thetas.distinct.sortBy(th => -th)
-    val edges = scoredPairs
+    // materialize the filtered edge frame ONCE: it feeds the base CC
+    // (which re-materializes only its narrow normalized projection) and
+    // the component-attach join below — without the cut the (often
+    // expensive) scored-pair scan behind it executed once per consumer
+    val edges = Checkpoints.checkpointed(scoredPairs
       .filter(col(scoreCol) >= thetas.min && col("id1") =!= col("id2"))
       .select(col("id1").cast("long").as("id1"),
         col("id2").cast("long").as("id2"),
-        col(scoreCol).cast("double").as("_s"))
+        col(scoreCol).cast("double").as("_s")), spark)
     val base = ConnectedComponents.labels(edges.select("id1", "id2"))
     val withComp = edges
       .join(base.withColumnRenamed("id", "id1")

@@ -368,9 +368,14 @@ object Dedupe {
       scratchUsed = Some(p.toString)
       p.toString
     }
-    def snap(df: DataFrame, tag: String): DataFrame =
-      widenIfNarrow(ephemeralSnapshot(spark, df, tag, Some(runScratch),
+    def snap(df: DataFrame, tag: String): DataFrame = {
+      // §1.5 job labels: the pipeline runs many small jobs; the tag makes
+      // per-stage cost attributable in the UI / listener profiles
+      spark.sparkContext.setJobDescription(s"graft: $tag snapshot")
+      try widenIfNarrow(ephemeralSnapshot(spark, df, tag, Some(runScratch),
         registerDeleteOnExit = false))
+      finally spark.sparkContext.setJobDescription(null)
+    }
 
     // ---- stage 1: prepare + exact pre-group (G1)
     // Scan-parallelism floor: the per-row prepare/blocking work (NFKC,
@@ -428,7 +433,6 @@ object Dedupe {
 
     // ---- stages 2+3 (skipped entirely on resume): blocking (narrow) +
     // pair-gen (the shuffle) + attach fields + score (one codegen span)
-    var pairsForMetrics: Option[DataFrame] = None
     var blockM = PairGen.BlockMetrics(-1, -1, -1, -1, -1)
     val scored = resumeScored match {
       case Some(snapshot) => snapshot
@@ -442,7 +446,6 @@ object Dedupe {
         if (config.collectMetrics)
           blockM = PairGen.blockMetrics(blocks, config.maxBlockSize)
         val pairs = PairGen.candidatePairs(blocks, config.maxBlockSize)
-        pairsForMetrics = Some(pairs)
         val fields = requiredFields(model.featureNames)
         val attached = PairGen.attachFields(pairs, reps, "id", fields)
         // project the attached record fields away BEFORE the snapshot:
@@ -520,17 +523,25 @@ object Dedupe {
         .join(allLabels, "id"),
       "component", config.canonFields)
 
-    val m = if (config.collectMetrics) Metrics(
-      records = prepared.count(), // same rows as the input; columnar when materialized
-      exactGroups = prepared.select(col("rep")).distinct().count(),
-      blockKeys = blockM.totalKeys,
-      pluralKeys = blockM.pluralKeys,
-      cappedKeys = blockM.cappedKeys,
-      candidatePairs = pairsForMetrics.map(_.count()).getOrElse(scored.count()),
-      edgesAboveTheta = edges.count(),
-      entities = allLabels.agg(countDistinct(col("component"))).collect()(0).getLong(0),
-      ccIterations = cc.iterations)
-    else Metrics(-1, -1, -1, -1, -1, -1, -1, -1, cc.iterations)
+    val m = if (config.collectMetrics) {
+      // records + exactGroups in ONE job over the prepared snapshot
+      // (round-6; was two), and candidatePairs counted off the scored
+      // snapshot — scorePairs is row-preserving over the attached pairs,
+      // so the count is identical and the grid-expansion DAG no longer
+      // re-executes just to be counted (same values, fewer jobs)
+      val prepRow = prepared.agg(count(lit(1)),
+        countDistinct(col("rep"))).collect()(0)
+      Metrics(
+        records = prepRow.getLong(0),
+        exactGroups = prepRow.getLong(1),
+        blockKeys = blockM.totalKeys,
+        pluralKeys = blockM.pluralKeys,
+        cappedKeys = blockM.cappedKeys,
+        candidatePairs = scored.count(),
+        edgesAboveTheta = edges.count(),
+        entities = allLabels.agg(countDistinct(col("component"))).collect()(0).getLong(0),
+        ccIterations = cc.iterations)
+    } else Metrics(-1, -1, -1, -1, -1, -1, -1, -1, cc.iterations)
 
     // scoring metrics persisted alongside the checkpoint (BASELINE.json:14
     // "per-partition lineage AND scoring metrics"): one-row parquet with

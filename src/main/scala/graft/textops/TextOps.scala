@@ -902,8 +902,9 @@ object TextOps {
       regexp_extract_all(col(textCol), lit(runPattern), lit(0)).as("runs"))
       .withColumn("ts", transform(
         filter(col("runs"), r => isTok(r)), r => lower(r)))
-    val base = graft.pipeline.Dedupe.snapshotIfResolvable(df.sparkSession,
-      base0, "span_runs")
+    val base = graft.pipeline.Dedupe.widenIfNarrow(
+      graft.pipeline.Dedupe.snapshotIfResolvable(df.sparkSession,
+        base0, "span_runs"))
     // one gram per starting token position; docs shorter than k emit none
     val gramArr = when(size(col("ts")) < k, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(col("ts")) - k),
