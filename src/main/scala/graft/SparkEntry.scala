@@ -100,7 +100,19 @@ object SparkEntry {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_snap_${tag}_" +
       java.lang.Integer.toHexString(dir.hashCode) + "_" +
       java.lang.Integer.toHexString(System.identityHashCode(s.sparkContext))
-    df.write.mode("overwrite").parquet(path)
+    // normalize the file layout to ~two fat-row-group files per core
+    // (measured: the 47M-row scored snapshot as 128 x 2MB files cost
+    // 1.4 s per consumer scan vs 0.7 s with fat files — per-file
+    // open/footer overhead; and one row group per file keeps ~2 effective
+    // tasks per core for comparator-heavy consumers at the 4m reader
+    // split, since a row group belongs to the split holding its midpoint.
+    // 2x cores, not 1x: the snapshot WRITE itself — dedup aggregate +
+    // parquet encode — inherits this width, and a single 32-task wave
+    // measured ~4 s slower than two waves on the 47M-pair build).
+    // coalesce, not repartition: no extra shuffle.
+    val width = s.sparkContext.defaultParallelism * 2
+    val toWrite = if (df.rdd.getNumPartitions > width) df.coalesce(width) else df
+    toWrite.write.mode("overwrite").parquet(path)
     // reclaim at JVM exit: repeated driver/bench invocations otherwise
     // accumulate a ~250 MB snapshot set per process in /tmp (round-6
     // hygiene; the ADVICE temp-dir class)
